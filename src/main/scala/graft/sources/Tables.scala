@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source layer: loaders for the driver-provided parquet fixtures
+  * (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Re-expresses the reference's external-source registration —
+  * ClickHouse `ENGINE = S3(..., 'CSV')` DDL (`README.md:158-221`) plus the
+  * dbt sources.yml logical→physical map (`README.md:269-292`) — as a plain
+  * Scala registry of schema-on-read parquet scans. A lazy `DataFrame` IS a
+  * view, so this layer also subsumes the reference's pass-through staging
+  * models (`README.md:298-326`).
+  *
+  * Scale posture: parquet scans are splittable and vectorized; filters and
+  * projections composed downstream reach the scan via Catalyst pushdown, so
+  * at 100 TB each query reads only the row groups/columns it needs.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** All relational + extension tables, keyed by logical name — the Spark
+    * equivalent of the reference's dbt source registry (`README.md:269-292`). */
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, name)
+
+  /** Register every table as a temp view (`src_<name>` naming parity with
+    * the reference's `src_*` physical identifiers, `README.md:269-292`). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => read(spark, dir, n).createOrReplaceTempView(n))
+}
