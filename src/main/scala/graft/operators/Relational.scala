@@ -1,0 +1,344 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import graft.plans.Star
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational operator families the reference's query class implies but
+  * never exercises (SURVEY.md §2.2 gap list + §2.3 X8–X12): grouped
+  * aggregation, ordering/limit, window functions, set operations,
+  * semi/anti joins, rollup/cube, HAVING, scalar subqueries, DISTINCT.
+  *
+  * Determinism rules shared with [[Ssb]]: money math goes through
+  * DECIMAL(38,6) intermediates; `year()` and `row_number()` are cast to
+  * long to match DuckDB's int64; every ORDER BY carries a unique
+  * tie-break key.
+  *
+  * Scale posture: all aggregates are partial-before-exchange; windows
+  * partition on high-cardinality keys (custkey/brand) so no single
+  * partition explodes; set ops and semi/anti joins are shuffle joins on
+  * keys that AQE can re-plan (broadcast the small side at test SF,
+  * skew-split at cluster SF).
+  */
+object Relational extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+  private def money(c: Column, name: String): Column =
+    sum(dec(c)).cast(DoubleType).as(name)
+
+  /** TPC-H Q1-style pricing summary: grouped multi-aggregate scan. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice"), "sum_base_price"),
+        money(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
+        (sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** ORDER BY + LIMIT top-k (driver-wide total order with tie-break). */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Ranking window: top-3 parts per brand (X8 top-k per group). */
+  def brandTop3(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Analytic window: per-customer running spend (X11). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"))
+  }
+
+  /** lag/lead analytic window over per-customer order history (X11). */
+  def lagLeadOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+  }
+
+  /** UNION (distinct) of customer and supplier nation keys (X12). */
+  def setopUnion(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** INTERSECT of customer and supplier nation keys (X12). */
+  def setopIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+
+  /** EXCEPT: active-customer nations minus region-0 nations (X12). */
+  def setopExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_acctbal") > 0)
+      .select(col("c_nationkey").as("nationkey"))
+      .except(Tables.nation(spark, dir).filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("nationkey")))
+
+  /** LEFT SEMI join: customers that have at least one order (X12). */
+  def semiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** LEFT ANTI join: customers with no URGENT order (X12). */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** ROLLUP over region → nation customer stats (X10). */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        money(col("c_acctbal"), "sum_acctbal"))
+  }
+
+  /** CUBE over order status × priority (X10). */
+  def cubeStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(col("o_totalprice"), "sum_price"))
+
+  /** GROUP BY + HAVING: nations holding at least 50 customers. */
+  def havingNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .filter(col("n_customers") >= 50)
+
+  /** Scalar-subquery pattern: orders above the global average price.
+    * The average is formed as exact-decimal-sum / count so both engines
+    * compute the identical IEEE double threshold. */
+  def ordersAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgDf = o.agg((sum(dec(col("o_totalprice"))).cast(DoubleType) /
+      count(lit(1))).as("avg_price"))
+    o.join(broadcast(avgDf))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** Exact DISTINCT counts over the fact table. */
+  def distinctExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Approx distinct via HLL sketch (X9) — rows-only check: DuckDB's
+    * approx sketch differs, so no SQL oracle is declared. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
+  /** SSB Q2-style: yearly revenue per brand for one supplier region
+    * (`/root/reference/README.md` Q-flight generalization; SSB spec Q2). */
+  def ssbQ2BrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val p  = Tables.part(spark, dir)
+    li.join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"), col("p_brand"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("ship_year"), col("p_brand"))
+  }
+
+  /** SSB Q3-style: customer-nation × supplier-nation trade flows. */
+  def ssbQ3NationFlows(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val cn = Tables.nation(spark, dir)
+    val sn = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(cn.select(col("n_nationkey").as("c_nk"), col("n_name").as("c_nation"))),
+        c("c_nationkey") === col("c_nk"))
+      .join(broadcast(sn.select(col("n_nationkey").as("s_nk"), col("n_name").as("s_nation"))),
+        s("s_nationkey") === col("s_nk"))
+      .filter(col("c_nation").isin("NATION_0", "NATION_1", "NATION_2") &&
+        col("s_nation").isin("NATION_0", "NATION_1", "NATION_2"))
+      .groupBy(col("c_nation"), col("s_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("ship_year"), col("c_nation"), col("s_nation"))
+  }
+
+  /** SSB Q4-style profit drill-down: proxy supply cost = 50% of part
+    * retail price (fixtures carry no supplycost column). */
+  def ssbQ4Profit(spark: SparkSession, dir: String): DataFrame = {
+    val st = Star.build(spark, dir)
+    st.groupBy(year(col("o_orderdate")).cast("long").as("order_year"),
+        col("c_mktsegment"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("l_quantity") * col("p_retailprice") * lit(0.5), "profit"))
+      .orderBy(col("order_year"), col("c_mktsegment"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary"  -> pricingSummary,
+    "rel_top_orders"       -> topOrders,
+    "rel_brand_top3"       -> brandTop3,
+    "rel_running_total"    -> runningTotal,
+    "rel_lag_lead"         -> lagLeadOrders,
+    "rel_setop_union"      -> setopUnion,
+    "rel_setop_intersect"  -> setopIntersect,
+    "rel_setop_except"     -> setopExcept,
+    "rel_semi_join"        -> semiJoinCustomers,
+    "rel_anti_join"        -> antiJoinCustomers,
+    "rel_rollup"           -> rollupRegionNation,
+    "rel_cube"             -> cubeStatusPriority,
+    "rel_having"           -> havingNations,
+    "rel_above_avg"        -> ordersAboveAvg,
+    "rel_distinct_exact"   -> distinctExact,
+    "rel_approx_distinct"  -> approxDistinct,
+    "ssb_q2_brand_revenue" -> ssbQ2BrandRevenue,
+    "ssb_q3_nation_flows"  -> ssbQ3NationFlows,
+    "ssb_q4_profit"        -> ssbQ4Profit)
+
+  private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+
+  override val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_brand_top3" ->
+      """SELECT * FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         ROW_NUMBER() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t WHERE rn <= 3""".stripMargin,
+    "rel_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS running_spend
+        |FROM orders""".stripMargin,
+    "rel_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |       LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders""".stripMargin,
+    "rel_setop_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "rel_setop_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "rel_setop_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+        |EXCEPT SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "rel_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "rel_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "rel_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+        |GROUP BY c_nationkey HAVING COUNT(*) >= 50""".stripMargin,
+    "rel_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)""".stripMargin,
+    "rel_distinct_exact" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "ssb_q2_brand_revenue" ->
+      s"""SELECT EXTRACT(YEAR FROM l_shipdate) AS ship_year, p_brand,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ssb_q3_nation_flows" ->
+      s"""SELECT cn.n_name AS c_nation, sn.n_name AS s_nation,
+         |       EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE cn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+         |  AND sn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+         |GROUP BY 1, 2, 3 ORDER BY 3, 1, 2""".stripMargin,
+    "ssb_q4_profit" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, c_mktsegment,
+         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |                     - l_quantity * p_retailprice * 0.5
+         |                     AS DECIMAL(38,6))) AS DOUBLE) AS profit
+         |FROM ${Star.sql}
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
