@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data-pipeline curation over the
+  * `documents` fixture (SURVEY.md §2.3 X4 + north-star surface): token
+  * statistics, term frequency, TF-IDF counts, n-gram profiling, language
+  * ID (marker-token heuristic), quality scoring, and document
+  * fingerprinting.
+  *
+  * Everything is a composition of codegen'd builtins — `split`, higher-
+  * order `filter`/`transform`, `explode`, hash functions — no UDFs, so
+  * whole-stage codegen covers the hot path and the shuffle per query is
+  * only the final aggregate's.
+  *
+  * Scale posture: token explosion multiplies rows ~50× before the
+  * aggregate; partial aggregation collapses it before exchange, and at
+  * 100 TB the per-doc operators (stats, quality, fingerprint) are pure
+  * map-side — zero shuffles.
+  *
+  * Determinism: outputs are integers, strings, or divisions of exact
+  * integers (single IEEE op ⇒ engine-identical); ordering always carries
+  * a unique tie-break.
+  */
+object TextAnalysis extends QueryPack {
+
+  private val toks = "split(text, ' ')"
+
+  /** Per-doc token statistics (map-side only). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      s"cast(size($toks) as bigint) as n_tokens",
+      s"cast(size(array_distinct($toks)) as bigint) as n_distinct",
+      "cast(length(replace(text, ' ', '')) as bigint) as n_token_chars",
+      s"cast(length(replace(text, ' ', '')) as double) / size($toks) as avg_token_len")
+
+  /** Global top-100 terms by frequency (explode → count → top-k). */
+  def termFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(expr(toks)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
+
+  /** TF / DF / corpus-size counts — the exact-integer core of TF-IDF.
+    * (The floating `ln(N/df)` weighting is applied in [[topTermsPerDoc]]
+    * ranking via integer order instead, keeping the oracle hash-exact.) */
+  def tfidfCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(expr(toks)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token").join(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("n_docs"))
+  }
+
+  /** Top-5 characteristic terms per doc: rank by (tf desc, df asc, token)
+    * — the integer-total-order equivalent of tf·idf ranking. */
+  def topTermsPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    tfidfCounts(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** Global top-20 character trigrams — n-gram profile extraction. */
+  def charTrigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(20)
+
+  private val markers = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  private def markerCount(lang: String): String = {
+    val list = markers.toMap.apply(lang).map(t => s"'$t'").mkString(", ")
+    s"cast(size(filter($toks, x -> x in ($list))) as bigint)"
+  }
+
+  /** Marker-token language ID: per-language function-word hit counts and
+    * an argmax with fixed precedence (en > es > de > fr > und). A real
+    * corpus discriminates cleanly; the synthetic fixture shares one
+    * vocabulary, so this demonstrates the operator, not the corpus. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).selectExpr(
+      Seq("doc_id", "lang") ++
+        markers.map { case (l, _) => s"${markerCount(l)} as score_$l" }: _*)
+    scored.selectExpr("doc_id", "lang",
+      "score_en", "score_es", "score_de", "score_fr",
+      """case
+        |  when score_en = 0 and score_es = 0 and score_de = 0 and score_fr = 0 then 'und'
+        |  when score_en >= score_es and score_en >= score_de and score_en >= score_fr then 'en'
+        |  when score_es >= score_de and score_es >= score_fr then 'es'
+        |  when score_de >= score_fr then 'de'
+        |  else 'fr'
+        |end as pred_lang""".stripMargin)
+  }
+
+  /** Quality scoring: length / diversity / stopword-density gates with a
+    * boolean keep decision — the standard pre-training filter shape. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      s"cast(size($toks) as bigint) as n_tokens",
+      s"cast(size(array_distinct($toks)) as double) / size($toks) as distinct_ratio",
+      s"cast(${markerCount("en")} as double) / size($toks) as stopword_ratio",
+      s"cast(length(replace(text, ' ', '')) as double) / size($toks) as avg_token_len",
+      s"""(size($toks) between 20 and 500)
+         | and (cast(size(array_distinct($toks)) as double) / size($toks) > 0.3)
+         | as keep""".stripMargin)
+
+  /** Document fingerprints: raw md5 plus an order/multiplicity-invariant
+    * fingerprint over the sorted distinct token set (near-dup precursor). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      "md5(cast(text as binary)) as fp",
+      s"md5(cast(array_join(array_sort(array_distinct($toks)), ' ') as binary)) as fp_norm")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats"   -> tokenStats,
+    "text_term_freq"     -> termFreq,
+    "text_tfidf_counts"  -> tfidfCounts,
+    "text_top_terms"     -> topTermsPerDoc,
+    "text_char_trigrams" -> charTrigrams,
+    "text_langid"        -> langId,
+    "text_quality"       -> quality,
+    "text_fingerprint"   -> fingerprint)
+
+  private val dToks = "string_split(text, ' ')"
+  private def dMarker(lang: String): String = {
+    val list = markers.toMap.apply(lang).map(t => s"'$t'").mkString(", ")
+    s"len(list_filter($dToks, x -> x IN ($list)))"
+  }
+
+  override val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($dToks) AS n_tokens,
+         |  len(list_distinct($dToks)) AS n_distinct,
+         |  length(replace(text, ' ', '')) AS n_token_chars,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($dToks) AS avg_token_len
+         |FROM documents""".stripMargin,
+    "text_term_freq" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest($dToks) AS token FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "text_tfidf_counts" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($dToks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs
+         |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin,
+    "text_top_terms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($dToks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, token, tf, df, rank FROM (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY tf.tf DESC, df.df, tf.token) AS rank
+         |  FROM tf JOIN df USING (token)) t
+         |WHERE rank <= 5""".stripMargin,
+    "text_char_trigrams" ->
+      """SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+        |                               i -> substring(text, i, 3))) AS gram
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  ${dMarker("en")} AS score_en, ${dMarker("es")} AS score_es,
+         |  ${dMarker("de")} AS score_de, ${dMarker("fr")} AS score_fr,
+         |  CASE
+         |    WHEN ${dMarker("en")} = 0 AND ${dMarker("es")} = 0
+         |     AND ${dMarker("de")} = 0 AND ${dMarker("fr")} = 0 THEN 'und'
+         |    WHEN ${dMarker("en")} >= ${dMarker("es")} AND ${dMarker("en")} >= ${dMarker("de")}
+         |     AND ${dMarker("en")} >= ${dMarker("fr")} THEN 'en'
+         |    WHEN ${dMarker("es")} >= ${dMarker("de")} AND ${dMarker("es")} >= ${dMarker("fr")} THEN 'es'
+         |    WHEN ${dMarker("de")} >= ${dMarker("fr")} THEN 'de'
+         |    ELSE 'fr'
+         |  END AS pred_lang
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len($dToks) AS n_tokens,
+         |  CAST(len(list_distinct($dToks)) AS DOUBLE) / len($dToks) AS distinct_ratio,
+         |  CAST(${dMarker("en")} AS DOUBLE) / len($dToks) AS stopword_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($dToks) AS avg_token_len,
+         |  (len($dToks) BETWEEN 20 AND 500)
+         |    AND (CAST(len(list_distinct($dToks)) AS DOUBLE) / len($dToks) > 0.3) AS keep
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         |  md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS fp_norm
+         |FROM documents""".stripMargin)
+}
