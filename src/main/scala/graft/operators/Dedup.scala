@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.VectorOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for LLM-data curation (north-star surface; SURVEY.md
+  * §2.3 X1/X2): exact, n-gram-Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup, over `documents` / `embeddings`.
+  *
+  * Scale ladder (the point of having five):
+  *  - exact: one hash-groupBy on md5 — a single shuffle keyed on a
+  *    16-byte digest instead of the document body; linear at any SF.
+  *  - ngram-Jaccard: exact pairwise similarity via an inverted shingle
+  *    index (explode + self-join) — no crossJoin, but pair blowup on hot
+  *    shingles makes it mid-scale only; it is the *oracle* for the
+  *    sketch-based paths.
+  *  - MinHash+LSH: the 100 TB path — fixed-size signatures (32 hashes),
+  *    banded (8×4) bucket join so only same-bucket pairs materialize,
+  *    then exact verification of the (few) candidates.
+  *  - SimHash: 64-bit signature per doc; near-dup = small Hamming
+  *    distance; banding the 64 bits would give the LSH-style bucket join
+  *    at scale (pairs here are scanned directly at fixture SF).
+  *  - embedding-cosine: semantic near-dup; brute pairing at fixture SF,
+  *    LSH-bucketed in [[Similarity]] for the scale path.
+  *
+  * MinHash/SimHash queries use Spark's xxhash64 (no DuckDB counterpart),
+  * so they are rows-only checked, with ScalaTest invariants tying their
+  * candidates back to the exact Jaccard query.
+  */
+object Dedup extends QueryPack {
+
+  /** Exact dedup: one representative (min doc_id) per distinct text,
+    * grouped by md5 digest, not the body, to keep the shuffle narrow. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
+  /** Distinct token-3-gram shingle sets per doc, as (doc_id, shingles). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2))))""".stripMargin))
+      .select(col("doc_id"), col("shingles"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted
+    * shingle index — the ground truth the sketch methods approximate. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = shingled(spark, dir)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("shingle"))
+    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle"))
+    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+  }
+
+  private val NumHashes = 32
+  private val Bands = 8 // × 4 rows per band
+
+  /** MinHash signatures + banded LSH bucket join + exact verification —
+    * the linear-scale near-dup path. Rows-only (xxhash64-based). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    // (doc, seed, shingle-hash) → min per (doc, seed) = signature row
+    val sig = sh
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${NumHashes - 1}), " +
+          "s -> struct(s as seed, xxhash64(shingle, s) as h))")).as("sh"))
+      .groupBy(col("doc_id"), col("sh.seed").as("seed"))
+      .agg(min(col("sh.h")).as("mh"))
+    // band signature: hash of the 4 in-band minhashes in seed order
+    val bands = sig
+      .withColumn("band", (col("seed") / lit(NumHashes / Bands)).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh as string))")))
+        .as("band_sig"))
+    // candidates: docs sharing any (band, band_sig) bucket
+    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    val cand = ba.join(bb, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification of the few candidates
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit tf-weighted SimHash signature per document. Rows-only. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("token")))
+    tf.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 63), b -> struct(b as bit,
+          |  tf * (cast(shiftright(h, b) & 1 as int) * 2 - 1) as w))""".stripMargin))
+        .as("bw"))
+      .groupBy(col("doc_id"), col("bw.bit").as("bit"))
+      .agg(sum(col("bw.w")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "case when w > 0 then shiftleft(cast(1 as bigint), cast(bit as int)) " +
+          "else cast(0 as bigint) end")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 3. At cluster scale the
+    * 64-bit signature is split into 4 bands of 16 bits for a bucket join
+    * (any pair at distance ≤3 shares a clean band); the fixture-SF plan
+    * pairs signatures directly. Rows-only. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash(spark, dir)
+    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs (cosine ≥ 0.45): semantic dedup.
+    * Norms computed once per vector; pair scores bit-match DuckDB. */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm("embedding").as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh"   -> minhashLsh,
+    "dedup_simhash"       -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_cosine_pairs"  -> cosinePairs)
+
+  private val dShingles =
+    """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |  i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i + 1],
+      |                 string_split(text, ' ')[i + 2])))""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $dShingles AS s FROM documents),
+         |e AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+         |             any_value(a.n) AS na, any_value(b.n) AS nb
+         |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common,
+         |       CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+         |FROM p WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8""".stripMargin,
+    "dedup_cosine_pairs" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${VectorOps.duckDot("a.embedding", "b.embedding")} /
+         |       (${VectorOps.duckNorm("a.embedding")} * ${VectorOps.duckNorm("b.embedding")}) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${VectorOps.duckDot("a.embedding", "b.embedding")} /
+         |      (${VectorOps.duckNorm("a.embedding")} * ${VectorOps.duckNorm("b.embedding")}) >= 0.45""".stripMargin)
+}
