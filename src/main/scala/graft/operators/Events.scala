@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-stream operators over the `events` fixture (SURVEY.md §2.3
+  * X5–X9), batch-first: JSON property extraction, tumbling and sliding
+  * event-time windows, gap-based sessionization, per-group top-k, and
+  * per-group distinct stats. `graft.streaming.EventStream` re-expresses
+  * the windowed aggregations as Structured Streaming with a watermark,
+  * and a ScalaTest pins stream/batch parity.
+  *
+  * Timestamps are surfaced as epoch integers (`unix_timestamp`/
+  * `unix_micros`), never raw timestamps — integer outputs are immune to
+  * µs/ns physical-type drift between engines.
+  *
+  * Scale posture: every aggregate is keyed by (window × type) or
+  * user_id — high-cardinality, partial-agg friendly; sessionization
+  * shuffles once on user_id; nothing collects to the driver.
+  */
+object Events extends QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
+
+  /** X5: JSON property extraction from the `props` column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** X6: 6-hour tumbling event-time windows per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** X6: 1-day windows sliding every 6 hours (each event lands in 4). */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+
+  /** X7: gap-based sessionization (30-minute inactivity) per user via
+    * `session_window` — Spark's native merging session operator. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("total_value"))
+
+  /** X8: top-3 events by value per user. */
+  def topKPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Per-type engagement stats with exact distinct users. */
+  def typeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** X9: approximate distinct users per type (HLL) — rows-only. */
+  def approxUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_json_extract" -> jsonExtract,
+    "ev_tumbling"     -> tumbling,
+    "ev_sliding"      -> sliding,
+    "ev_session"      -> sessionize,
+    "ev_topk_user"    -> topKPerUser,
+    "ev_type_stats"   -> typeStats,
+    "ev_approx_users" -> approxUsers)
+
+  override val oracles: Map[String, String] = Map(
+    "ev_json_extract" ->
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "ev_tumbling" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |         AS window_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |           - 21600 * k AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "ev_session" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM o)
+        |SELECT user_id,
+        |       epoch_us(MIN(ts)) AS start_us,
+        |       epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS end_us,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "ev_topk_user" ->
+      """SELECT user_id, event_id, event_type, value, rank FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY value DESC, event_id) AS rank
+        |  FROM events) t
+        |WHERE rank <= 3""".stripMargin,
+    "ev_type_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(value) AS min_value, MAX(value) AS max_value,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

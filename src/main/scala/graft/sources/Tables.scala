@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Source layer: loaders for the driver-provided parquet fixtures
   * (TESTDATA.md / FIXTURES.md §B).
@@ -28,7 +29,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "events")
+  /** `events.ts` is physical TIMESTAMP(NANOS), which Spark 4's vectorized
+    * reader refuses; read it as raw nanos (legacy conf) and rebuild a
+    * µs-precision TimestampType column (fixture nanos are always 0). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
