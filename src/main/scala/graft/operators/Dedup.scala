@@ -110,8 +110,11 @@ object Dedup extends QueryPack {
   }
 
   /** 64-bit tf-weighted SimHash signature per document. Rows-only. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(spark, dir))
+
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("token")))

@@ -1,0 +1,99 @@
+package graft.streaming
+
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming re-expression of the [[graft.operators.Events]]
+  * batch operators: the same event-time windows and sessionization,
+  * driven incrementally with watermarks and custom state.
+  *
+  * The fixture parquet doubles as a one-batch stream (file source), which
+  * lets ScalaTest pin stream↔batch parity synchronously via the memory
+  * sink — the same plan then runs against a real unbounded source
+  * unchanged. Scale posture: windowed aggregation state is bounded by the
+  * watermark horizon; session state is per-user and evicted on event-time
+  * timeout.
+  */
+object EventStream {
+
+  /** Event row as read from the fixture (ts rebuilt to µs precision). */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, total_value: Double)
+
+  private val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Full-µs epoch from a Timestamp (getTime alone truncates sub-ms). */
+  private def epochUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  /** Streaming scan of a DIRECTORY of event parquet files (the file
+    * stream source requires a directory; new files appended to it become
+    * new micro-batches — the production shape). */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw: StructType = spark.read.parquet(eventsDir).schema // nanos-as-long shape
+    spark.readStream.schema(raw).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming 6-hour tumbling windows per event type with a 1-day
+    * watermark — the incremental form of `Events.tumbling`. */
+  def windowedCounts(spark: SparkSession, eventsDir: String): DataFrame =
+    readEvents(spark, eventsDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Custom-state sessionization with `flatMapGroupsWithState`: emits a
+    * session whenever a ≥30-min gap closes it; the trailing open session
+    * per user is held in state and flushed by event-time timeout. */
+  def sessionize(spark: SparkSession, eventsDir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .withWatermark("ts", "1 day")
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.startUs, s.lastUs + GapUs, s.n, s.total))
+          } else {
+            // per-user batch must be processed in event-time order
+            val sorted = it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = epochUs(e.ts)
+              cur match {
+                case Some(s) if us < s.lastUs + GapUs =>
+                  cur = Some(SessionState(s.startUs, us, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, s.startUs, s.lastUs + GapUs, s.n, s.total)
+                  cur = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + GapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

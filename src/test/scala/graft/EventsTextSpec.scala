@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Events, TextAnalysis, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionization: every session respects the 30-min gap invariants") {
+    val sessions = Events.sessionize(spark, TestSpark.Sf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sessions.nonEmpty)
+    val gap = 30L * 60 * 1000 * 1000
+    sessions.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      // sessions are disjoint and separated by >= the gap (end = last+gap)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 >= a._3, s"overlap: $a $b")
+        case _ =>
+      }
+      // end - start >= gap (end extends past last event by the gap)
+      sorted.foreach(s => assert(s._3 - s._2 >= gap))
+    }
+  }
+
+  test("sliding windows hold exactly 4x the events of tumbling (1d/6h)") {
+    val tumbled = Events.tumbling(spark, TestSpark.Sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    val slid = Events.sliding(spark, TestSpark.Sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(slid == 4 * tumbled)
+  }
+
+  test("filter partition: semi + anti customer sets partition the table") {
+    val c = graft.sources.Tables.customer(spark, TestSpark.Sf).count()
+    val semi = Relational.semiJoinCustomers(spark, TestSpark.Sf).count()
+    val antiUrgent = Relational.antiJoinCustomers(spark, TestSpark.Sf)
+    val o = graft.sources.Tables.orders(spark, TestSpark.Sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+    val cc = graft.sources.Tables.customer(spark, TestSpark.Sf)
+    val semiUrgent = cc.join(o, cc("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(semiUrgent + antiUrgent.count() == c)
+    assert(semi <= c)
+  }
+
+  test("token stats: counts agree with n_chars metadata column") {
+    val bad = TextAnalysis.tokenStats(spark, TestSpark.Sf)
+      .join(graft.sources.Tables.documents(spark, TestSpark.Sf), "doc_id")
+      .filter($"n_token_chars" + $"n_tokens" - 1 =!= $"n_chars")
+    assert(bad.count() == 0, "tokens+separators must reconstruct n_chars")
+  }
+
+  test("fingerprint: fp_norm is invariant to token order and multiplicity") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"),
+      (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("fp_docs")
+    val fps = docs.selectExpr("doc_id",
+      "md5(cast(array_join(array_sort(array_distinct(split(text, ' '))), ' ') as binary)) as fp_norm")
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("quality keep-rule matches its definition on fixture docs") {
+    val q = TextAnalysis.quality(spark, TestSpark.Sf)
+      .select("n_tokens", "distinct_ratio", "keep")
+      .as[(Long, Double, Boolean)].collect()
+    q.foreach { case (n, dr, keep) =>
+      assert(keep == (n >= 20 && n <= 500 && dr > 0.3))
+    }
+  }
+}

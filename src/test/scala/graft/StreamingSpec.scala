@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.EventStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream↔batch parity: the fixture parquet is replayed as a one-batch
+  * file stream into the memory sink and compared against the batch
+  * operators computing the same aggregation. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The file stream source consumes a directory; stage the fixture's
+    * events.parquet into one (what a stream landing zone looks like). */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf}/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming 6h windowed counts equal the batch tumbling query") {
+    val q = EventStream.windowedCounts(spark, eventsDir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Events.tumbling(spark, TestSpark.Sf)
+      .select("window_start", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming sessionization closes exactly the non-trailing batch sessions") {
+    val q = EventStream.sessionize(spark, eventsDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sess_out")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Closed-by-gap sessions are every non-trailing batch session; the
+    // event-time timeout may additionally flush trailing sessions that
+    // fell behind the final watermark. So: nonTrailing ⊆ streamed ⊆ batch.
+    val batch = Events.sessionize(spark, TestSpark.Sf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+    val nonTrailing = batch.groupBy(_._1).values
+      .flatMap(ss => ss.sortBy(_._2).dropRight(1)).toSet
+    assert(nonTrailing.subsetOf(streamed),
+      s"missing: ${(nonTrailing -- streamed).take(3)}")
+    assert(streamed.subsetOf(batch.toSet),
+      s"extra: ${(streamed -- batch.toSet).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+}
