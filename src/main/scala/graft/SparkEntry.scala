@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All operator packs; each contributes queries + DuckDB oracles. */
-  def packs: Seq[QueryPack] = Seq(Ssb, Relational, TextAnalysis, Dedup, Similarity, Events)
+  def packs: Seq[QueryPack] =
+    Seq(Ssb, Relational, TextAnalysis, Dedup, Similarity, Events, Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star surface): media as opaque
+  * `binary` payloads with a typed metadata struct, and the
+  * decode → feature-extract → resize → frame-sample pipeline shapes a
+  * training-data system needs over them.
+  *
+  * No image/audio codecs exist in this environment, so the decode step
+  * is a clearly-marked DETERMINISTIC FAKE (`FakeCodec`): it derives
+  * "pixels" from payload bytes. Everything around it — the schema
+  * contract, the `mapPartitions` batch shape (one iterator per
+  * partition, no per-row JVM↔native churn), partition preservation, and
+  * the typed `Dataset` plumbing — is real and tested, so swapping a
+  * true codec in changes one function.
+  *
+  * Scale posture: media pipelines are pure map-side (no shuffle); the
+  * binary column never routes through an aggregate or join key, metadata
+  * predicates prune at the scan, and per-partition decode amortizes any
+  * codec init cost across the partition.
+  */
+object Multimodal extends QueryPack {
+
+  /** Typed media row: opaque payload + structured metadata. */
+  case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String,
+      width: Int, height: Int, n_frames: Int)
+
+  case class MediaFeatures(media_id: Long, n_bytes: Long, mean_byte: Double,
+      byte_entropy: Double, features: Array[Float])
+
+  case class FrameSample(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** DETERMINISTIC FAKE decode: stands in for an image/audio codec.
+    * Derives a byte histogram and fixed-width feature vector from the
+    * payload — reproducible, codec-free, same output shape a real
+    * embedding extractor would produce. */
+  private[operators] object FakeCodec {
+    def features(payload: Array[Byte], dim: Int = 8): MediaFeaturesBody = {
+      val hist = new Array[Long](256)
+      var i = 0
+      var sum = 0L
+      while (i < payload.length) { // hot loop: per-partition, no boxing
+        hist(payload(i) & 0xFF) += 1
+        sum += (payload(i) & 0xFF)
+        i += 1
+      }
+      val n = math.max(payload.length, 1)
+      val mean = sum.toDouble / n
+      var ent = 0.0
+      var j = 0
+      while (j < 256) {
+        if (hist(j) > 0) {
+          val p = hist(j).toDouble / n
+          ent -= p * math.log(p) / math.log(2)
+        }
+        j += 1
+      }
+      val feats = Array.tabulate(dim) { d =>
+        var acc = 0.0
+        var k = d
+        while (k < 256) { acc += hist(k); k += dim }
+        (acc / n).toFloat
+      }
+      MediaFeaturesBody(payload.length.toLong, mean, ent, feats)
+    }
+  }
+  case class MediaFeaturesBody(nBytes: Long, mean: Double, entropy: Double,
+      features: Array[Float])
+
+  /** Synthesize a media table from the documents fixture: utf-8 payload
+    * bytes standing in for encoded media, plus typed metadata. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr(
+        "doc_id as media_id",
+        "encode(text, 'utf-8') as payload",
+        "case when doc_id % 3 = 0 then 'image' when doc_id % 3 = 1 then 'audio' else 'video' end as media_type",
+        "cast(16 + doc_id % 16 as int) as width",
+        "cast(16 + doc_id % 8 as int) as height",
+        "cast(1 + doc_id % 30 as int) as n_frames")
+      .as[MediaRow]
+  }
+
+  /** Metadata/bookkeeping scan: oracle-checkable without the codec. */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF().select(
+      col("media_id"), col("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      (col("width") * col("height")).cast("long").as("n_pixels"),
+      col("n_frames").cast("long").as("n_frames"))
+
+  /** Decode + feature extraction via mapPartitions — the partition-at-a-
+    * time batch shape that amortizes codec initialization. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      // real pipeline: init codec once per partition here
+      rows.map { r =>
+        val f = FakeCodec.features(r.payload)
+        MediaFeatures(r.media_id, f.nBytes, f.mean, f.entropy, f.features)
+      }
+    }
+  }
+
+  /** Fake "resize": truncate/pad payload to the target pixel budget and
+    * rewrite metadata — exercises payload transformation plumbing. */
+  def resize(spark: SparkSession, dir: String, w: Int = 8, h: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val target = w * h
+        val out = java.util.Arrays.copyOf(r.payload, target)
+        r.copy(payload = out, width = w, height = h)
+      }
+    }
+  }
+
+  /** Frame sampling: payload split into n_frames equal frames, keep
+    * every `stride`-th — the video-curation access pattern. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 5): Dataset[FrameSample] = {
+    import spark.implicits._
+    mediaTable(spark, dir).flatMap { r =>
+      val frameLen = math.max(r.payload.length / math.max(r.n_frames, 1), 1)
+      (0 until r.n_frames by stride).iterator
+        .filter(i => i * frameLen < r.payload.length)
+        .map { i =>
+          val from = i * frameLen
+          val until = math.min(from + frameLen, r.payload.length)
+          FrameSample(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+    }
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> meta,
+    "mm_features" -> ((s: SparkSession, d: String) =>
+      decodeFeatures(s, d).toDF()
+        .select(col("media_id"), col("n_bytes"), col("mean_byte"), col("byte_entropy"))),
+    "mm_frame_stats" -> ((s: SparkSession, d: String) =>
+      frameSample(s, d).groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(octet_length(col("frame")).cast("long")).as("sampled_bytes"))))
+
+  override val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  (16 + doc_id % 16) * (16 + doc_id % 8) AS n_pixels,
+        |  1 + doc_id % 30 AS n_frames
+        |FROM documents""".stripMargin)
+}

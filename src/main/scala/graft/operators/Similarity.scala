@@ -143,13 +143,29 @@ object Similarity extends QueryPack {
     rankedTopK(pairs)
   }
 
+  /** Brute-force top-k on the codegen'd [[graft.functions.DotProductFloat]]
+    * native expression — same results as [[topKBruteForce]] (shared
+    * oracle), one fused loop instead of the HOF's intermediate array. */
+  def topKCodegen(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProductFloat.register(spark)
+    val c = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
+    val q = c.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr("graft_dot(qe, embedding)") / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    rankedTopK(pairs)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> topKBruteForce,
+    "sim_topk_codegen"    -> topKCodegen,
     "sim_topk_lsh"        -> topKLsh,
     "sim_topk_ivf"        -> topKIvf)
 
-  override val oracles: Map[String, String] = Map(
-    "sim_topk_bruteforce" ->
+  private val bruteForceOracle: String =
       s"""WITH c AS (SELECT vec_id, embedding,
          |             ${VectorOps.duckNorm("embedding")} AS nrm
          |           FROM embeddings),
@@ -161,5 +177,9 @@ object Similarity extends QueryPack {
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |           ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM p) t
-         |WHERE rank <= $K""".stripMargin)
+         |WHERE rank <= $K""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> bruteForceOracle,
+    "sim_topk_codegen"    -> bruteForceOracle)
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.DotProductFloat
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalCatalystSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("media pipeline: decode features are deterministic and shaped right") {
+    val f1 = Multimodal.decodeFeatures(spark, TestSpark.Sf).collect()
+      .map(f => f.media_id -> (f.n_bytes, f.mean_byte, f.byte_entropy, f.features.toSeq)).toMap
+    val f2 = Multimodal.decodeFeatures(spark, TestSpark.Sf).collect()
+      .map(f => f.media_id -> (f.n_bytes, f.mean_byte, f.byte_entropy, f.features.toSeq)).toMap
+    assert(f1 == f2, "fake decode must be deterministic")
+    assert(f1.nonEmpty)
+    f1.values.foreach { case (n, mean, ent, feats) =>
+      assert(feats.length == 8)
+      assert(n > 0 && mean > 0 && ent > 0)
+      // histogram buckets are a partition of bytes: fractions sum to 1
+      assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
+    }
+  }
+
+  test("resize rewrites payload to the pixel budget, preserving ids") {
+    val r = Multimodal.resize(spark, TestSpark.Sf, 8, 8).collect()
+    assert(r.nonEmpty)
+    r.foreach { m =>
+      assert(m.payload.length == 64 && m.width == 8 && m.height == 8)
+    }
+    val orig = Multimodal.mediaTable(spark, TestSpark.Sf).select("media_id")
+      .as[Long].collect().toSet
+    assert(r.map(_.media_id).toSet == orig)
+  }
+
+  test("frame sampling: indices follow the stride, bytes within frame bounds") {
+    val fs = Multimodal.frameSample(spark, TestSpark.Sf, 5).collect()
+    assert(fs.nonEmpty)
+    fs.foreach { f =>
+      assert(f.frame_idx % 5 == 0)
+      assert(f.frame.nonEmpty)
+    }
+  }
+
+  test("graft_dot codegen expression equals the HOF fold bit-for-bit") {
+    DotProductFloat.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf).limit(100)
+    val both = e.select(
+      expr("graft_dot(embedding, embedding)").as("native"),
+      graft.functions.VectorOps.dot("embedding", "embedding").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("graft_dot interpreted (non-codegen) path equals codegen path") {
+    DotProductFloat.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf).limit(20)
+    val cg = e.select(expr("graft_dot(embedding, embedding)")).as[Double].collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = e.select(expr("graft_dot(embedding, embedding)")).as[Double].collect()
+      assert(cg.toSeq == interp.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_dot rejects wrong input types at analysis") {
+    DotProductFloat.register(spark)
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").select(expr("graft_dot(a, b)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_dot"))
+  }
+
+  test("codegen top-k equals HOF top-k end to end") {
+    val a = Similarity.topKBruteForce(spark, TestSpark.Sf)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val b = Similarity.topKCodegen(spark, TestSpark.Sf)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}
