@@ -51,14 +51,18 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("shingles"))
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted
-    * shingle index — the ground truth the sketch methods approximate. */
+    * shingle index — the ground truth the sketch methods approximate.
+    * The index key is the shingle's xxhash64, not the string: an 8-byte
+    * shuffle key instead of ~20 bytes (64-bit collisions across a corpus
+    * of shingles are below any practical false-pair rate). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val e = shingled(spark, dir)
       .select(col("doc_id"), size(col("shingles")).as("n"),
         explode(col("shingles")).as("shingle"))
-    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle"))
-    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("sh"))
+    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
+    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh"))
+    a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"), first(col("na")).as("na"),
@@ -76,12 +80,14 @@ object Dedup extends QueryPack {
     * the linear-scale near-dup path. Rows-only (xxhash64-based). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    // (doc, seed, shingle-hash) → min per (doc, seed) = signature row
+    // hash each shingle string ONCE, then derive the per-seed hash from
+    // the 8-byte value — 32 long-hashes instead of 32 string-hashes
     val sig = sh
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${NumHashes - 1}), " +
-          "s -> struct(s as seed, xxhash64(shingle, s) as h))")).as("sh"))
+          "s -> struct(s as seed, xxhash64(h0, s) as h))")).as("sh"))
       .groupBy(col("doc_id"), col("sh.seed").as("seed"))
       .agg(min(col("sh.h")).as("mh"))
     // band signature: hash of the 4 in-band minhashes in seed order

@@ -49,7 +49,7 @@ class MultimodalCatalystSpec extends AnyFunSuite {
     val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf).limit(100)
     val both = e.select(
       expr("graft_dot(embedding, embedding)").as("native"),
-      graft.functions.VectorOps.dot("embedding", "embedding").as("hof"))
+      graft.functions.VectorOps.dotHof("embedding", "embedding").as("hof"))
       .as[(Double, Double)].collect()
     assert(both.nonEmpty)
     both.foreach { case (n, h) =>
