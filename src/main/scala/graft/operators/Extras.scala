@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.plans.Star
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Operators beyond the survey checklist that a reference user would
+  * reach for next: as-of join, pivot/unpivot, exact percentiles,
+  * moment-based dispersion stats, the SQL string entry point, and a
+  * whole-table parity check of the materialized star.
+  *
+  * The as-of join uses the union + ordered-window carry-forward pattern:
+  * one shuffle on (key, time), no per-row lookups, no custom physical
+  * operator — the composition route of the custom-operator preference
+  * order (compose > Expression > SparkPlan).
+  */
+object Extras extends QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
+
+  /** AS-OF join: for every click, the most recent prior (ts ≤ click.ts)
+    * purchase value of the same user. Union both sides tagged, sort each
+    * user's timeline once, carry the last purchase value forward — the
+    * linear-scale formulation (vs a per-row range probe). */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_left"),
+        lit(null).cast("double").as("pv"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("is_left"), col("value").as("pv"))
+    // right rows sort before left at equal ts => ties (ts equal) match
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("last_purchase_value", last(col("pv"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("last_purchase_value"))
+  }
+
+  /** PIVOT: order counts, priorities × status columns. */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** UNPIVOT/melt: part metrics to long form. */
+  def unpivotParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), "metric", "value")
+
+  /** Exact median (linear-interpolated percentile) of quantity per flag —
+    * quantity is integer-valued so the interpolation is exact. */
+  def quantityMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.25)).as("q1_qty"),
+        percentile(col("l_quantity"), lit(0.75)).as("q3_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Dispersion stats from exact decimal moments: Σx and Σx² are
+    * order-independent decimals, the variance formula is then a fixed
+    * IEEE expression — deterministic across engines, unlike streaming
+    * Welford aggregates whose merge order varies. */
+  def valueStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(dec(col("value"))).cast(DoubleType)
+    val sx2 = sum(dec(col("value") * col("value"))).cast(DoubleType)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), (sx / n).as("mean_value"),
+        ((n * sx2 - sx * sx) / (n * (n - lit(1.0)))).as("var_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The SQL-string entry point over the registered source views — the
+    * reference's dbt-SQL surface (`README.md:298-326`) verbatim. */
+  def sqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Whole-star parity: the full denormalized CTAS output hash-compared
+    * column-for-column against the oracle join (O4/O5/O6 end-to-end). */
+  def starFull(spark: SparkSession, dir: String): DataFrame =
+    Star.build(spark, dir)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_asof_last_purchase" -> asofLastPurchase,
+    "x_pivot_orders"       -> pivotOrders,
+    "x_unpivot_parts"      -> unpivotParts,
+    "x_quantity_median"    -> quantityMedian,
+    "x_value_stats"        -> valueStats,
+    "x_sql_entry"          -> sqlEntry,
+    "ssb_star_full"        -> starFull)
+
+  override val oracles: Map[String, String] = Map(
+    "x_asof_last_purchase" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       p.value AS last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "x_pivot_orders" ->
+      """SELECT o_orderpriority,
+        |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_unpivot_parts" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin,
+    "x_quantity_median" ->
+      """SELECT l_returnflag,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+        |       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_qty,
+        |       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_value_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS mean_value,
+        |       (CAST(COUNT(*) AS DOUBLE)
+        |          * CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+        |        - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |          * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE))
+        |       / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS var_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_sql_entry" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "ssb_star_full" -> s"SELECT * FROM ${Star.sql}")
+}
