@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants (SURVEY.md §5): properties that must hold for
+  * any input, checked over ScalaCheck-generated data through the real
+  * operators (seeded for reproducibility; the scalatest-scalacheck
+  * bridge isn't in the offline dependency cache, so Gen is driven
+  * directly). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  test("filter partition: count(p) + count(!p) == count") {
+    forAll(Gen.chooseNum(-100.0, 600.0)) { threshold =>
+      val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+      val n = ev.count()
+      val p = ev.filter($"value" > threshold).count()
+      val np = ev.filter(!($"value" > threshold) || $"value".isNull).count()
+      assert(p + np == n)
+    }
+  }
+
+  test("sum linearity: sum(a*x) == a * sum(x) on exact integer domain") {
+    forAll(Gen.chooseNum(1L, 1000L)) { a =>
+      val li = graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+      val sx = li.agg(sum($"l_quantity".cast("long"))).as[Long].head()
+      val sax = li.agg(sum($"l_quantity".cast("long") * a)).as[Long].head()
+      assert(sax == a * sx)
+    }
+  }
+
+  test("dedup idempotence: exact dedup of deduped output is a fixpoint") {
+    val once = Dedup.exact(spark, TestSpark.Sf).cache()
+    val again = once.groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    assert(again.count() == once.count())
+    assert(again.filter($"n_copies" =!= 1).count() == 0)
+    once.unpersist()
+  }
+
+  test("cosine symmetry and self-similarity on generated vectors") {
+    val gen = Gen.listOfN(8, Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f)))
+    forAll(gen) { vecs =>
+      whenever(vecs.nonEmpty && vecs.forall(v => v.exists(x => math.abs(x) > 1e-3))) {
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("id", "embedding")
+        val a = df.select($"id".as("ia"), $"embedding".as("ea"))
+        val b = df.select($"id".as("ib"), $"embedding".as("eb"))
+        val pairs = a.join(b)
+          .select($"ia", $"ib", VectorOps.dot("ea", "eb").as("d"))
+          .as[(Long, Long, Double)].collect()
+        val m = pairs.map { case (i, j, d) => (i, j) -> d }.toMap
+        // dot symmetric bit-for-bit; self-dot non-negative
+        m.foreach { case ((i, j), d) =>
+          assert(java.lang.Double.doubleToLongBits(d) ==
+            java.lang.Double.doubleToLongBits(m((j, i))))
+        }
+        vecs.indices.foreach(i => assert(m((i.toLong, i.toLong)) >= 0.0))
+      }
+    }
+  }
+
+  test("jaccard bounds: all reported similarities lie in (0, 1]") {
+    val j = Dedup.ngramJaccard(spark, TestSpark.Sf)
+      .select($"jaccard").as[Double].collect()
+    assert(j.forall(x => x > 0.0 && x <= 1.0))
+  }
+
+  test("inner-join row count: star rows == lineitem rows under FK totality") {
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.Sf).count()
+    val star = graft.plans.Star.build(spark, TestSpark.Sf).count()
+    // every lineitem key resolves in each dimension on the fixture
+    assert(star == li)
+  }
+
+  test("star materialization round-trip (O4 CTAS path)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-star").toString
+    graft.plans.Star.materialize(spark, TestSpark.Sf, s"$out/star")
+    val re = spark.read.parquet(s"$out/star")
+    assert(re.count() == graft.plans.Star.build(spark, TestSpark.Sf).count())
+    assert(re.columns.toSeq ==
+      graft.plans.Star.build(spark, TestSpark.Sf).columns.toSeq)
+  }
+}
