@@ -80,23 +80,26 @@ object Dedup extends QueryPack {
     * the linear-scale near-dup path. Rows-only (xxhash64-based). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    // hash each shingle string ONCE, then derive the per-seed hash from
-    // the 8-byte value — 32 long-hashes instead of 32 string-hashes
+    // hash each shingle string ONCE; the 32 per-seed hashes are 32
+    // columns of one aggregate (no seed explosion: 32 min() aggs over
+    // (doc, h0) rows instead of 32× the rows)
+    val seedCols = (0 until NumHashes).map(s =>
+      min(xxhash64(col("h0"), lit(s))).as(s"mh$s"))
     val sig = sh
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+      .groupBy(col("doc_id"))
+      .agg(seedCols.head, seedCols.tail: _*)
+    // band signature: one hash per group of 4 adjacent minhashes
+    val bandCols = (0 until Bands).map { b =>
+      val in = (0 until NumHashes / Bands).map(r => col(s"mh${b * (NumHashes / Bands) + r}"))
+      xxhash64(in: _*).as(s"band$b")
+    }
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${NumHashes - 1}), " +
-          "s -> struct(s as seed, xxhash64(h0, s) as h))")).as("sh"))
-      .groupBy(col("doc_id"), col("sh.seed").as("seed"))
-      .agg(min(col("sh.h")).as("mh"))
-    // band signature: hash of the 4 in-band minhashes in seed order
-    val bands = sig
-      .withColumn("band", (col("seed") / lit(NumHashes / Bands)).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh as string))")))
-        .as("band_sig"))
+        (0 until Bands).map(b => s"struct($b as band, band$b as band_sig)")
+          .mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     // candidates: docs sharing any (band, band_sig) bucket
     val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
@@ -124,30 +127,41 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("token")))
-    tf.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 63), b -> struct(b as bit,
-          |  tf * (cast(shiftright(h, b) & 1 as int) * 2 - 1) as w))""".stripMargin))
-        .as("bw"))
-      .groupBy(col("doc_id"), col("bw.bit").as("bit"))
-      .agg(sum(col("bw.w")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(
-        "case when w > 0 then shiftleft(cast(1 as bigint), cast(bit as int)) " +
-          "else cast(0 as bigint) end")).as("simhash"))
+    // 64 signed-weight sums as 64 agg columns of ONE aggregate (vs a
+    // 64× bit explosion), then assemble the sign bits into the long
+    val bitSums = (0 until 64).map(b =>
+      sum(expr(s"tf * (cast(shiftright(h, $b) & 1 as int) * 2 - 1)")).as(s"w$b"))
+    val assembled = (0 until 64)
+      .map(b => s"(case when w$b > 0 then shiftleft(cast(1 as bigint), $b) else 0L end)")
+      .mkString(" + ")
+    tf.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(assembled).as("simhash"))
   }
 
-  /** SimHash near-dup pairs at Hamming distance ≤ 3. At cluster scale the
-    * 64-bit signature is split into 4 bands of 16 bits for a bucket join
-    * (any pair at distance ≤3 shares a clean band); the fixture-SF plan
-    * pairs signatures directly. Rows-only. */
+  /** SimHash near-dup pairs at Hamming distance ≤ 3 via EXACT banding:
+    * the 64-bit signature splits into 4 bands of 16 bits, and any pair
+    * within distance 3 must share at least one whole band (pigeonhole) —
+    * so the band-bucket join loses nothing and replaces the O(n²)
+    * cross pairing. Rows-only. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = simhash(spark, dir)
-    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+    val banded = s.select(col("doc_id"), col("simhash"), explode(expr(
+      (0 until 4).map(b =>
+        s"struct($b as band, shiftright(simhash, ${b * 16}) & 65535 as bsig)")
+        .mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      col("band"), col("bsig"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+      col("band"), col("bsig"))
+    a.join(b, Seq("band", "bsig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
