@@ -54,6 +54,15 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"))
 
+  /** Streaming dedup: first event per (user_id, event_type) key, with
+    * state bounded by the watermark — the incremental form of exact
+    * dedup for unbounded ingestion. */
+  def dedupFirstPerUserType(spark: SparkSession, eventsDir: String): DataFrame =
+    readEvents(spark, eventsDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
   /** Custom-state sessionization with `flatMapGroupsWithState`: emits a
     * session whenever a ≥30-min gap closes it; the trailing open session
     * per user is held in state and flushed by event-time timeout. */

@@ -36,6 +36,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup keeps exactly one event per (user, type) key") {
+    val q = EventStream.dedupFirstPerUserType(spark, eventsDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("dedup_out")
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    val batchKeys = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(streamed.toSet == batchKeys)
+    assert(streamed.length == batchKeys.size, "each key emitted exactly once")
+  }
+
   test("streaming sessionization closes exactly the non-trailing batch sessions") {
     val q = EventStream.sessionize(spark, eventsDir)
       .writeStream.outputMode("append")
