@@ -50,26 +50,47 @@ object Dedup extends QueryPack {
           |                 element_at(toks, i + 2))))""".stripMargin))
       .select(col("doc_id"), col("shingles"))
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted
-    * shingle index — the ground truth the sketch methods approximate.
-    * The index key is the shingle's xxhash64, not the string: an 8-byte
-    * shuffle key instead of ~20 bytes (64-bit collisions across a corpus
-    * of shingles are below any practical false-pair rate). */
+  private val JaccardT = 0.8
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) with PPJoin-
+    * style prefix filtering (Bayardo et al. "Scaling Up All Pairs
+    * Similarity Search", WWW'07; Xiao et al. PPJoin): shingles get a
+    * global rarity order (ascending document frequency), each doc
+    * indexes only its first `n - ceil(t·n) + 1` rarest shingles, and any
+    * pair with J ≥ t provably shares a prefix shingle — so the candidate
+    * join touches a fraction of the inverted index and hot shingles
+    * never explode. Candidates are then verified with the exact
+    * intersect/union, keeping results identical to the naive join
+    * (the DuckDB oracle still computes the naive form). Join keys are
+    * xxhash64(shingle); a collision can only ADD a candidate, which
+    * verification then rejects. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val e = shingled(spark, dir)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("sh"))
-    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
-    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh"))
-    a.join(b, Seq("sh"))
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("sh"))
+    // global rarity: document frequency per shingle hash
+    val df = sh.select(explode(col("sh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted rarest-first; keep the prefix only
+    val prefixes = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("h"))
+      .join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"),
+        expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("sorted"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(sorted, 1, cast(n - ceil($JaccardT * n) + 1 as int))")).as("h"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"), first(col("na")).as("na"),
-        first(col("nb")).as("nb"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification of the (few) candidates
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }
 
