@@ -51,6 +51,29 @@ class GoldenCsvSpec extends AnyFunSuite {
     assert(df.select(max($"LO_ORDERKEY")).as[Long].head() == 2L)
   }
 
+  test("malformed CSV rows are quarantined, not silently mangled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
+    val f = dir.resolve("supplier.tbl")
+    java.nio.file.Files.writeString(f,
+      """1|Supplier#1|addr|CITY|NATION|REGION|phone
+        |not_a_number|broken row
+        |2|Supplier#2|addr|CITY|NATION|REGION|phone
+        |""".stripMargin)
+    import org.apache.spark.sql.types._
+    val withCorrupt = StructType(SsbCsv.supplierSchema.fields :+
+      StructField("_corrupt_record", StringType))
+    val df = spark.read.schema(withCorrupt)
+      .option("header", "false").option("sep", "|")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(f.toString).cache()
+    try {
+      assert(df.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(df.filter($"_corrupt_record".isNull).count() == 2)
+      assert(df.filter($"S_SUPPKEY" === 2L).count() == 1)
+    } finally df.unpersist()
+  }
+
   test("CSV write sink round-trip preserves values") {
     val out = java.nio.file.Files.createTempDirectory("graft-csv-out").toString
     val orig = graft.sources.Tables.nation(spark, TestSpark.Sf)

@@ -36,6 +36,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("late data beyond the watermark is dropped across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // batch 1: events on 2024-03-10; batch 2 arrives later with one
+    // in-watermark late row (03-10) and one hopelessly late row (03-01).
+    val d = java.nio.file.Files.createTempDirectory("graft-late")
+    val schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(rows.map { case (id, ts) =>
+          (id, java.sql.Timestamp.valueOf(ts), 1L, "click", 1.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props").rdd,
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+        .coalesce(1).write.mode("append").parquet(d.toString)
+    write("b1", Seq((1L, "2024-03-10 10:00:00"), (2L, "2024-03-10 13:00:00")))
+    val agg = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(d.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      write("b2", Seq((3L, "2024-03-10 13:30:00"), (4L, "2024-03-01 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val w10 = java.time.Instant.parse("2024-03-10T12:00:00Z").getEpochSecond
+    val w01 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    assert(out(w10) == 2L, s"in-watermark late row must update its window: $out")
+    assert(!out.contains(w01), s"beyond-watermark row must be dropped: $out")
+  }
+
   test("streaming dedup keeps exactly one event per (user, type) key") {
     val q = EventStream.dedupFirstPerUserType(spark, eventsDir)
       .writeStream.outputMode("append")
