@@ -101,19 +101,18 @@ object Dedup extends QueryPack {
     * the linear-scale near-dup path. Rows-only (xxhash64-based). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    // hash each shingle string ONCE; the 32 per-seed hashes are 32
-    // columns of one aggregate (no seed explosion: 32 min() aggs over
-    // (doc, h0) rows instead of 32× the rows)
-    val seedCols = (0 until NumHashes).map(s =>
-      min(xxhash64(col("h0"), lit(s))).as(s"mh$s"))
+    // hash each shingle string ONCE; the whole 32-hash signature is ONE
+    // imperative aggregate buffer (graft.functions.MinHashAgg) — no seed
+    // explosion, one primitive array per group, mergeable partials
     val sig = sh
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
       .groupBy(col("doc_id"))
-      .agg(seedCols.head, seedCols.tail: _*)
-    // band signature: one hash per group of 4 adjacent minhashes
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h0"), NumHashes).as("sig"))
+    // band signature: one hash per group of 4 adjacent signature slots
     val bandCols = (0 until Bands).map { b =>
-      val in = (0 until NumHashes / Bands).map(r => col(s"mh${b * (NumHashes / Bands) + r}"))
+      val in = (0 until NumHashes / Bands)
+        .map(r => expr(s"element_at(sig, ${b * (NumHashes / Bands) + r + 1})"))
       xxhash64(in: _*).as(s"band$b")
     }
     val bands = sig.select(col("doc_id") +: bandCols: _*)
