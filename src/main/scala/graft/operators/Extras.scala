@@ -107,7 +107,55 @@ object Extras extends QueryPack {
   def starFull(spark: SparkSession, dir: String): DataFrame =
     Star.build(spark, dir)
 
+  /** Arbitrary GROUPING SETS (beyond rollup/cube) through the SQL front
+    * end: per-nation, per-segment, and grand-total groups in one pass. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())""".stripMargin)
+  }
+
+  /** Non-equi range join: events bucketed into value bands via an
+    * interval table. The band table is tiny and broadcast, so the range
+    * predicate costs one vectorized comparison per row — the pattern for
+    * histogram/banding joins at scale. */
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    val bands = {
+      import spark.implicits._
+      (0 until 10).map(i => (i * 50.0, (i + 1) * 50.0, s"band_$i"))
+        .toDF("lo", "hi", "band")
+    }
+    Tables.events(spark, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** Calendar gap-fill / resample: daily event counts over the full
+    * [min, max] date span with zero-filled missing days — the
+    * time-series densification every monitoring pipeline needs. */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val calendar = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    calendar.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("day"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_grouping_sets"      -> groupingSets,
+    "x_range_join_bands"   -> rangeJoinBands,
+    "x_gap_fill_daily"     -> gapFillDaily,
     "x_asof_last_purchase" -> asofLastPurchase,
     "x_pivot_orders"       -> pivotOrders,
     "x_unpivot_parts"      -> unpivotParts,
@@ -117,6 +165,30 @@ object Extras extends QueryPack {
     "ssb_star_full"        -> starFull)
 
   override val oracles: Map[String, String] = Map(
+    "x_grouping_sets" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())""".stripMargin,
+    "x_range_join_bands" ->
+      """WITH bands AS (
+        |  SELECT k * 50.0 AS lo, (k + 1) * 50.0 AS hi, 'band_' || k AS band
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS k))
+        |SELECT band, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_gap_fill_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT MIN(day) FROM daily), (SELECT MAX(day) FROM daily),
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |SELECT strftime(cal.day, '%Y-%m-%d') AS day, COALESCE(daily.n, 0) AS n
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day
+        |ORDER BY 1""".stripMargin,
     "x_asof_last_purchase" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
