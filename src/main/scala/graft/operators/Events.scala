@@ -61,6 +61,33 @@ object Events extends QueryPack {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("total_value"))
 
+  /** X7 alternate: the same sessionization built from first principles —
+    * lag-gap marking + cumulative session ids + grouping. Shares
+    * `ev_session`'s oracle, so DuckDB arbitrates that BOTH Spark
+    * implementations (native `session_window` and this manual form)
+    * agree exactly. The manual form is also the fallback pattern when a
+    * custom gap rule (per-user gap, activity-type resets) outgrows
+    * `session_window`. */
+  def sessionizeManual(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        (max(unix_micros(col("ts"))) + gapUs).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("total_value"))
+  }
+
   /** X8: top-3 events by value per user. */
   def topKPerUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -94,11 +121,15 @@ object Events extends QueryPack {
     "ev_tumbling"     -> tumbling,
     "ev_sliding"      -> sliding,
     "ev_session"      -> sessionize,
+    "ev_session_manual" -> sessionizeManual,
     "ev_topk_user"    -> topKPerUser,
     "ev_type_stats"   -> typeStats,
     "ev_approx_users" -> approxUsers)
 
-  override val oracles: Map[String, String] = Map(
+  override lazy val oracles: Map[String, String] =
+    oraclesBase + ("ev_session_manual" -> oraclesBase("ev_session"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "ev_json_extract" ->
       """SELECT event_id, user_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
