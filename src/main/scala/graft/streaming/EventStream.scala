@@ -54,6 +54,28 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"))
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension (broadcast per micro-batch; the static side may be
+    * refreshed between batches). Spark plans this with no stream-side
+    * state — the standard pattern for attaching slowly-changing
+    * dimensions to a firehose. */
+  def enriched(spark: SparkSession, eventsDir: String, fixtureDir: String): DataFrame = {
+    val dim = graft.sources.Tables.customer(spark, fixtureDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    readEvents(spark, eventsDir).join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+  }
+
+  /** Parquet sink via foreachBatch: per-micro-batch atomic append with
+    * the batch id available for idempotent writes. */
+  def sinkToParquet(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming dedup: first event per (user_id, event_type) key, with
     * state bounded by the watermark — the incremental form of exact
     * dedup for unbounded ingestion. */

@@ -36,6 +36,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment matches the batch join, sinks via foreachBatch") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val q = EventStream.sinkToParquet(
+      EventStream.enriched(spark, eventsDir, TestSpark.Sf), out)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val sunk = spark.read.parquet(out)
+    val batchJoin = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .join(graft.sources.Tables.customer(spark, TestSpark.Sf)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment"),
+        Seq("user_id"), "left")
+    assert(sunk.count() == batchJoin.count())
+    assert(sunk.columns.contains("batch_id"))
+    val streamedSeg = sunk.groupBy($"c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    val batchSeg = batchJoin.groupBy($"c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    assert(streamedSeg == batchSeg)
+  }
+
   test("late data beyond the watermark is dropped across micro-batches") {
     import org.apache.spark.sql.functions._
     // batch 1: events on 2024-03-10; batch 2 arrives later with one
