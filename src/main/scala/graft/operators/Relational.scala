@@ -217,7 +217,55 @@ object Relational extends QueryPack {
       .orderBy(col("order_year"), col("c_mktsegment"))
   }
 
+  /** SSB Q2.2-style: brand range within one region. */
+  def ssbQ2BrandRange(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val p  = Tables.part(spark, dir)
+      .filter(col("p_brand") >= "Brand#10" && col("p_brand") <= "Brand#19")
+    li.join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"), col("p_brand"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("ship_year"), col("p_brand"))
+  }
+
+  /** SSB Q3.2-style: per-segment × supplier-nation flows in a window of
+    * years (narrower grouping than Q3.1's nation×nation). */
+  def ssbQ3SegmentFlows(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val sn = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(sn), s("s_nationkey") === sn("n_nationkey"))
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .groupBy(col("c_mktsegment"), col("n_name").as("s_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("ship_year"), col("c_mktsegment"), col("s_nation"))
+  }
+
+  /** SSB Q4.2-style profit drill-down: year × brand for one segment. */
+  def ssbQ4BrandProfit(spark: SparkSession, dir: String): DataFrame =
+    Star.build(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"), col("p_brand"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("l_quantity") * col("p_retailprice") * lit(0.5), "profit"))
+      .orderBy(col("order_year"), col("p_brand"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ssb_q2_2_brand_range" -> ssbQ2BrandRange,
+    "ssb_q3_2_segment_flows" -> ssbQ3SegmentFlows,
+    "ssb_q4_2_brand_profit" -> ssbQ4BrandProfit,
     "rel_pricing_summary"  -> pricingSummary,
     "rel_top_orders"       -> topOrders,
     "rel_brand_top3"       -> brandTop3,
@@ -241,6 +289,35 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "ssb_q2_2_brand_range" ->
+      s"""SELECT EXTRACT(YEAR FROM l_shipdate) AS ship_year, p_brand,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand >= 'Brand#10' AND p_brand <= 'Brand#19'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ssb_q3_2_segment_flows" ->
+      s"""SELECT c_mktsegment, n_name AS s_nation,
+         |       EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE EXTRACT(YEAR FROM l_shipdate) BETWEEN 1996 AND 1998
+         |GROUP BY 1, 2, 3 ORDER BY 3, 1, 2""".stripMargin,
+    "ssb_q4_2_brand_profit" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, p_brand,
+         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |                     - l_quantity * p_retailprice * 0.5
+         |                     AS DECIMAL(38,6))) AS DOUBLE) AS profit
+         |FROM ${Star.sql}
+         |WHERE c_mktsegment = 'AUTOMOBILE'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

@@ -34,6 +34,22 @@ class CatalystAggSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("typed Aggregator: per-flag avg quantity equals the untyped plan") {
+    import graft.functions.TypedAggregators
+    case class Li(l_returnflag: String, l_quantity: Double)
+    val ds = graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)]
+    val typedAvg = ds.groupByKey(_._1)
+      .agg(new TypedAggregators.AvgLong[(String, Double)](_._2.toLong).toColumn)
+      .collect().toMap
+    val untyped = graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+      .groupBy($"l_returnflag")
+      .agg((sum($"l_quantity".cast("long")).cast("double") / count(lit(1))).as("avg"))
+      .as[(String, Double)].collect().toMap
+    assert(typedAvg.keySet == untyped.keySet)
+    typedAvg.foreach { case (k, v) => assert(v == untyped(k), k) }
+  }
+
   test("MinHashAgg estimates Jaccard (sketch property, loose bound)") {
     // two sets with true overlap 50/150 ≈ 0.33 under 64 hashes
     val a = (1L to 100L).map(h => (0L, h))
