@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DateRangeRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfStrategy)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),

@@ -45,6 +45,22 @@ object Extras extends QueryPack {
         unix_micros(col("ts")).as("ts_us"), col("last_purchase_value"))
   }
 
+  /** AS-OF via the custom physical operator ([[graft.plans.AsOfJoin]]):
+    * same semantics and oracle as [[asofLastPurchase]], executed by the
+    * purpose-built merge-pass `AsOfJoinExec` instead of window carry-
+    * forward — DuckDB arbitrates that all three forms agree. */
+  def asofCustomOperator(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("value").as("last_purchase_value"))
+    graft.plans.AsOfJoin.join(clicks, purchases, "user_id", "ts", "pts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("last_purchase_value"))
+  }
+
   /** PIVOT: order counts, priorities × status columns. */
   def pivotOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -157,6 +173,7 @@ object Extras extends QueryPack {
     "x_range_join_bands"   -> rangeJoinBands,
     "x_gap_fill_daily"     -> gapFillDaily,
     "x_asof_last_purchase" -> asofLastPurchase,
+    "x_asof_custom_op"     -> asofCustomOperator,
     "x_pivot_orders"       -> pivotOrders,
     "x_unpivot_parts"      -> unpivotParts,
     "x_quantity_median"    -> quantityMedian,
@@ -164,7 +181,10 @@ object Extras extends QueryPack {
     "x_sql_entry"          -> sqlEntry,
     "ssb_star_full"        -> starFull)
 
-  override val oracles: Map[String, String] = Map(
+  override lazy val oracles: Map[String, String] =
+    oraclesBase + ("x_asof_custom_op" -> oraclesBase("x_asof_last_purchase"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "x_grouping_sets" ->
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal

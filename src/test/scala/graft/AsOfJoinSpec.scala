@@ -1,0 +1,53 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("AsOfJoinExec picks the latest right row at or before each left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0), (3L, 1L, 9.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.join(left, right, "k", "t", "rt")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("a").contains(2.0), "t=10 matches rt=10 (<= inclusive)")
+    assert(out("b").contains(3.0), "t=20 matches latest rt=15")
+    assert(out("c").isEmpty, "no right rows for key 2")
+  }
+
+  test("physical plan uses the custom exec with exchanges+sorts from EnsureRequirements") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val plan = AsOfJoin.join(left, right, "k", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan) // nodeName drops the Exec suffix
+    assert(plan.contains("Sort"), "EnsureRequirements must insert the (key,time) sorts")
+  }
+
+  test("agrees with the window-composition implementation on the fixture") {
+    val a = graft.operators.Extras.asofLastPurchase(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val b = graft.operators.Extras.asofCustomOperator(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("rejects non-long-backed key/time types") {
+    val bad = Seq(("x", 1L)).toDF("k", "t")
+    val r = Seq(("x", 1L, 2.0)).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(bad, r, "k", "t", "rt")
+    }
+    assert(e.getMessage.contains("bigint/timestamp"))
+  }
+}
