@@ -13,10 +13,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * moment-based dispersion stats, the SQL string entry point, and a
   * whole-table parity check of the materialized star.
   *
-  * The as-of join uses the union + ordered-window carry-forward pattern:
-  * one shuffle on (key, time), no per-row lookups, no custom physical
-  * operator — the composition route of the custom-operator preference
-  * order (compose > Expression > SparkPlan).
+  * The as-of join ships in two forms arbitrated by one oracle: the
+  * union + ordered-window carry-forward composition (below), and the
+  * purpose-built physical operator in [[graft.plans.AsOfJoin]] — the
+  * two ends of the custom-operator preference ladder.
   */
 object Extras extends QueryPack {
 
