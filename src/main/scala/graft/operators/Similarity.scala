@@ -99,12 +99,18 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("tbl"),
         explode(array(col("sig") +: probes: _*)).as("sig"))
-    val cand = c.join(broadcast(q), Seq("tbl", "sig"))
+    // dedup candidates on ids only (never on the embedding arrays), then
+    // re-attach the 10 query vectors via a broadcast join
+    val candIds = c.join(broadcast(q.select(col("query_id"), col("tbl"), col("sig"))),
+        Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("qn"), col("vec_id")).distinct()
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val pairs = corpus(spark, dir)
       .select(col("vec_id"), col("embedding").as("ne"), col("nrm").as("nn"))
-      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(candIds), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (VectorOps.dot("qe", "ne") / (col("qn") * col("nn"))).as("cosine"))
     rankedTopK(pairs)
