@@ -4,6 +4,7 @@ import graft.QueryPack
 import graft.functions.VectorOps
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for LLM-data curation (north-star surface; SURVEY.md
@@ -40,50 +41,72 @@ object Dedup extends QueryPack {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
-  /** Distinct token-3-gram shingle sets per doc, as (doc_id, shingles). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct hashed 3-gram shingles per doc, as (doc_id, sh:
+    * array<long>) — the join/verify currency: a 64-bit hash per
+    * shingle instead of the string, so every downstream shuffle and
+    * array op moves 8 bytes per shingle, never the text. */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", expr("split(text, ' ')"))
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |                 element_at(toks, i + 2))))""".stripMargin))
-      .select(col("doc_id"), col("shingles"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))""".stripMargin).as("sh"))
 
   private val JaccardT = 0.8
+  // J ≥ t as the exact rational 4/5: all prefix/length/positional bounds
+  // below use integer arithmetic. ceil(0.8·n) in IEEE doubles is off by
+  // one whenever 4n/5 is an integer (0.8·35 = 28.000000000000004 →
+  // ceil 29), which silently shortens the prefix and can drop true
+  // pairs; (4n + 4) div 5 is exact.
+  private val TNum = 4
+  private val TDen = 5
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) with PPJoin-
-    * style prefix filtering (Bayardo et al. "Scaling Up All Pairs
-    * Similarity Search", WWW'07; Xiao et al. PPJoin): shingles get a
-    * global rarity order (ascending document frequency), each doc
-    * indexes only its first `n - ceil(t·n) + 1` rarest shingles, and any
-    * pair with J ≥ t provably shares a prefix shingle — so the candidate
-    * join touches a fraction of the inverted index and hot shingles
-    * never explode. Candidates are then verified with the exact
-    * intersect/union, keeping results identical to the naive join
-    * (the DuckDB oracle still computes the naive form). Join keys are
-    * xxhash64(shingle); a collision can only ADD a candidate, which
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) with full
+    * PPJoin filtering (Bayardo et al. "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al. PPJoin, WWW'08):
+    *
+    *  - prefix filter: shingles get a global rarity order (ascending
+    *    document frequency, hash tie-break); each doc indexes only its
+    *    `n - ceil(t·n) + 1` rarest shingles, and any pair with J ≥ t
+    *    provably shares a prefix shingle — the candidate join touches a
+    *    fraction of the inverted index and hot shingles never explode;
+    *  - length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t, applied as
+    *    `TNum·n_a ≤ TDen·n_b` (integers, no float fuzz);
+    *  - positional filter: at a shared prefix shingle at rank p_a/p_b,
+    *    the overlap is at most 1 + min(n_a−p_a, n_b−p_b); prune when
+    *    that bound is below α = ceil(t·(n_a+n_b)/(1+t)). Lossless: a
+    *    true pair passes at its first common shingle, and `distinct`
+    *    keeps the pair if any shared shingle passes.
+    *
+    * Candidates are then verified with the exact intersect/union over
+    * the hashed shingle arrays, keeping results identical to the naive
+    * join (the DuckDB oracle still computes the naive form). Join keys
+    * are xxhash64(shingle); a collision can only ADD a candidate, which
     * verification then rejects. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("sh"))
+    val sh = hashedShingles(spark, dir)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     // global rarity: document frequency per shingle hash
-    val df = sh.select(explode(col("sh")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // per-doc shingles sorted rarest-first; keep the prefix only
-    val prefixes = sh.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("h"))
-      .join(df, "h")
-      .groupBy(col("doc_id"))
-      .agg(first(col("n")).as("n"),
-        expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("sorted"))
-      .select(col("doc_id"), explode(expr(
-        s"slice(sorted, 1, cast(n - ceil($JaccardT * n) + 1 as int))")).as("h"))
-    val cand = prefixes.select(col("doc_id").as("doc_a"), col("h"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+    val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc rarity rank via window; keep the prefix rows only
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefixes = ex.join(df, "h")
+      .withColumn("pos", row_number().over(w))
+      // prefix length n - ceil(t·n) + 1 = n - (TNum·n + TDen - 1) div TDen + 1
+      .filter(expr(s"pos <= n - (n * $TNum + ${TDen - 1}) div $TDen + 1"))
+      .select(col("doc_id"), col("n"), col("h"), col("pos"))
+    val a = prefixes.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("h"), col("pos").as("pa"))
+    val b = prefixes.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("h"), col("pos").as("pb"))
+    val cand = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(s"nb * $TDen >= na * $TNum and na * $TDen >= nb * $TNum"))
+      // α = ceil(t·(na+nb)/(1+t)) = (TNum·(na+nb) + TNum+TDen-1) div (TNum+TDen)
+      .filter(expr(s"least(na - pa, nb - pb) + 1 >= " +
+        s"((na + nb) * $TNum + ${TNum + TDen - 1}) div ${TNum + TDen}"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verification of the (few) candidates
+    // exact verification of the (few) candidates, on the hashed arrays
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -100,13 +123,12 @@ object Dedup extends QueryPack {
   /** MinHash signatures + banded LSH bucket join + exact verification —
     * the linear-scale near-dup path. Rows-only (xxhash64-based). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    // hash each shingle string ONCE; the whole 32-hash signature is ONE
-    // imperative aggregate buffer (graft.functions.MinHashAgg) — no seed
-    // explosion, one primitive array per group, mergeable partials
+    val sh = hashedShingles(spark, dir)
+    // each shingle is hashed ONCE (in hashedShingles); the whole 32-hash
+    // signature is ONE imperative aggregate buffer (MinHashAgg) — no
+    // seed explosion, one primitive array per group, mergeable partials
     val sig = sh
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+      .select(col("doc_id"), explode(col("sh")).as("h0"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("h0"), NumHashes).as("sig"))
     // band signature: one hash per group of 4 adjacent signature slots
@@ -126,9 +148,9 @@ object Dedup extends QueryPack {
     val cand = ba.join(bb, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verification of the few candidates
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
+    // exact verification of the few candidates, on the hashed arrays
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
