@@ -20,41 +20,82 @@ import org.apache.spark.sql.functions._
   */
 object Curation extends QueryPack {
 
-  /** Connected components over near-dup edges: (doc_id, component) where
-    * component = min doc_id reachable. Docs with no edges map to
-    * themselves. */
-  def components(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.ngramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b")).cache()
-    // symmetric adjacency incl. self-loops keeps isolated nodes stable
+  /** Per-session materialization of the component labels, keyed by data
+    * dir — the Spark analogue of a dbt model built once and read by
+    * every downstream model: `cur_corpus` consumes the SAME labels
+    * `cur_components` produced instead of re-running the edge pipeline.
+    * The entry holds the final (small: one row per doc_id) cached
+    * DataFrame; callers that mutate the underlying files must
+    * [[clearComponentCache]]. */
+  private val componentCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearComponentCache(): Unit = {
+    componentCache.values.foreach(_.unpersist())
+    componentCache.clear()
+  }
+
+  /** Connected components over arbitrary near-dup edges: (doc_id,
+    * component) where component = min doc_id reachable. Nodes with no
+    * edges map to themselves.
+    *
+    * Each round every node adopts the min label among itself and its
+    * neighbors (one join + aggregate), then compresses pointers
+    * (label := label-of-label), so convergence is O(log diameter)
+    * rounds rather than O(diameter) — at 100 TB a single long chain
+    * cannot stretch the fixpoint loop. Superseded label caches are
+    * unpersisted every round; the driver-side loop only ever sees
+    * per-round counts (control flow), never data. */
+  private[graft] def componentsOf(nodes: DataFrame, edges0: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    // localCheckpoint (not cache) on every round's labels: an iterative
+    // plan otherwise GROWS — round k's logical tree contains all k-1
+    // predecessors, and every action re-analyzes the whole thing even
+    // when execution hits a cache. Checkpointing truncates the lineage
+    // to the materialized RDD, keeping per-round planning cost flat;
+    // superseded round RDDs are freed by the ContextCleaner once
+    // dereferenced, so nothing accumulates across rounds.
+    val edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // symmetric adjacency; isolated nodes are handled by the left join
     val adj = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("component"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      // each node adopts the min label among itself and its neighbors
+    while (changed > 0 && rounds < maxRounds) {
+      // min label among self and neighbors
       val viaNeighbors = adj
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("component")).as("ncomp"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
-        .cache()
-      next.count() // materialize before comparing against the old labels
+      // pointer jumping: label := label(label) — halves chain lengths,
+      // so convergence is O(log diameter) rounds, not O(diameter)
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("component"),
+          col("component").as("cc")), Seq("component"))
+        .select(col("doc_id"), col("cc").as("component"))
+        .localCheckpoint() // eager: materializes this round's labels
       changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") =!= col("old")).count()
       labels = next
       rounds += 1
     }
-    edges.unpersist()
-    adj.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds")
     labels
   }
+
+  /** Near-dup connected components over [[Dedup.ngramJaccard]] edges,
+    * materialized once per (session, dir) — see [[componentCache]]. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    componentCache.getOrElseUpdate((spark, dir),
+      componentsOf(Tables.documents(spark, dir), Dedup.ngramJaccard(spark, dir)))
 
   /** The curated corpus: quality-gated docs, one representative (min
     * doc_id) per near-dup component, with audit columns. */

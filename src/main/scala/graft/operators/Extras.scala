@@ -107,7 +107,9 @@ object Extras extends QueryPack {
   /** The SQL-string entry point over the registered source views — the
     * reference's dbt-SQL surface (`README.md:298-326`) verbatim. */
   def sqlEntry(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    // register only the view this query reads — registerAll re-reads all
+    // ten tables (incl. the events nanos-conf path) per invocation
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

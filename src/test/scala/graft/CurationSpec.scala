@@ -24,6 +24,16 @@ class CurationSpec extends AnyFunSuite {
     assert(comp.size == graft.sources.Tables.documents(spark, TestSpark.Sf).count())
   }
 
+  test("componentsOf: 200-node chain converges within the round cap (pointer jumping)") {
+    val n = 200L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // diameter 199 >> maxRounds: pure one-hop propagation would throw
+    val comp = Curation.componentsOf(nodes, edges).as[(Long, Long)].collect()
+    assert(comp.length == n)
+    assert(comp.forall(_._2 == 0L), "chain collapses to min label 0")
+  }
+
   test("curated corpus: representatives only, quality-gated, sizes consistent") {
     val rows = Curation.curatedCorpus(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long)].collect()
