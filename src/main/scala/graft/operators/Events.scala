@@ -150,7 +150,7 @@ object Events extends QueryPack {
         |FROM e GROUP BY 1, 2""".stripMargin,
     "ev_session" ->
       """WITH o AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |         CASE WHEN CAST(ts AS TIMESTAMP) >=
         |                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS new_sess
@@ -158,7 +158,7 @@ object Events extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
         |s AS (
         |  SELECT user_id, ts, value,
-        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |  FROM o)
         |SELECT user_id,

@@ -100,20 +100,30 @@ object AsOfJoin {
           override def hasNext: Boolean = lIter.hasNext
           override def next(): InternalRow = {
             val l = lIter.next()
-            val k = l.getLong(lKeyOrd)
-            val t = l.getLong(lTimeOrd)
-            if (held != null && heldKey != k) held = null
-            // advance right side to the last row with rKey==k, rTime<=t
-            var advancing = true
-            while (advancing && rBuf.hasNext) {
-              val r = rBuf.head
-              val rk = r.getLong(rKeyOrd)
-              if (rk < k || (rk == k && r.getLong(rTimeOrd) <= t)) {
-                if (rk == k) { heldKey = k; held = payloadProj(r).copy() }
-                rBuf.next()
-              } else advancing = false
+            // ASOF LEFT JOIN: a NULL key or time never matches — emit the
+            // null-padded row instead of letting nulls decode as 0
+            if (l.isNullAt(lKeyOrd) || l.isNullAt(lTimeOrd)) {
+              outProj(joined(l, nulls))
+            } else {
+              val k = l.getLong(lKeyOrd)
+              val t = l.getLong(lTimeOrd)
+              if (held != null && heldKey != k) held = null
+              // advance right side to the last row with rKey==k, rTime<=t
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val r = rBuf.head
+                if (r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd)) {
+                  rBuf.next() // null-keyed/timed right rows match nothing
+                } else {
+                  val rk = r.getLong(rKeyOrd)
+                  if (rk < k || (rk == k && r.getLong(rTimeOrd) <= t)) {
+                    if (rk == k) { heldKey = k; held = payloadProj(r).copy() }
+                    rBuf.next()
+                  } else advancing = false
+                }
+              }
+              outProj(joined(l, if (held != null && heldKey == k) held else nulls))
             }
-            outProj(joined(l, if (held != null && heldKey == k) held else nulls))
           }
         }
       }

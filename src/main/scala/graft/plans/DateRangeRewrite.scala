@@ -63,18 +63,24 @@ object DateRangeRewrite extends Rule[LogicalPlan] {
     And(GreaterThanOrEqual(col, lo), LessThan(col, hi))
   }
 
+  /** Years where the rewrite's LocalDate/epoch-micros math (incl. the
+    * y+1 upper bound) cannot throw; literals outside fall back to the
+    * original predicate — a query for year(ts) = 2147483647 must return
+    * its zero rows, not fail during optimization. */
+  private def safeYear(y: Int): Boolean = y >= 1 && y <= 9998
+
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     // year(c) = y  /  y = year(c)
     case eq @ EqualTo(Year(CalendarChild(c, tz)), l) if c.deterministic =>
-      intLit(l).map(y => monthRange(c, tz, y, 1, y + 1, 1)).getOrElse(eq)
+      intLit(l).filter(safeYear).map(y => monthRange(c, tz, y, 1, y + 1, 1)).getOrElse(eq)
     case eq @ EqualTo(l, Year(CalendarChild(c, tz))) if c.deterministic =>
-      intLit(l).map(y => monthRange(c, tz, y, 1, y + 1, 1)).getOrElse(eq)
+      intLit(l).filter(safeYear).map(y => monthRange(c, tz, y, 1, y + 1, 1)).getOrElse(eq)
     // year(c) * 100 + month(c) = yyyymm (same underlying column)
     case eq @ EqualTo(
         Add(Multiply(Year(CalendarChild(c1, tz)), h, _), Month(CalendarChild(c2, _)), _), l)
         if c1.deterministic && c1.semanticEquals(c2) && intLit(h).contains(100) =>
       intLit(l) match {
-        case Some(v) if v % 100 >= 1 && v % 100 <= 12 =>
+        case Some(v) if v % 100 >= 1 && v % 100 <= 12 && safeYear(v / 100) =>
           val (y, m) = (v / 100, v % 100)
           val (y1, m1) = if (m == 12) (y + 1, 1) else (y, m + 1)
           monthRange(c1, tz, y, m, y1, m1)

@@ -42,6 +42,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("null keys/times never match (left gets null padding, right skipped)") {
+    val left = Seq[(java.lang.Long, java.lang.Long, String)](
+      (null, 10L, "nullkey"), (1L, null, "nulltime"), (0L, 10L, "zerokey"),
+      (1L, 10L, "ok")).toDF("k", "t", "tag")
+    val right = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (null, 1L, 111.0), // null right key: must never match left key 0
+      (1L, null, 222.0), // null right time: must never be carried
+      (0L, 5L, 7.0), (1L, 5L, 8.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.join(left, right, "k", "t", "rt")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("nullkey").isEmpty, "null left key must not match key-0 rows")
+    assert(out("nulltime").isEmpty, "null left time must not match")
+    assert(out("zerokey").contains(7.0), "real key 0 still matches its row")
+    assert(out("ok").contains(8.0), "null-time right row is skipped, not carried")
+  }
+
   test("rejects non-long-backed key/time types") {
     val bad = Seq(("x", 1L)).toDF("k", "t")
     val r = Seq(("x", 1L, 2.0)).toDF("k", "rt", "v")

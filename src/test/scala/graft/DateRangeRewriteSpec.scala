@@ -60,6 +60,15 @@ class DateRangeRewriteSpec extends AnyFunSuite {
     assert(df.count() == reference)
   }
 
+  test("out-of-range year literals fall back to the original predicate") {
+    // would throw DateTimeException/ArithmeticException mid-optimization
+    // if the rewrite ran; must instead plan fine and return zero rows
+    assert(li.filter(year($"l_shipdate") === Int.MaxValue).count() == 0)
+    assert(li.filter(year($"l_shipdate") === 0).count() == 0)
+    assert(li.filter((year($"l_shipdate") * 100 + month($"l_shipdate")) ===
+      Int.MaxValue).count() == 0)
+  }
+
   test("date-typed column path also rewrites") {
     val d = li.select(to_date($"l_shipdate").as("d"))
     val df = d.filter(year($"d") === 1996)
