@@ -208,7 +208,10 @@ object Dedup extends QueryPack {
   }
 
   /** Embedding-cosine near-dup pairs (cosine ≥ 0.45): semantic dedup.
-    * Norms computed once per vector; pair scores bit-match DuckDB. */
+    * Norms computed once per vector; pair scores bit-match DuckDB.
+    * All-pairs by construction (BroadcastNestedLoopJoin): this is the
+    * ORACLE form that arbitrates [[cosineLsh]]; the LSH-bucketed query
+    * is the scale path. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -221,13 +224,52 @@ object Dedup extends QueryPack {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  private val CosineT = 0.45
+  private val CosLshTables = 32
+  private val CosLshBits = 4
+
+  /** Embedding-cosine near-dup via hyperplane LSH bucketing — the scale
+    * path replacing [[cosinePairs]]' O(n²) nested loop: signatures for
+    * 32 4-bit tables in one fused native pass
+    * ([[graft.functions.HyperplaneSigs]]), candidate pairs = vectors
+    * sharing any (table, signature) bucket — an equi shuffle join, no
+    * BroadcastNestedLoopJoin anywhere in the plan — then exact cosine
+    * rerank at the same threshold. Rows-only; DedupSimilaritySpec pins
+    * pair-set EQUALITY vs the exact form at fixture SF (32×4 measured
+    * 100% recall on the fixture's cos≈0.45..0.51 pairs; the low fixture
+    * threshold is the adversarial regime — production near-dup
+    * thresholds (≥0.9) bucket far more selectively). */
+  def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = Similarity.hyperplanes(CosLshTables * CosLshBits, 64)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm("embedding").as("nrm"))
+    val banded = e
+      .select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneSigs.sigs(col("embedding"), planes, CosLshBits)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
+    val cand = banded.select(col("vec_id").as("vec_a"), col("tbl"), col("sig"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("tbl"), col("sig")),
+        Seq("tbl", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cosine", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
+      .filter(col("cosine") >= CosineT)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh"   -> minhashLsh,
     "dedup_simhash"       -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
-    "dedup_cosine_pairs"  -> cosinePairs)
+    "dedup_cosine_pairs"  -> cosinePairs,
+    "dedup_cosine_lsh"    -> cosineLsh)
 
   private val dShingles =
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
