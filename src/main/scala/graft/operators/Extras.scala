@@ -125,6 +125,20 @@ object Extras extends QueryPack {
   def starFull(spark: SparkSession, dir: String): DataFrame =
     Star.build(spark, dir)
 
+  /** Materialized-sources flow (reference `sources` layer,
+    * `README.md:256-258`): the star is CTAS'd to parquet once per
+    * session, READ BACK, and aggregated — the oracle recomputes the
+    * same rollup from the raw five-way join, so a pass proves the
+    * write→read round trip preserved every contributing column. */
+  def starMaterializedRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(Star.materializedPath(spark, dir))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("o_year"), col("c_mktsegment"))
+
   /** Arbitrary GROUPING SETS (beyond rollup/cube) through the SQL front
     * end: per-nation, per-segment, and grand-total groups in one pass. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
@@ -181,6 +195,7 @@ object Extras extends QueryPack {
     "x_quantity_median"    -> quantityMedian,
     "x_value_stats"        -> valueStats,
     "x_sql_entry"          -> sqlEntry,
+    "x_star_materialized"  -> starMaterializedRollup,
     "ssb_star_full"        -> starFull)
 
   override lazy val oracles: Map[String, String] =
@@ -256,5 +271,12 @@ object Extras extends QueryPack {
         |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "ssb_star_full" -> s"SELECT * FROM ${Star.sql}")
+    "ssb_star_full" -> s"SELECT * FROM ${Star.sql}",
+    "x_star_materialized" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, c_mktsegment,
+         |       COUNT(*) AS n,
+         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+         |            AS DOUBLE) AS revenue
+         |FROM ${Star.sql}
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

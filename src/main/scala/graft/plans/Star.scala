@@ -76,4 +76,19 @@ object Star {
     * that key; plain parquet is used for the fixture-scale path. */
   def materialize(spark: SparkSession, dir: String, out: String): Unit =
     build(spark, dir).write.mode("overwrite").parquet(out)
+
+  /** One-per-session materialized star (the reference's `sources`-layer
+    * snapshot flow, `README.md:256-258`): first use CTASes the star to a
+    * scratch path, every later use reads the parquet back — downstream
+    * queries run against the snapshot, not the five-way join. */
+  private val matCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  def materializedPath(spark: SparkSession, dir: String): String =
+    matCache.getOrElseUpdate((spark, dir), {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_star_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      materialize(spark, dir, out)
+      out
+    })
 }

@@ -76,6 +76,35 @@ object EventStream {
       }
       .start()
 
+  /** Stream-stream interval self-join: each click joined to the same
+    * user's purchases landing within the hour after it. Watermarks on
+    * BOTH sides plus the two-sided time-range condition let Spark bound
+    * the join state — a click's buffered row is evicted once the
+    * purchase watermark passes click_ts + 1 h, so state never grows
+    * with stream length (the unbounded-join hazard). Inner join ⇒ rows
+    * emit as soon as both sides arrive; StreamingSpec pins parity with
+    * the identical batch join. */
+  def clickPurchaseJoin(spark: SparkSession, eventsDir: String): DataFrame = {
+    val clicks = readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("purchase_id"), unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("value"))
+  }
+
   /** Streaming dedup: first event per (user_id, event_type) key, with
     * state bounded by the watermark — the incremental form of exact
     * dedup for unbounded ingestion. */

@@ -89,6 +89,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.contains(w01), s"beyond-watermark row must be dropped: $out")
   }
 
+  test("stream-stream interval join matches the batch self-join exactly") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.clickPurchaseJoin(spark, eventsDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ss_join_out")
+      .select("click_id", "purchase_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("purchase_user"),
+        $"ts".as("purchase_ts"), $"value")
+    val batch = clicks.join(purchases,
+        $"user_id" === $"purchase_user" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "fixture must contain click→purchase pairs in-window")
+    assert(streamed == batch)
+  }
+
   test("streaming dedup keeps exactly one event per (user, type) key") {
     val q = EventStream.dedupFirstPerUserType(spark, eventsDir)
       .writeStream.outputMode("append")
