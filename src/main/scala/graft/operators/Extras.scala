@@ -168,6 +168,30 @@ object Extras extends QueryPack {
       .orderBy(col("band"))
   }
 
+  /** Date-dimension build — the reference generates a date dim it never
+    * registers (reference `README.md:64` vs `:158-221`; SURVEY documents
+    * the inconsistency); this closes the gap: a conformed calendar over
+    * the orders span with the join-ready calendar attributes (year,
+    * month, day, yyyymm, ISO week, ISO day-of-week, quarter). Keyed by
+    * d_date; one row per day, generated distributively from the span
+    * aggregate — no driver-side date loop. */
+  def dateDim(spark: SparkSession, dir: String): DataFrame = {
+    val span = Tables.orders(spark, dir)
+      .agg(to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1"))
+    span.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("d_date"),
+        year(col("d")).cast("long").as("d_year"),
+        month(col("d")).cast("long").as("d_month"),
+        dayofmonth(col("d")).cast("long").as("d_day"),
+        (year(col("d")) * 100 + month(col("d"))).cast("long").as("d_yyyymm"),
+        weekofyear(col("d")).cast("long").as("d_isoweek"),
+        (weekday(col("d")) + 1).cast("long").as("d_isodow"),
+        quarter(col("d")).cast("long").as("d_quarter"))
+      .orderBy(col("d_date"))
+  }
+
   /** Calendar gap-fill / resample: daily event counts over the full
     * [min, max] date span with zero-filled missing days — the
     * time-series densification every monitoring pipeline needs. */
@@ -188,6 +212,7 @@ object Extras extends QueryPack {
     "x_grouping_sets"      -> groupingSets,
     "x_range_join_bands"   -> rangeJoinBands,
     "x_gap_fill_daily"     -> gapFillDaily,
+    "x_date_dim"           -> dateDim,
     "x_asof_last_purchase" -> asofLastPurchase,
     "x_asof_custom_op"     -> asofCustomOperator,
     "x_pivot_orders"       -> pivotOrders,
@@ -226,6 +251,23 @@ object Extras extends QueryPack {
         |SELECT strftime(cal.day, '%Y-%m-%d') AS day, COALESCE(daily.n, 0) AS n
         |FROM cal LEFT JOIN daily ON cal.day = daily.day
         |ORDER BY 1""".stripMargin,
+    "x_date_dim" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS d0,
+        |         MAX(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS d1
+        |  FROM orders),
+        |cal AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        |  FROM span)
+        |SELECT strftime(d, '%Y-%m-%d') AS d_date,
+        |       EXTRACT(YEAR FROM d) AS d_year,
+        |       EXTRACT(MONTH FROM d) AS d_month,
+        |       EXTRACT(DAY FROM d) AS d_day,
+        |       EXTRACT(YEAR FROM d) * 100 + EXTRACT(MONTH FROM d) AS d_yyyymm,
+        |       CAST(weekofyear(d) AS BIGINT) AS d_isoweek,
+        |       CAST(isodow(d) AS BIGINT) AS d_isodow,
+        |       EXTRACT(QUARTER FROM d) AS d_quarter
+        |FROM cal ORDER BY 1""".stripMargin,
     "x_asof_last_purchase" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -34,12 +34,37 @@ object Multimodal extends QueryPack {
 
   case class FrameSample(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** The codec seam: decode is the ONE pluggable step in every media
+    * pipeline below. A real deployment implements this trait over its
+    * native decoder (libjpeg/ffmpeg/...) and passes it to the ops; the
+    * `mapPartitions` call sites initialize per partition, so a heavy
+    * codec pays its setup once per partition, not per row. Must be
+    * Serializable (ships inside the task closure) and deterministic
+    * (the correctness gates hash results). */
+  trait MediaCodec extends Serializable {
+    /** Feature extraction over an encoded payload. */
+    def features(payload: Array[Byte], dim: Int = 8): MediaFeaturesBody
+    /** Audio decode to 16-bit PCM samples. */
+    def pcm(payload: Array[Byte]): Array[Short]
+  }
+
   /** DETERMINISTIC FAKE decode: stands in for an image/audio codec.
     * Derives a byte histogram and fixed-width feature vector from the
     * payload — reproducible, codec-free, same output shape a real
-    * embedding extractor would produce. */
-  private[operators] object FakeCodec {
-    def features(payload: Array[Byte], dim: Int = 8): MediaFeaturesBody = {
+    * embedding extractor would produce. `pcm` reads the payload as
+    * little-endian 16-bit samples. */
+  private[graft] object FakeCodec extends MediaCodec {
+    override def pcm(payload: Array[Byte]): Array[Short] = {
+      val n = payload.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((payload(2 * i) & 0xFF) | (payload(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      out
+    }
+    override def features(payload: Array[Byte], dim: Int = 8): MediaFeaturesBody = {
       val hist = new Array[Long](256)
       var i = 0
       var sum = 0L
@@ -96,16 +121,50 @@ object Multimodal extends QueryPack {
       col("n_frames").cast("long").as("n_frames"))
 
   /** Decode + feature extraction via mapPartitions — the partition-at-a-
-    * time batch shape that amortizes codec initialization. */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    * time batch shape that amortizes codec initialization. Swap `codec`
+    * for a real [[MediaCodec]] and nothing else changes. */
+  def decodeFeatures(spark: SparkSession, dir: String,
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { rows =>
-      // real pipeline: init codec once per partition here
+      // real pipeline: init native codec state once per partition here
       rows.map { r =>
-        val f = FakeCodec.features(r.payload)
+        val f = codec.features(r.payload)
         MediaFeatures(r.media_id, f.nBytes, f.mean, f.entropy, f.features)
       }
     }
+  }
+
+  case class AudioWindow(media_id: Long, window_idx: Long, n_samples: Long,
+      rms: Double, peak: Long)
+
+  /** Audio-shaped op: decode the audio rows to 16-bit PCM and compute
+    * windowed loudness stats (RMS + peak per fixed window of `win`
+    * samples) — the VAD/silence-trim access pattern over a binary
+    * column, same `mapPartitions` plumbing as [[decodeFeatures]].
+    * Deterministic: per-window accumulation is in sample order. */
+  def audioWindows(spark: SparkSession, dir: String, win: Int = 256,
+      codec: MediaCodec = FakeCodec): Dataset[AudioWindow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter(col("media_type") === "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val samples = codec.pcm(r.payload)
+          samples.grouped(win).zipWithIndex.map { case (w, i) =>
+            var sq = 0.0
+            var peak = 0L
+            var k = 0
+            while (k < w.length) {
+              val s = w(k).toLong
+              sq += s.toDouble * s.toDouble
+              if (math.abs(s) > peak) peak = math.abs(s)
+              k += 1
+            }
+            AudioWindow(r.media_id, i.toLong, w.length.toLong,
+              math.sqrt(sq / w.length), peak)
+          }
+        }
+      }
   }
 
   /** Fake "resize": truncate/pad payload to the target pixel budget and
@@ -145,7 +204,12 @@ object Multimodal extends QueryPack {
     "mm_frame_stats" -> ((s: SparkSession, d: String) =>
       frameSample(s, d).groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_sampled"),
-          sum(octet_length(col("frame")).cast("long")).as("sampled_bytes"))))
+          sum(octet_length(col("frame")).cast("long")).as("sampled_bytes"))),
+    "mm_audio_windows" -> ((s: SparkSession, d: String) =>
+      audioWindows(s, d).groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          max(col("peak")).as("max_peak"),
+          sum(col("n_samples")).as("n_samples"))))
 
   override val oracles: Map[String, String] = Map(
     "mm_meta" ->

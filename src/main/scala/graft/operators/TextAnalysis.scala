@@ -122,6 +122,23 @@ object TextAnalysis extends QueryPack {
          | and (cast(size(array_distinct($toks)) as double) / size($toks) > 0.3)
          | as keep""".stripMargin)
 
+  /** Token budgeting: whitespace tokens, regex pre-tokenizer tokens
+    * (the GPT-style `letters|digits|other` split, degenerate here since
+    * the fixture is pure lowercase words), and a BPE-ish subword
+    * estimate — ceil(len/4) subwords per pre-token, the standard
+    * ~4-chars-per-token budget heuristic — in exact integer arithmetic
+    * so the oracle hash-matches. The shape every pre-training cost
+    * model needs per document. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      s"cast(size($toks) as bigint) as n_ws_tokens",
+      "cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint) as n_pretok",
+      """aggregate(
+        |  transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0),
+        |            t -> cast((length(t) + 3) div 4 as bigint)),
+        |  cast(0 as bigint), (acc, v) -> acc + v) as n_bpe_est""".stripMargin)
+
   /** Document fingerprints: raw md5 plus an order/multiplicity-invariant
     * fingerprint over the sorted distinct token set (near-dup precursor). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -138,6 +155,7 @@ object TextAnalysis extends QueryPack {
     "text_char_trigrams" -> charTrigrams,
     "text_langid"        -> langId,
     "text_quality"       -> quality,
+    "text_token_budget"  -> tokenBudget,
     "text_fingerprint"   -> fingerprint)
 
   private val dToks = "string_split(text, ' ')"
@@ -207,6 +225,14 @@ object TextAnalysis extends QueryPack {
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($dToks) AS avg_token_len,
          |  (len($dToks) BETWEEN 20 AND 500)
          |    AND (CAST(len(list_distinct($dToks)) AS DOUBLE) / len($dToks) > 0.3) AS keep
+         |FROM documents""".stripMargin,
+    "text_token_budget" ->
+      s"""SELECT doc_id,
+         |  len($dToks) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pretok,
+         |  CAST(list_sum(list_transform(
+         |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+         |    t -> (length(t) + 3) // 4)) AS BIGINT) AS n_bpe_est
          |FROM documents""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,

@@ -16,6 +16,15 @@ import org.apache.spark.sql.types.StructType
   * unchanged. Scale posture: windowed aggregation state is bounded by the
   * watermark horizon; session state is per-user and evicted on event-time
   * timeout.
+  *
+  * Large-state config: at production key cardinality, move keyed state
+  * off the default HDFS-backed in-memory map with
+  * `spark.sql.streaming.stateStore.providerClass =
+  * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+  * (+ `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true`
+  * for fast checkpoints); StreamingSpec runs the dedup flow under RocksDB
+  * to pin provider-independent results. Backlog catch-up runs use
+  * `Trigger.AvailableNow` — drain everything, then stop (also pinned).
   */
 object EventStream {
 

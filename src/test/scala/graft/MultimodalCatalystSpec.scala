@@ -44,6 +44,30 @@ class MultimodalCatalystSpec extends AnyFunSuite {
     }
   }
 
+  test("audio windows: PCM round-trip, window accounting, loudness bounds") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.audioWindows(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // deterministic across runs
+    assert(Multimodal.audioWindows(spark, TestSpark.Sf).collect().toSet == rows.toSet)
+    val byMedia = rows.groupBy(_.media_id)
+    val nSamples = Multimodal.mediaTable(spark, TestSpark.Sf)
+      .filter($"media_type" === "audio").collect()
+      .map(r => r.media_id -> r.payload.length / 2).toMap
+    byMedia.foreach { case (id, ws) =>
+      // windows tile the sample stream: indices 0..k-1, sizes sum to total
+      assert(ws.map(_.window_idx).sorted.toSeq == (0L until ws.length).toSeq)
+      assert(ws.map(_.n_samples).sum == nSamples(id))
+      ws.foreach { w =>
+        assert(w.rms >= 0.0 && w.rms <= 32768.0)
+        assert(w.peak >= w.rms.floor.toLong, "peak bounds rms from above")
+      }
+    }
+    // fake codec PCM: little-endian 16-bit invertibility on a known case
+    val pcm = Multimodal.FakeCodec.pcm(Array[Byte](0x01, 0x02, -1, 0x7F))
+    assert(pcm.toSeq == Seq[Short](0x0201, 0x7FFF))
+  }
+
   test("graft_dot codegen expression equals the HOF fold bit-for-bit") {
     DotProductFloat.register(spark)
     val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf).limit(100)

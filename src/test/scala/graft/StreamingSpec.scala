@@ -128,6 +128,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batchKeys.size, "each key emitted exactly once")
   }
 
+  test("Trigger.AvailableNow drains the backlog then self-terminates (batch catch-up)") {
+    val q = EventStream.windowedCounts(spark, eventsDir)
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("an_out").start()
+    assert(q.awaitTermination(120000), "AvailableNow must stop on its own")
+    assert(!q.isActive)
+    val streamed = spark.table("an_out")
+      .select("window_start", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Events.tumbling(spark, TestSpark.Sf)
+      .select("window_start", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("RocksDB state store produces the same stateful results as the default") {
+    // large-state config: spill keyed state off-heap instead of the
+    // HDFS-backed in-memory map (the 100 TB sessionization posture)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStream.dedupFirstPerUserType(s2, eventsDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rocks_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rocks = s2.table("rocks_out")
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    val batchKeys = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(rocks.toSet == batchKeys)
+    assert(rocks.length == batchKeys.size)
+  }
+
   test("streaming sessionization closes exactly the non-trailing batch sessions") {
     val q = EventStream.sessionize(spark, eventsDir)
       .writeStream.outputMode("append")
