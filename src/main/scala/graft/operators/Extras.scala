@@ -61,6 +61,39 @@ object Extras extends QueryPack {
         unix_micros(col("ts")).as("ts_us"), col("last_purchase_value"))
   }
 
+  /** Forward as-of via the custom operator: for every click, the NEXT
+    * purchase (smallest purchase ts ≥ click ts) of the same user —
+    * attribution's "time-to-conversion" shape. DuckDB's native forward
+    * ASOF (`ON c.ts <= p.ts`) arbitrates. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("value").as("next_purchase_value"))
+    graft.plans.AsOfJoin.join(clicks, purchases, "user_id", "ts", "pts",
+        direction = graft.plans.AsOfJoin.Forward)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("next_purchase_value"))
+  }
+
+  /** Backward as-of with a 1-hour tolerance: purchases older than the
+    * window yield the null-padded row (nearest-out-of-window implies
+    * nothing in-window). Oracle: unbounded DuckDB ASOF + a CASE mask. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("value").as("last_purchase_value"))
+    graft.plans.AsOfJoin.join(clicks, purchases, "user_id", "ts", "pts",
+        toleranceUs = 3600L * 1000 * 1000)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("last_purchase_value"))
+  }
+
   /** PIVOT: order counts, priorities × status columns. */
   def pivotOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -139,6 +172,43 @@ object Extras extends QueryPack {
           .cast(DoubleType).as("revenue"))
       .orderBy(col("o_year"), col("c_mktsegment"))
 
+  /** Incremental-materialization flow (dbt `incremental`, which the
+    * reference's P.S. leaves out): history written once, the new date
+    * slice appended by a second run, read back and rolled up — the
+    * oracle recomputes from the raw join, proving incremental == full. */
+  def starIncrementalRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(Star.incrementalPath(spark, dir))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("o_year"))
+
+  /** dbt-style schema tests as one result set: (test_name, n_violations)
+    * per declared constraint — not-null, unique, two FK relationships,
+    * accepted-values. Values (all zeros on healthy data) are computed,
+    * not assumed, and the oracle recomputes each check in SQL, so the
+    * gate verifies the CHECKS themselves, not just the happy path. */
+  def schemaTests(spark: SparkSession, dir: String): DataFrame = {
+    def t(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("test_name"), col("n_violations"))
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    t("customer_nation_fk",
+        cust.join(nat, cust("c_nationkey") === nat("n_nationkey"), "left_anti"))
+      .unionAll(t("lineitem_orderkey_fk",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")))
+      .unionAll(t("lineitem_orderkey_not_null", li.filter(col("l_orderkey").isNull)))
+      .unionAll(t("orders_orderkey_unique",
+        ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c")).filter(col("c") > 1)))
+      .unionAll(t("orders_status_accepted",
+        ord.filter(!col("o_orderstatus").isin("F", "O", "P"))))
+      .orderBy(col("test_name"))
+  }
+
   /** Arbitrary GROUPING SETS (beyond rollup/cube) through the SQL front
     * end: per-nation, per-segment, and grand-total groups in one pass. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
@@ -215,12 +285,16 @@ object Extras extends QueryPack {
     "x_date_dim"           -> dateDim,
     "x_asof_last_purchase" -> asofLastPurchase,
     "x_asof_custom_op"     -> asofCustomOperator,
+    "x_asof_forward"       -> asofForward,
+    "x_asof_tolerance"     -> asofTolerance,
     "x_pivot_orders"       -> pivotOrders,
     "x_unpivot_parts"      -> unpivotParts,
     "x_quantity_median"    -> quantityMedian,
     "x_value_stats"        -> valueStats,
     "x_sql_entry"          -> sqlEntry,
     "x_star_materialized"  -> starMaterializedRollup,
+    "x_star_incremental"   -> starIncrementalRollup,
+    "x_schema_tests"       -> schemaTests,
     "ssb_star_full"        -> starFull)
 
   override lazy val oracles: Map[String, String] =
@@ -279,6 +353,29 @@ object Extras extends QueryPack {
         |       p.value AS last_purchase_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "x_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       p.value AS next_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+    "x_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.value
+        |            END AS last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "x_pivot_orders" ->
       """SELECT o_orderpriority,
         |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
@@ -320,5 +417,29 @@ object Extras extends QueryPack {
          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
          |            AS DOUBLE) AS revenue
          |FROM ${Star.sql}
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_star_incremental" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, COUNT(*) AS n,
+         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+         |            AS DOUBLE) AS revenue
+         |FROM ${Star.sql}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_schema_tests" ->
+      """SELECT 'customer_nation_fk' AS test_name, COUNT(*) AS n_violations
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', COUNT(*)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_not_null', COUNT(*)
+        |FROM lineitem WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_orderkey_unique', COUNT(*)
+        |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_status_accepted', COUNT(*)
+        |FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+        |ORDER BY 1""".stripMargin)
 }

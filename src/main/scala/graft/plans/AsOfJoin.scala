@@ -32,11 +32,20 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object AsOfJoin {
 
+  /** Match direction: Backward = greatest right-time ≤ left-time (the
+    * classic as-of); Forward = smallest right-time ≥ left-time. */
+  sealed trait Direction extends Serializable
+  case object Backward extends Direction
+  case object Forward extends Direction
+
   /** Logical node; output = left columns ++ right's non-key columns
-    * (nullable — it's a left outer shape). */
+    * (nullable — it's a left outer shape). toleranceUs < 0 = unbounded;
+    * otherwise a match must lie within `toleranceUs` of the left time. */
   case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
       leftKey: Attribute, rightKey: Attribute,
-      leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+      leftTime: Attribute, rightTime: Attribute,
+      direction: Direction = Backward,
+      toleranceUs: Long = -1L) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.filterNot(_.exprId == rightKey.exprId)
         .map(_.withNullability(true))
@@ -49,7 +58,8 @@ object AsOfJoin {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case j: AsOfJoinPlan =>
         AsOfJoinExec(planLater(j.left), planLater(j.right),
-          j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.output) :: Nil
+          j.leftKey, j.rightKey, j.leftTime, j.rightTime,
+          j.direction, j.toleranceUs, j.output) :: Nil
       case _ => Nil
     }
   }
@@ -57,6 +67,7 @@ object AsOfJoin {
   case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       leftKey: Attribute, rightKey: Attribute,
       leftTime: Attribute, rightTime: Attribute,
+      direction: Direction, toleranceUs: Long,
       override val output: Seq[Attribute]) extends BinaryExecNode {
 
     override def requiredChildDistribution: Seq[Distribution] =
@@ -91,10 +102,13 @@ object AsOfJoin {
         val payloadProj = UnsafeProjection.create(rightPayload, rightOut)
         val outProj = UnsafeProjection.create(out, leftOut ++ rightPayloadNullable)
         val nulls = new GenericInternalRow(rightPayload.size)
+        val fwd = direction == Forward
+        val tol = toleranceUs
         new Iterator[InternalRow] {
           private val joined = new JoinedRow
           private val rBuf = rIter.buffered
           private var heldKey = 0L
+          private var heldTime = 0L
           private var held: InternalRow = _ // latest right row for heldKey
 
           override def hasNext: Boolean = lIter.hasNext
@@ -107,22 +121,53 @@ object AsOfJoin {
             } else {
               val k = l.getLong(lKeyOrd)
               val t = l.getLong(lTimeOrd)
-              if (held != null && heldKey != k) held = null
-              // advance right side to the last row with rKey==k, rTime<=t
-              var advancing = true
-              while (advancing && rBuf.hasNext) {
-                val r = rBuf.head
-                if (r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd)) {
-                  rBuf.next() // null-keyed/timed right rows match nothing
-                } else {
-                  val rk = r.getLong(rKeyOrd)
-                  if (rk < k || (rk == k && r.getLong(rTimeOrd) <= t)) {
-                    if (rk == k) { heldKey = k; held = payloadProj(r).copy() }
-                    rBuf.next()
-                  } else advancing = false
+              if (fwd) {
+                // drop right rows no current/future left row can match:
+                // smaller key, or same key with rTime strictly before t
+                // (left times ascend within a key). The candidate head is
+                // only PEEKED — one right row may serve many left rows.
+                var advancing = true
+                while (advancing && rBuf.hasNext) {
+                  val r = rBuf.head
+                  if (r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd)) rBuf.next()
+                  else {
+                    val rk = r.getLong(rKeyOrd)
+                    if (rk < k || (rk == k && r.getLong(rTimeOrd) < t)) rBuf.next()
+                    else advancing = false
+                  }
                 }
+                val matched =
+                  if (rBuf.hasNext) {
+                    val r = rBuf.head
+                    !r.isNullAt(rKeyOrd) && !r.isNullAt(rTimeOrd) &&
+                      r.getLong(rKeyOrd) == k &&
+                      (tol < 0 || r.getLong(rTimeOrd) - t <= tol)
+                  } else false
+                outProj(joined(l, if (matched) payloadProj(rBuf.head) else nulls))
+              } else {
+                if (held != null && heldKey != k) held = null
+                // advance right side to the last row with rKey==k, rTime<=t
+                var advancing = true
+                while (advancing && rBuf.hasNext) {
+                  val r = rBuf.head
+                  if (r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd)) {
+                    rBuf.next() // null-keyed/timed right rows match nothing
+                  } else {
+                    val rk = r.getLong(rKeyOrd)
+                    if (rk < k || (rk == k && r.getLong(rTimeOrd) <= t)) {
+                      if (rk == k) {
+                        heldKey = k
+                        heldTime = r.getLong(rTimeOrd)
+                        held = payloadProj(r).copy()
+                      }
+                      rBuf.next()
+                    } else advancing = false
+                  }
+                }
+                val inWindow = held != null && heldKey == k &&
+                  (tol < 0 || t - heldTime <= tol)
+                outProj(joined(l, if (inWindow) held else nulls))
               }
-              outProj(joined(l, if (held != null && heldKey == k) held else nulls))
             }
           }
         }
@@ -138,11 +183,15 @@ object AsOfJoin {
     a.dataType == LongType || a.dataType == TimestampType ||
       a.dataType == TimestampNTZType
 
-  /** Build `left ASOF LEFT JOIN right` on `key` with `l.leftTime >=
-    * r.rightTime` (right's key column is dropped from the output; name
-    * the two time columns differently to avoid output clashes). */
+  /** Build `left ASOF LEFT JOIN right` on `key`: Backward matches the
+    * greatest rightTime ≤ leftTime (`l.t >= r.t`), Forward the smallest
+    * rightTime ≥ leftTime (`l.t <= r.t`); `toleranceUs ≥ 0` additionally
+    * requires |leftTime − rightTime| ≤ tolerance (out-of-window lefts
+    * get the null-padded row). Right's key column is dropped from the
+    * output; name the two time columns differently to avoid clashes. */
   def join(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: Direction = Backward, toleranceUs: Long = -1L): DataFrame = {
     val lp = GraftBridge.planOf(left)
     // re-alias every right column so the two sides never share exprIds
     // (self-join safe: the analyzer's DeduplicateRelations would rewrite
@@ -156,6 +205,7 @@ object AsOfJoin {
     val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
     require(Seq(lk, rk, lt, rt).forall(longBacked),
       "as-of v1 requires bigint/timestamp key and time columns")
-    GraftBridge.ofRows(left.sparkSession, AsOfJoinPlan(lp, rp, lk, rk, lt, rt))
+    GraftBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, direction, toleranceUs))
   }
 }

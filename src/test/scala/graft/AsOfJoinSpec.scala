@@ -42,6 +42,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("forward direction picks the smallest right time >= left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 16L, "c"), (2L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (1L, 40L, 3.0), (3L, 9L, 9.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.join(left, right, "k", "t", "rt",
+        direction = AsOfJoin.Forward)
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("a").contains(2.0), "t=10 -> next is rt=15")
+    assert(out("b").contains(2.0), "t=15 matches rt=15 (>= inclusive)")
+    assert(out("c").contains(3.0), "t=16 -> next is rt=40; rt=15 already passed")
+    assert(out("d").isEmpty, "no right rows for key 2")
+  }
+
+  test("tolerance masks matches outside the window in both directions") {
+    val left = Seq((1L, 100L, "near"), (1L, 200L, "far")).toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, 1.0)).toDF("k", "rt", "v")
+    def got(tol: Long, dir: AsOfJoin.Direction = AsOfJoin.Backward) =
+      AsOfJoin.join(left, right, "k", "t", "rt", dir, tol)
+        .select($"tag", $"v").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val b = got(10L)
+    assert(b("near").contains(1.0), "within 10 ticks backward")
+    assert(b("far").isEmpty, "105 ticks back is outside the window")
+    val unbounded = got(-1L)
+    assert(unbounded("far").contains(1.0), "negative tolerance = unbounded")
+    val f = AsOfJoin.join(
+        Seq((1L, 90L, "x"), (1L, 50L, "y")).toDF("k", "t", "tag"),
+        right, "k", "t", "rt", AsOfJoin.Forward, 10L)
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(f("x").contains(1.0), "rt=95 is 5 ahead of t=90: in window")
+    assert(f("y").isEmpty, "rt=95 is 45 ahead of t=50: out of window")
+  }
+
   test("null keys/times never match (left gets null padding, right skipped)") {
     val left = Seq[(java.lang.Long, java.lang.Long, String)](
       (null, 10L, "nullkey"), (1L, null, "nulltime"), (0L, 10L, "zerokey"),
