@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryPack
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composed LLM-data pipeline the
@@ -112,9 +113,46 @@ object Curation extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val PackBudget = 2048L
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated in
+    * stable doc_id order and chunked every `PackBudget` tokens; each doc
+    * reports the training sequence its first token lands in plus its
+    * offset — the standard pre-training batch-assembly shape. One
+    * window cumsum, exactly the prefix-sum shuffle; at 100 TB the order
+    * key becomes (shard, doc_id) and packing stays per-shard. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $PackBudget").as("seq_id"),
+        pmod(col("start_offset"), lit(PackBudget)).as("seq_offset"))
+  }
+
+  /** Deterministic train/val/test split via Knuth multiplicative
+    * hashing on doc_id — pure int64 arithmetic, so ANY engine assigns
+    * every document identically (no RNG, no salt drift between runs):
+    * bucket = (doc_id · 2654435761) mod 2³² mod 100; <80 train,
+    * <90 val, else test. Reported as per-split corpus accounting. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+        expr("(doc_id * 2654435761) % 4294967296 % 100").as("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_components" -> components,
-    "cur_corpus"     -> curatedCorpus)
+    "cur_corpus"     -> curatedCorpus,
+    "cur_pack_sequences" -> packSequences,
+    "cur_hash_split" -> hashSplit)
 
   /** Components oracle: DuckDB recursive CTE computing min reachable id
     * over the same near-dup edges (same jaccard threshold/shingles). */
@@ -136,6 +174,27 @@ object Curation extends QueryPack {
        |        UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS start_offset
+        |      FROM d)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 2048 AS seq_id,
+        |       start_offset % 2048 AS seq_offset
+        |FROM c""".stripMargin,
+    "cur_hash_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "cur_components" ->
       s"""$edgesSql,
          |walk(doc_id, target) AS (

@@ -46,6 +46,8 @@ object Multimodal extends QueryPack {
     def features(payload: Array[Byte], dim: Int = 8): MediaFeaturesBody
     /** Audio decode to 16-bit PCM samples. */
     def pcm(payload: Array[Byte]): Array[Short]
+    /** Image decode to width×height grayscale pixels (row-major). */
+    def pixels(payload: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
   /** DETERMINISTIC FAKE decode: stands in for an image/audio codec.
@@ -54,6 +56,8 @@ object Multimodal extends QueryPack {
     * embedding extractor would produce. `pcm` reads the payload as
     * little-endian 16-bit samples. */
   private[graft] object FakeCodec extends MediaCodec {
+    override def pixels(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload, width * height) // truncate/zero-pad
     override def pcm(payload: Array[Byte]): Array[Short] = {
       val n = payload.length / 2
       val out = new Array[Short](n)
@@ -167,6 +171,40 @@ object Multimodal extends QueryPack {
       }
   }
 
+  case class ImageTile(media_id: Long, tile_row: Int, tile_col: Int,
+      mean_pixel: Double)
+
+  /** Image-shaped op: decode the image rows to grayscale pixels and
+    * compute a `grid×grid` tile-mean map — the thumbnail/saliency
+    * access pattern (same per-partition codec seam). Tiles partition
+    * the pixel rectangle exactly; means accumulate in row-major order
+    * (deterministic). */
+  def imageTiles(spark: SparkSession, dir: String, grid: Int = 4,
+      codec: MediaCodec = FakeCodec): Dataset[ImageTile] = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter(col("media_type") === "image")
+      .flatMap { r =>
+        val px = codec.pixels(r.payload, r.width, r.height)
+        for {
+          tr <- 0 until grid
+          tc <- 0 until grid
+          y0 = r.height * tr / grid; y1 = r.height * (tr + 1) / grid
+          x0 = r.width * tc / grid; x1 = r.width * (tc + 1) / grid
+          if y1 > y0 && x1 > x0
+        } yield {
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += px(y * r.width + x) & 0xFF; x += 1 }
+            y += 1
+          }
+          ImageTile(r.media_id, tr, tc,
+            sum.toDouble / ((y1 - y0) * (x1 - x0)))
+        }
+      }
+  }
+
   /** Fake "resize": truncate/pad payload to the target pixel budget and
     * rewrite metadata — exercises payload transformation plumbing. */
   def resize(spark: SparkSession, dir: String, w: Int = 8, h: Int = 8): Dataset[MediaRow] = {
@@ -209,7 +247,12 @@ object Multimodal extends QueryPack {
       audioWindows(s, d).groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_windows"),
           max(col("peak")).as("max_peak"),
-          sum(col("n_samples")).as("n_samples"))))
+          sum(col("n_samples")).as("n_samples"))),
+    "mm_image_tiles" -> ((s: SparkSession, d: String) =>
+      imageTiles(s, d).groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_tiles"),
+          min(col("mean_pixel")).as("darkest_tile"),
+          max(col("mean_pixel")).as("brightest_tile"))))
 
   override val oracles: Map[String, String] = Map(
     "mm_meta" ->

@@ -92,10 +92,14 @@ object TextAnalysis extends QueryPack {
 
   /** Marker-token language ID: per-language function-word hit counts and
     * an argmax with fixed precedence (en > es > de > fr > und). A real
-    * corpus discriminates cleanly; the synthetic fixture shares one
-    * vocabulary, so this demonstrates the operator, not the corpus. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(spark, dir).selectExpr(
+    * corpus discriminates cleanly (EventsTextSpec measures accuracy 1.0
+    * on a separable synthetic corpus); the fixture shares one
+    * vocabulary, so there it demonstrates the operator, not the corpus. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(spark, dir))
+
+  private[graft] def langIdOf(docs: DataFrame): DataFrame = {
+    val scored = docs.selectExpr(
       Seq("doc_id", "lang") ++
         markers.map { case (l, _) => s"${markerCount(l)} as score_$l" }: _*)
     scored.selectExpr("doc_id", "lang",

@@ -66,6 +66,27 @@ class EventsTextSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("langid reaches accuracy 1.0 on a separable multilingual corpus") {
+    // per-language docs built from each language's function words plus
+    // neutral filler — the regime the marker heuristic is designed for
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat and it is a fine day of rest"),
+      (2L, "en", "a tale of two cities is the best and the worst of it"),
+      (3L, "es", "el perro y la casa de mi madre es grande y bonita"),
+      (4L, "es", "la vida es bella y el sol de verano es brillante"),
+      (5L, "de", "der hund und die katze das haus ist gross und alt"),
+      (6L, "de", "das wetter ist heute schoen und der himmel ist blau"),
+      (7L, "fr", "le chien et la maison est grande et le jardin est beau"),
+      (8L, "fr", "la vie est belle et le soleil est brillant aujourd hui"),
+      (9L, "und", "zzz qqq xxx www yyy vvv uuu ttt sss rrr"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextAnalysis.langIdOf(docs)
+      .select("lang", "pred_lang").as[(String, String)].collect()
+    // es/fr share 'la'/'de' and de shares nothing with en here — exact
+    // match expected on every row, i.e. accuracy 1.0
+    out.foreach { case (truth, pred) => assert(pred == truth, s"$truth -> $pred") }
+  }
+
   test("quality keep-rule matches its definition on fixture docs") {
     val q = TextAnalysis.quality(spark, TestSpark.Sf)
       .select("n_tokens", "distinct_ratio", "keep")
