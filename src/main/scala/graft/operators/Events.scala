@@ -88,6 +88,36 @@ object Events extends QueryPack {
         col("n_events"), col("total_value"))
   }
 
+  /** JSON props parsed into a real MapType column, exploded to
+    * (key, value) rows and aggregated per key — the dynamic-schema
+    * property-bag pattern (map functions + generator), complementing
+    * [[jsonExtract]]'s fixed-path form. */
+  def propsMapStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"), sum(col("value")).as("sum_v"))
+      .orderBy(col("key"))
+
+  /** FULL OUTER day-grain join of two event streams (clicks vs
+    * purchases): days present on either side survive with zero-filled
+    * gaps — the reconciliation join shape (both sides shuffle on the
+    * key; no side is privileged). */
+  def dailyFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("day"), "full_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("day"))
+  }
+
   /** X8: top-3 events by value per user. */
   def topKPerUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -118,6 +148,8 @@ object Events extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_json_extract" -> jsonExtract,
+    "ev_props_map"    -> propsMapStats,
+    "ev_daily_full_outer" -> dailyFullOuter,
     "ev_tumbling"     -> tumbling,
     "ev_sliding"      -> sliding,
     "ev_session"      -> sessionize,
@@ -134,6 +166,26 @@ object Events extends QueryPack {
       """SELECT event_id, user_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "ev_props_map" ->
+      """WITH kv AS (
+        |  SELECT unnest(json_keys(props)) AS key,
+        |         CAST(props ->> unnest(json_keys(props)) AS BIGINT) AS value
+        |  FROM events)
+        |SELECT key, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+        |       CAST(SUM(value) AS BIGINT) AS sum_v
+        |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_daily_full_outer" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT strftime(COALESCE(c.day, p.day), '%Y-%m-%d') AS day,
+        |       COALESCE(n_clicks, 0) AS n_clicks,
+        |       COALESCE(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.day = p.day
+        |ORDER BY 1""".stripMargin,
     "ev_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT)
         |         AS window_start,

@@ -172,6 +172,27 @@ object Extras extends QueryPack {
           .cast(DoubleType).as("revenue"))
       .orderBy(col("o_year"), col("c_mktsegment"))
 
+  /** RANGE-frame analytic window: per-day order revenue with a trailing
+    * 7-day (6 PRECEDING..CURRENT in day units) rolling sum — the frame
+    * type `rel_running_total`'s ROWS frame doesn't cover. The window
+    * sums DECIMALS (exact, fold-order-free) and casts to double at the
+    * very end: engines disagree on float window-aggregation order
+    * (running accumulation vs segment trees), decimals make that
+    * irrelevant. */
+  def trailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+      .withColumn("trailing", sum(col("rev")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("rev").cast(DoubleType).as("revenue"),
+        col("trailing").cast(DoubleType).as("trailing_7d"))
+      .orderBy(col("day"))
+  }
+
   /** Incremental-materialization flow (dbt `incremental`, which the
     * reference's P.S. leaves out): history written once, the new date
     * slice appended by a second run, read back and rolled up — the
@@ -283,6 +304,7 @@ object Extras extends QueryPack {
     "x_range_join_bands"   -> rangeJoinBands,
     "x_gap_fill_daily"     -> gapFillDaily,
     "x_date_dim"           -> dateDim,
+    "x_trailing_revenue"   -> trailingRevenue,
     "x_asof_last_purchase" -> asofLastPurchase,
     "x_asof_custom_op"     -> asofCustomOperator,
     "x_asof_forward"       -> asofForward,
@@ -353,6 +375,18 @@ object Extras extends QueryPack {
         |       p.value AS last_purchase_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "x_trailing_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+        |       CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(SUM(rev) OVER (ORDER BY day
+        |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS trailing_7d
+        |FROM daily ORDER BY 1""".stripMargin,
     "x_asof_forward" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
