@@ -46,7 +46,10 @@ object Dedup extends QueryPack {
     * shingle instead of the string, so every downstream shuffle and
     * array op moves 8 bytes per shingle, never the text. */
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    hashedShinglesOf(Tables.documents(spark, dir))
+
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr("split(text, ' ')"))
       .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)),
@@ -83,8 +86,11 @@ object Dedup extends QueryPack {
     * join (the DuckDB oracle still computes the naive form). Join keys
     * are xxhash64(shingle); a collision can only ADD a candidate, which
     * verification then rejects. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(hashedShingles(spark, dir))
+
+  private[graft] def ngramJaccardOf(sh0: DataFrame): DataFrame = {
+    val sh = sh0
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     // global rarity: document frequency per shingle hash
     val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -99,6 +99,46 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("ok").contains(8.0), "null-time right row is skipped, not carried")
   }
 
+  test("random-data equivalence with a plain-Scala reference (both directions, tolerance)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowsGen = for {
+      nl <- Gen.chooseNum(0, 30)
+      nr <- Gen.chooseNum(0, 30)
+      lrows <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L)))
+      rrows <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L)))
+    } yield (lrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      // unique (key, time) on the right keeps the matched value unambiguous
+      rrows.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i * 10.0) })
+    def reference(ls: Seq[(Long, Long, Long)], rs: Seq[(Long, Long, Double)],
+        fwd: Boolean, tol: Long): Map[Long, Option[Double]] =
+      ls.map { case (k, t, id) =>
+        val cands = rs.filter(r => r._1 == k &&
+          (if (fwd) r._2 >= t && (tol < 0 || r._2 - t <= tol)
+           else r._2 <= t && (tol < 0 || t - r._2 <= tol)))
+        id -> (if (cands.isEmpty) None
+               else Some((if (fwd) cands.minBy(_._2) else cands.maxBy(_._2))._3))
+      }.toMap
+    (0 until 5).foreach { i =>
+      rowsGen.apply(Gen.Parameters.default, Seed(7L + i)).foreach { case (ls, rs) =>
+        val left = ls.toDF("k", "t", "row_id")
+        val right = rs.toDF("k", "rt", "v")
+        for {
+          fwd <- Seq(false, true)
+          tol <- Seq(-1L, 10L)
+        } {
+          val dir = if (fwd) AsOfJoin.Forward else AsOfJoin.Backward
+          val got = AsOfJoin.join(left, right, "k", "t", "rt", dir, tol)
+            .select($"row_id", $"v").collect()
+            .map(r => r.getLong(0) ->
+              (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+          assert(got == reference(ls, rs, fwd, tol),
+            s"seed=$i fwd=$fwd tol=$tol")
+        }
+      }
+    }
+  }
+
   test("rejects non-long-backed key/time types") {
     val bad = Seq(("x", 1L)).toDF("k", "t")
     val r = Seq(("x", 1L, 2.0)).toDF("k", "rt", "v")

@@ -80,6 +80,46 @@ class PropertySpec extends AnyFunSuite {
     assert(j.forall(x => x > 0.0 && x <= 1.0))
   }
 
+  test("PPJoin losslessness: filters recover the brute-force pair set on random corpora") {
+    // adversarial corpora: small shared vocabulary + planted near-dups
+    // (copy with 0-2 token edits) so true pairs straddle the threshold;
+    // brute-force reference computed in plain Scala over hashed shingles
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = for {
+      n <- Gen.chooseNum(5, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val corpusGen = for {
+      base <- Gen.listOfN(12, docGen)
+      edits <- Gen.listOfN(6, Gen.chooseNum(0, 2))
+    } yield {
+      val dups = base.take(6).zip(edits).map { case (text, k) =>
+        val t = text.split(" ").toVector
+        // mutate the first k tokens: a high-but-not-1.0 jaccard near-dup
+        (0 until math.min(k, t.size)).foldLeft(t)((v, i) => v.updated(i, "z")).mkString(" ")
+      }
+      (base ++ dups).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    }
+    forAll(corpusGen, n = 5) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val sh = Dedup.hashedShinglesOf(docs)
+      val got = Dedup.ngramJaccardOf(sh)
+        .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+        .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+      // plain-Scala brute force over the SAME hashed shingle sets
+      val sets = sh.as[(Long, Array[Long])].collect()
+        .map { case (id, s) => id -> s.toSet }.sortBy(_._1)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        common = (sa & sb).size
+        union = sa.size + sb.size - common
+        j = common.toDouble / union if union > 0 && j >= 0.8
+      } yield (a, b) -> j).toMap
+      assert(got == want,
+        s"missed=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
+    }
+  }
+
   test("inner-join row count: star rows == lineitem rows under FK totality") {
     val li = graft.sources.Tables.lineitem(spark, TestSpark.Sf).count()
     val star = graft.plans.Star.build(spark, TestSpark.Sf).count()
