@@ -93,7 +93,8 @@ object EventStream {
     * with stream length (the unbounded-join hazard). Inner join ⇒ rows
     * emit as soon as both sides arrive; StreamingSpec pins parity with
     * the identical batch join. */
-  def clickPurchaseJoin(spark: SparkSession, eventsDir: String): DataFrame = {
+  def clickPurchaseJoin(spark: SparkSession, eventsDir: String,
+      joinType: String = "inner"): DataFrame = {
     val clicks = readEvents(spark, eventsDir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -104,10 +105,14 @@ object EventStream {
       .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
         col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "1 hour")
+    // leftOuter: an unmatched click emits its null-padded row only once
+    // the purchase watermark proves no match can still arrive — the
+    // outer result is watermark-DELAYED, not wrong-then-retracted
     clicks.join(purchases,
         col("user_id") === col("purchase_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
       .select(col("click_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         col("purchase_id"), unix_micros(col("purchase_ts")).as("purchase_us"),

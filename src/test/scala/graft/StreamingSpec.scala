@@ -114,6 +114,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join emits null rows only after the watermark closes") {
+    import org.apache.spark.sql.functions._
+    // controlled two-batch stream: batch 1 has one matched and one
+    // unmatched click; batch 2's far-future event advances the
+    // watermark past batch 1's join window, releasing the outer row
+    val d = java.nio.file.Files.createTempDirectory("graft-ssj")
+    val schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    def write(rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      spark.createDataFrame(rows.map { case (id, ts, u, et, v) =>
+          (id, java.sql.Timestamp.valueOf(ts), u, et, v, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props").rdd,
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+        .coalesce(1).write.mode("append").parquet(d.toString)
+    write(Seq(
+      (1L, "2024-03-10 10:00:00", 1L, "click", 0.0),    // matched click
+      (2L, "2024-03-10 10:30:00", 1L, "purchase", 9.0), // its purchase
+      (3L, "2024-03-10 10:00:00", 2L, "click", 0.0)))   // never matched
+    // readEvents expects nanos-as-long parquet; write plain micros and
+    // stream it directly with the same join logic instead
+    def side(et: String) = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(d.toString).filter($"event_type" === et)
+    val clicks = side("click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side("purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("purchase_user"),
+        $"ts".as("purchase_ts"), $"value")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"purchase_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select($"click_id", $"purchase_id", $"value")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_out").start()
+    try {
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer_out")
+        .as[(Long, Option[Long], Option[Double])].collect()
+      assert(!early.exists(_._1 == 3L),
+        s"outer row must NOT appear while its window is open: ${early.toSeq}")
+      // advance both watermarks far past the window
+      write(Seq((4L, "2024-03-12 00:00:00", 3L, "click", 0.0),
+        (5L, "2024-03-12 00:00:00", 3L, "purchase", 1.0)))
+      q.processAllAvailable()
+      q.processAllAvailable() // extra micro-batch lets the state evict
+      val rows = spark.table("ssj_outer_out")
+        .as[(Long, Option[Long], Option[Double])].collect()
+      assert(rows.exists(r => r._1 == 1L && r._2.contains(2L)), "matched join row")
+      assert(rows.exists(r => r._1 == 3L && r._2.isEmpty),
+        s"unmatched click released as null-padded after watermark: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps exactly one event per (user, type) key") {
     val q = EventStream.dedupFirstPerUserType(spark, eventsDir)
       .writeStream.outputMode("append")
