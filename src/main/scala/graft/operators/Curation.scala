@@ -114,19 +114,38 @@ object Curation extends QueryPack {
   }
 
   private val PackBudget = 2048L
+  private val PackShardSize = 1000L
 
   /** Sequence packing (concat-and-chunk): documents are concatenated in
     * stable doc_id order and chunked every `PackBudget` tokens; each doc
     * reports the training sequence its first token lands in plus its
-    * offset — the standard pre-training batch-assembly shape. One
-    * window cumsum, exactly the prefix-sum shuffle; at 100 TB the order
-    * key becomes (shard, doc_id) and packing stays per-shard. */
+    * offset — the standard pre-training batch-assembly shape.
+    *
+    * The global prefix sum is computed DISTRIBUTED, two-level: an
+    * exclusive cumsum inside each doc_id shard (parallel windows), plus
+    * a broadcast of per-shard total offsets (one tiny row per shard —
+    * the only global pass, over #shards rows, not #docs). Identical
+    * output to a single global window (the oracle computes exactly
+    * that), but no single-partition sort of the corpus at 100 TB. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+        expr(s"doc_id div $PackShardSize").as("shard"))
+    // exclusive cumsum within each shard — fully parallel across shards
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
-      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val local = toks.withColumn("local_offset",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    // per-shard totals → exclusive cumsum over shards (tiny; broadcast)
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOffsets = toks.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("shard_tokens")).over(wShard), lit(0L)))
+      .select(col("shard"), col("shard_offset"))
+    local.join(broadcast(shardOffsets), "shard")
+      .withColumn("start_offset", col("shard_offset") + col("local_offset"))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         expr(s"start_offset div $PackBudget").as("seq_id"),
         pmod(col("start_offset"), lit(PackBudget)).as("seq_offset"))
