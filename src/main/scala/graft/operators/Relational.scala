@@ -262,8 +262,58 @@ object Relational extends QueryPack {
         col("l_quantity") * col("p_retailprice") * lit(0.5), "profit"))
       .orderBy(col("order_year"), col("p_brand"))
 
+  /** SSB Q2.3-style: one exact brand, any region — the narrowest Q2
+    * drill-down (the spec's single-brand probe). */
+  def ssbQ2SingleBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).filter(col("p_brand") === "Brand#13")
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"), col("p_brand"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("ship_year"), col("p_brand"))
+  }
+
+  /** SSB Q3.4-style: one nation pair in ONE month — the yyyymm
+    * composite predicate rides [[graft.plans.DateRangeRewrite]] down to
+    * the scan even inside the 4-way join. */
+  def ssbQ3PairMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val cn = Tables.nation(spark, dir)
+    val sn = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(cn.select(col("n_nationkey").as("c_nk"), col("n_name").as("c_nation"))),
+        c("c_nationkey") === col("c_nk"))
+      .join(broadcast(sn.select(col("n_nationkey").as("s_nk"), col("n_name").as("s_nation"))),
+        s("s_nationkey") === col("s_nk"))
+      .filter(col("c_nation").isin("NATION_0", "NATION_1") &&
+        col("s_nation").isin("NATION_0", "NATION_1"))
+      .filter((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))) === 199703)
+      .groupBy(col("c_nation"), col("s_nation"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("c_nation"), col("s_nation"))
+  }
+
+  /** SSB Q4.3-style: profit at (year × brand) grain for one supplier
+    * nation in the Q4 window — the deepest drill-down of the flight. */
+  def ssbQ4NationProfit(spark: SparkSession, dir: String): DataFrame =
+    Star.build(spark, dir)
+      .filter(col("s_nationkey") === 3 &&
+        year(col("o_orderdate")).between(1996, 1997))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"), col("p_brand"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("l_quantity") * col("p_retailprice") * lit(0.5), "profit"))
+      .orderBy(col("order_year"), col("p_brand"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ssb_q2_2_brand_range" -> ssbQ2BrandRange,
+    "ssb_q2_3_single_brand" -> ssbQ2SingleBrand,
+    "ssb_q3_4_pair_monthly" -> ssbQ3PairMonthly,
+    "ssb_q4_3_nation_profit" -> ssbQ4NationProfit,
     "ssb_q3_2_segment_flows" -> ssbQ3SegmentFlows,
     "ssb_q4_2_brand_profit" -> ssbQ4BrandProfit,
     "rel_pricing_summary"  -> pricingSummary,
@@ -289,6 +339,34 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "ssb_q2_3_single_brand" ->
+      s"""SELECT EXTRACT(YEAR FROM l_shipdate) AS ship_year, p_brand,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#13'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ssb_q3_4_pair_monthly" ->
+      s"""SELECT cn.n_name AS c_nation, sn.n_name AS s_nation,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE cn.n_name IN ('NATION_0', 'NATION_1')
+         |  AND sn.n_name IN ('NATION_0', 'NATION_1')
+         |  AND EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) = 199703
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ssb_q4_3_nation_profit" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, p_brand,
+         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |              - l_quantity * p_retailprice * 0.5 AS DECIMAL(38,6)))
+         |            AS DOUBLE) AS profit
+         |FROM ${Star.sql}
+         |WHERE s_nationkey = 3
+         |  AND EXTRACT(YEAR FROM o_orderdate) BETWEEN 1996 AND 1997
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ssb_q2_2_brand_range" ->
       s"""SELECT EXTRACT(YEAR FROM l_shipdate) AS ship_year, p_brand,
          |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
