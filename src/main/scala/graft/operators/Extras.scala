@@ -172,6 +172,22 @@ object Extras extends QueryPack {
           .cast(DoubleType).as("revenue"))
       .orderBy(col("o_year"), col("c_mktsegment"))
 
+  /** Typed-Dataset aggregation path: `groupByKey` + a compile-time-
+    * checked [[graft.functions.TypedAggregators.AvgLong]] Aggregator —
+    * the `Dataset[T]` API surface (vs the untyped Column agg everywhere
+    * else). Integer buffer ⇒ merge-order-free; one final division. */
+  def typedAvgQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TypedAggregators.AvgLong[(String, Double)](_._2.toLong)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("avg_qty"))
+      .toDF("l_returnflag", "avg_qty")
+      .orderBy(col("l_returnflag"))
+  }
+
   /** RANGE-frame analytic window: per-day order revenue with a trailing
     * 7-day (6 PRECEDING..CURRENT in day units) rolling sum — the frame
     * type `rel_running_total`'s ROWS frame doesn't cover. The window
@@ -305,6 +321,7 @@ object Extras extends QueryPack {
     "x_gap_fill_daily"     -> gapFillDaily,
     "x_date_dim"           -> dateDim,
     "x_trailing_revenue"   -> trailingRevenue,
+    "x_typed_avg_qty"      -> typedAvgQuantity,
     "x_asof_last_purchase" -> asofLastPurchase,
     "x_asof_custom_op"     -> asofCustomOperator,
     "x_asof_forward"       -> asofForward,
@@ -375,6 +392,10 @@ object Extras extends QueryPack {
         |       p.value AS last_purchase_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "x_typed_avg_qty" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_trailing_revenue" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
