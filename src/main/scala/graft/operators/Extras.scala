@@ -221,6 +221,46 @@ object Extras extends QueryPack {
           .cast(DoubleType).as("revenue"))
       .orderBy(col("o_year"))
 
+  /** Partition-pruned read-back: the year-partitioned star snapshot
+    * queried for ONE year — the scan's PartitionFilters drop every
+    * other year's directories before any IO (spec-pinned). Oracle
+    * recomputes from the raw join with the same predicate. */
+  def starPartitionPruned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(Star.partitionedPath(spark, dir))
+      .filter(col("order_year") === 1996)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  /** MERGE/upsert re-expressed without a table format (no Delta in this
+    * container): updates take priority over the base snapshot through a
+    * FULL OUTER join + per-column coalesce, producing the rotated
+    * snapshot — updated rows replaced, new rows inserted, untouched
+    * rows carried. The update set is derived deterministically from the
+    * fixture so the oracle can rebuild the identical merge in SQL. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+        col("c_mktsegment"))
+      .unionAll(base.filter(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    val u = updates.select(col("c_custkey").as("k"), col("c_acctbal").as("u_bal"),
+      col("c_mktsegment").as("u_seg"))
+    val merged = u.join(base.withColumnRenamed("c_custkey", "k"), Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("u_bal"), col("c_acctbal")).as("bal"),
+        coalesce(col("u_seg"), col("c_mktsegment")).as("seg"))
+    merged.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("bal"))).cast(DoubleType).as("total_bal"))
+      .orderBy(col("seg"))
+  }
+
   /** dbt-style schema tests as one result set: (test_name, n_violations)
     * per declared constraint — not-null, unique, two FK relationships,
     * accepted-values. Values (all zeros on healthy data) are computed,
@@ -333,6 +373,8 @@ object Extras extends QueryPack {
     "x_sql_entry"          -> sqlEntry,
     "x_star_materialized"  -> starMaterializedRollup,
     "x_star_incremental"   -> starIncrementalRollup,
+    "x_star_partition_pruned" -> starPartitionPruned,
+    "x_merge_upsert"       -> mergeUpsert,
     "x_schema_tests"       -> schemaTests,
     "ssb_star_full"        -> starFull)
 
@@ -479,6 +521,30 @@ object Extras extends QueryPack {
          |            AS DOUBLE) AS revenue
          |FROM ${Star.sql}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_star_partition_pruned" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+         |            AS DOUBLE) AS revenue
+         |FROM ${Star.sql}
+         |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |updates AS (
+        |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 17 = 0),
+        |merged AS (
+        |  SELECT COALESCE(u.c_custkey, b.c_custkey) AS k,
+        |         COALESCE(u.c_acctbal, b.c_acctbal) AS bal,
+        |         COALESCE(u.c_mktsegment, b.c_mktsegment) AS seg
+        |  FROM updates u FULL OUTER JOIN base b ON u.c_custkey = b.c_custkey)
+        |SELECT seg, COUNT(*) AS n,
+        |       CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_schema_tests" ->
       """SELECT 'customer_nation_fk' AS test_name, COUNT(*) AS n_violations
         |FROM customer c WHERE NOT EXISTS

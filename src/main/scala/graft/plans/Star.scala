@@ -92,6 +92,24 @@ object Star {
       out
     })
 
+  /** Year-partitioned star materialization: the layout that makes every
+    * year-ranged downstream query PRUNE whole directories at the source
+    * (PartitionFilters in the scan, zero IO for other years) — at
+    * 100 TB, partition columns are the first-order data-skipping lever,
+    * ahead of row-group stats. */
+  private val partCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  def partitionedPath(spark: SparkSession, dir: String): String =
+    partCache.getOrElseUpdate((spark, dir), {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_star_part_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      build(spark, dir)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("order_year").parquet(out)
+      out
+    })
+
   /** dbt `materialized='incremental'` re-expressed: the initial build
     * writes history (orderdate < split), a later incremental run appends
     * ONLY the new slice (orderdate ≥ split) — never rewriting history.

@@ -127,6 +127,17 @@ class PropertySpec extends AnyFunSuite {
     assert(star == li)
   }
 
+  test("year-partitioned star: read-back prunes to one partition directory") {
+    val df = graft.operators.Extras.starPartitionPruned(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("order_year"), s"partition filter missing:\n$plan")
+    // the pruned scan must NOT carry the year predicate as a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "filter should resolve via partitions, not row groups")
+  }
+
   test("star materialization round-trip (O4 CTAS path)") {
     val out = java.nio.file.Files.createTempDirectory("graft-star").toString
     graft.plans.Star.materialize(spark, TestSpark.Sf, s"$out/star")
