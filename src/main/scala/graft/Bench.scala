@@ -59,7 +59,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+      s""""warmed":$warmup,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
