@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity (north-star
+  * surface, round 3): eval-set decontamination, intra-document
+  * repetition metrics, deterministic global shuffle, stratified
+  * sampling, int8 embedding quantization, and sketch-based distinct
+  * counting with mergeable partial sketches.
+  *
+  * Shared determinism rules (memory: oracle-parity playbook): split /
+  * sampling decisions come from md5 hex-string comparisons (no RNG, no
+  * engine-specific hash); fractions are single IEEE divisions of exact
+  * integers; float folds follow the sequential-order contract that is
+  * bit-identical to DuckDB's `list_dot_product`; counts are cast to
+  * long on both sides.
+  */
+object Pipeline extends QueryPack {
+
+  private val toks = "split(text, ' ')"
+
+  /** 5-token shingles — long enough that a cross-split collision means
+    * real leakage (measured: 11 contaminated train docs of 422 at
+    * sf0.01, not vocabulary noise; 3-grams would flag 98%). */
+  private val NGram = 5
+
+  private def gramsExpr(n: Int): String =
+    s"transform(sequence(1, size($toks) - ${n - 1}), i -> array_join(slice($toks, i, $n), ' '))"
+
+  /** Deterministic eval membership: first md5 hex char of the doc id
+    * < '2' ⇒ ~12.5% of the corpus is the held-out eval set. */
+  private val isEvalExpr =
+    "substr(md5(cast(cast(doc_id as string) as binary)), 1, 1) < '2'"
+
+  /** Eval-set decontamination: train documents sharing at least one
+    * 5-gram with any eval document, with collision counts — the
+    * benchmark-leakage scan every pre-training corpus needs before
+    * training on data that might contain its own eval suite.
+    *
+    * Scale posture: one shuffle on the gram key; the eval side is a
+    * ~12.5% slice and per-doc grams are `array_distinct`ed before the
+    * join, so the join input is bounded by corpus token count. At
+    * production scale the gram strings ride as xxhash64 keys (the
+    * hashed-shingle path [[Dedup]] already uses); the oracle keeps raw
+    * strings for SQL portability. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .filter(expr(s"size($toks) >= $NGram"))
+      .selectExpr("doc_id", s"$isEvalExpr as is_eval",
+        s"explode(array_distinct(${gramsExpr(NGram)})) as gram")
+    val train = g.filter(!col("is_eval")).select(col("doc_id"), col("gram"))
+    val eval = g.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("gram"))
+    train.join(eval, "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def gramStats(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(expr(s"size($toks) >= $n"))
+      .selectExpr("doc_id", s"explode(${gramsExpr(n)}) as gram")
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as(s"n_${n}grams"),
+        max(col("c")).as(s"top${n}_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup${n}_n"))
+
+  /** Gopher-style intra-document repetition metrics: fraction of 2-gram
+    * occurrences inside the single most frequent 2-gram, fraction inside
+    * any repeated 2-gram, and the top-3-gram fraction — the standard
+    * "degenerate repetition" quality gates. All counts are exact
+    * integers; each fraction is one IEEE division. Map-side explode +
+    * two-level aggregate per doc; no cross-document shuffle. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    gramStats(docs, 2).join(gramStats(docs, 3), "doc_id")
+      .selectExpr("doc_id", "n_2grams", "top2_n", "dup2_n",
+        "cast(top2_n as double) / cast(n_2grams as double) as top2_frac",
+        "cast(dup2_n as double) / cast(n_2grams as double) as dup2_frac",
+        "cast(top3_n as double) / cast(n_3grams as double) as top3_frac")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic global shuffle — the reproducible training-order
+    * permutation: rank documents by (md5(doc_id), doc_id).
+    *
+    * The rank is computed DISTRIBUTED, two-level (same construction as
+    * [[Curation.packSequences]]): the first hex char of the key is a
+    * 16-way shard that is also a prefix of the sort key, so
+    * (shard, key) order == global key order; ranks are dense within
+    * shards (parallel windows) plus broadcast per-shard offsets. Output
+    * is identical to one global ROW_NUMBER (the oracle computes exactly
+    * that) with no single-partition sort of the corpus. */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "md5(cast(cast(doc_id as string) as binary)) as k")
+      .withColumn("shard", expr("substr(k, 1, 1)"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val local = keyed.withColumn("local_rank", row_number().over(wIn).cast("long"))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wShard), lit(0L)))
+      .select(col("shard"), col("off"))
+    local.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), (col("off") + col("local_rank")).as("position"))
+      .orderBy(col("position"))
+  }
+
+  /** Language-stratified downsampling: English (the over-represented
+    * slice, ~41% of the fixture) keeps 25%, every other language keeps
+    * 75% — decided per doc by a salted md5 hex threshold, so membership
+    * is deterministic, engine-independent, and re-runnable (the
+    * rebalancing pass every multilingual pre-training mix needs).
+    * Pure map-side filter; zero shuffles. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(expr(
+        """substr(md5(cast(concat('strat', cast(doc_id as string)) as binary)), 1, 4)
+          |  < (case when lang = 'en' then '4000' else 'c000' end)""".stripMargin))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Int8 embedding quantization audit: per-vector max-abs scale,
+    * round-half-up to [-127, 127], reporting saturation count and
+    * max/mean absolute reconstruction error — the storage-shrink step
+    * (4×) before ANN indexing at 100 TB. Everything is exact IEEE ops
+    * (`floor(x/s·127 + ½)`), so the audit hash-matches DuckDB; map-side
+    * only. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        "array_max(transform(embedding, x -> abs(cast(x as double)))) as scale")
+      .selectExpr("vec_id", "scale",
+        """cast(size(filter(embedding,
+          |  x -> abs(floor(cast(x as double) / scale * 127 + 0.5)) = 127)) as bigint) as n_sat""".stripMargin,
+        """array_max(transform(embedding,
+          |  x -> abs(cast(x as double)
+          |           - floor(cast(x as double) / scale * 127 + 0.5) * scale / 127))) as max_abs_err""".stripMargin,
+        """aggregate(transform(embedding,
+          |    x -> abs(cast(x as double)
+          |             - floor(cast(x as double) / scale * 127 + 0.5) * scale / 127)),
+          |  cast(0 as double), (a, v) -> a + v) / size(embedding) as mean_abs_err""".stripMargin)
+      .orderBy(col("vec_id"))
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark builtins): one HLL sketch per day of `events`, then the
+    * month total re-aggregated from the STORED sketches alone
+    * (`hll_union_agg`) — the partial-sketch pattern that lets 100 TB
+    * rollups reuse per-partition sketches instead of rescanning raw
+    * data. Exact counts ride along for the accuracy invariant
+    * (PipelineSpec); rows-only — DuckDB's approx sketch differs. */
+  def hllDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val perDay = daily.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("est_users"), col("exact_users"))
+    val total = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .join(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+    perDay.unionByName(
+        total.select(lit(null).cast("date").as("day"),
+          col("est_users"), col("exact_users")))
+      .orderBy(col("day").asc_nulls_last)
+  }
+
+  /** Approximate quantiles (Greenwald-Khanna sketch) of order value per
+    * return flag — the mergeable-quantile companion to [[hllDaily]];
+    * rows-only, invariant-tested against exact percentiles. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("pcts"))
+      .selectExpr("l_returnflag", "pcts[0] as p25", "pcts[1] as p50", "pcts[2] as p75")
+      .orderBy(col("l_returnflag"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate"    -> decontaminate,
+    "text_repetition"       -> repetition,
+    "cur_global_shuffle"    -> globalShuffle,
+    "cur_stratified_sample" -> stratifiedSample,
+    "sim_quantize_int8"     -> quantizeInt8,
+    "ev_hll_daily"          -> hllDaily,
+    "x_approx_quantiles"    -> approxQuantiles)
+
+  private val dToks = "string_split(text, ' ')"
+  private def dGrams(n: Int): String =
+    s"""list_transform(generate_series(1, len($dToks) - ${n - 1}),
+       |  i -> array_to_string(list_slice($dToks, i, i + ${n - 1}), ' '))""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "text_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id,
+         |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
+         |                  ${dGrams(NGram)} AS grams
+         |           FROM documents WHERE len($dToks) >= $NGram),
+         |g AS (SELECT doc_id, is_eval, unnest(list_distinct(grams)) AS gram FROM t)
+         |SELECT tr.doc_id AS doc_id,
+         |       COUNT(DISTINCT gram) AS n_shared_grams,
+         |       COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+         |FROM g tr JOIN g ev USING (gram)
+         |WHERE NOT tr.is_eval AND ev.is_eval
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_repetition" ->
+      s"""WITH g2 AS (SELECT doc_id, unnest(${dGrams(2)}) AS gram
+         |            FROM documents WHERE len($dToks) >= 2),
+         |c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         |              CAST(MAX(c) AS BIGINT) AS top2_n,
+         |              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2_n
+         |       FROM c2 GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(${dGrams(3)}) AS gram
+         |            FROM documents WHERE len($dToks) >= 3),
+         |c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         |s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+         |              CAST(MAX(c) AS BIGINT) AS top3_n
+         |       FROM c3 GROUP BY 1)
+         |SELECT s2.doc_id, n_2grams, top2_n, dup2_n,
+         |       CAST(top2_n AS DOUBLE) / CAST(n_2grams AS DOUBLE) AS top2_frac,
+         |       CAST(dup2_n AS DOUBLE) / CAST(n_2grams AS DOUBLE) AS dup2_frac,
+         |       CAST(top3_n AS DOUBLE) / CAST(n_3grams AS DOUBLE) AS top3_frac
+         |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+         |ORDER BY s2.doc_id""".stripMargin,
+    "cur_global_shuffle" ->
+      """SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+        |FROM documents ORDER BY position""".stripMargin,
+    "cur_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 4)
+        |      < (CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END)
+        |ORDER BY doc_id""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |                  list_max(list_transform(embedding,
+        |                    x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |           FROM embeddings),
+        |e AS (SELECT vec_id, scale,
+        |             list_transform(embedding,
+        |               x -> abs(CAST(x AS DOUBLE)
+        |                        - floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)
+        |                          * scale / 127)) AS errs,
+        |             len(list_filter(embedding,
+        |               x -> abs(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)) = 127)) AS n_sat,
+        |             len(embedding) AS dim
+        |      FROM s)
+        |SELECT vec_id, scale, n_sat,
+        |       list_max(errs) AS max_abs_err,
+        |       list_dot_product(errs, list_transform(errs, x -> 1.0)) / dim AS mean_abs_err
+        |FROM e ORDER BY vec_id""".stripMargin)
+}

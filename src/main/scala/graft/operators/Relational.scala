@@ -298,6 +298,29 @@ object Relational extends QueryPack {
       .orderBy(col("c_nation"), col("s_nation"))
   }
 
+  /** SSB Q3.3-style: city-pair drill-down. The fixtures carry no city
+    * column, so city is a derived dimension attribute — a deterministic
+    * key-residue bucket (`C_C<custkey%3>` / `S_C<suppkey%3>`) standing
+    * in for the spec's city-within-nation; the operator shape (2×2 IN
+    * filters on both derived sides, pair × year grain) is Q3.3's. */
+  def ssbQ3CityPair(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+      .withColumn("c_city", concat(lit("C_C"), pmod(col("c_custkey"), lit(3))))
+    val s  = Tables.supplier(spark, dir)
+      .withColumn("s_city", concat(lit("S_C"), pmod(col("s_suppkey"), lit(3))))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .filter(col("c_city").isin("C_C1", "C_C2") &&
+        col("s_city").isin("S_C1", "S_C2"))
+      .groupBy(col("c_city"), col("s_city"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("ship_year"), col("c_city"), col("s_city"))
+  }
+
   /** SSB Q4.3-style: profit at (year × brand) grain for one supplier
     * nation in the Q4 window — the deepest drill-down of the flight. */
   def ssbQ4NationProfit(spark: SparkSession, dir: String): DataFrame =
@@ -312,6 +335,7 @@ object Relational extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ssb_q2_2_brand_range" -> ssbQ2BrandRange,
     "ssb_q2_3_single_brand" -> ssbQ2SingleBrand,
+    "ssb_q3_3_city_pair" -> ssbQ3CityPair,
     "ssb_q3_4_pair_monthly" -> ssbQ3PairMonthly,
     "ssb_q4_3_nation_profit" -> ssbQ4NationProfit,
     "ssb_q3_2_segment_flows" -> ssbQ3SegmentFlows,
@@ -345,6 +369,18 @@ object Relational extends QueryPack {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE p_brand = 'Brand#13'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ssb_q3_3_city_pair" ->
+      s"""SELECT concat('C_C', c_custkey % 3) AS c_city,
+         |       concat('S_C', s_suppkey % 3) AS s_city,
+         |       EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE concat('C_C', c_custkey % 3) IN ('C_C1', 'C_C2')
+         |  AND concat('S_C', s_suppkey % 3) IN ('S_C1', 'S_C2')
+         |GROUP BY 1, 2, 3 ORDER BY 3, 1, 2""".stripMargin,
     "ssb_q3_4_pair_monthly" ->
       s"""SELECT cn.n_name AS c_nation, sn.n_name AS s_nation,
          |       CAST(SUM($discPrice) AS DOUBLE) AS revenue

@@ -175,7 +175,11 @@ object Similarity extends QueryPack {
     * for the corpus, queries probe the 14 nearest centroids and rerank
     * exactly. Rows-only + DedupSimilaritySpec recall floor. */
   def topKIvf(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+    // pin the corpus projection once: each Lloyd round plus the final
+    // assignment re-references it, and without a checkpoint every action
+    // re-derives (and re-analyzes) the scan+norm subtree per round — the
+    // same iterative-lineage trap as Curation's fixpoint loop
+    val c = corpus(spark, dir).localCheckpoint()
     val cents = lloydCentroids(spark, c, LloydIters)
     val assigned = nearest(c, cents, 1, "vec_id", "embedding", "nrm")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
