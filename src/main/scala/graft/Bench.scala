@@ -77,7 +77,10 @@ object Bench {
       (name, m, err)
     }
     val (floor, _) = med(() => spark.range(1).count())
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
+    // locale would make every number line invalid JSON
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (k, v, _) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }

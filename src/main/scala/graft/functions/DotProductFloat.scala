@@ -67,8 +67,16 @@ case class DotProductFloat(left: Expression, right: Expression)
 }
 
 object DotProductFloat {
-  /** Register `graft_dot(a, b)` for SQL/expr use in this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+  /** Register `graft_dot(a, b)` for SQL/expr use in this session.
+    * Idempotent: a no-op when the function already exists (it does in
+    * any session built with [[graft.GraftExtensions]]) — re-registering
+    * per query invocation spammed `SimpleFunctionRegistry` replacement
+    * warnings across a 97-query bench session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+  }
 }

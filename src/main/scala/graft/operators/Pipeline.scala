@@ -47,8 +47,11 @@ object Pipeline extends QueryPack {
     * production scale the gram strings ride as xxhash64 keys (the
     * hashed-shingle path [[Dedup]] already uses); the oracle keeps raw
     * strings for SQL portability. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir))
+
+  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+    val g = docs
       .filter(expr(s"size($toks) >= $NGram"))
       .selectExpr("doc_id", s"$isEvalExpr as is_eval",
         s"explode(array_distinct(${gramsExpr(NGram)})) as gram")
@@ -62,24 +65,79 @@ object Pipeline extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  private def gramStats(docs: DataFrame, n: Int): DataFrame =
-    docs.filter(expr(s"size($toks) >= $n"))
-      .selectExpr("doc_id", s"explode(${gramsExpr(n)}) as gram")
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+  /** Grams in more than this many documents are boilerplate, not
+    * leakage; the fixture's 500 docs can never reach it, so the hashed
+    * form stays pair-for-pair equal to the raw oracle form at test SF
+    * (PipelineSpec pins that) while the cap bounds hot-gram join fanout
+    * at production SF. */
+  private val DfCap = 1000
+
+  /** Scale variant of [[decontaminate]]: grams ride as xxhash64 keys (8
+    * bytes instead of the string) and grams above a document-frequency
+    * cap are dropped before the join. The raw form's weakness at 100× is
+    * the skewed shuffle on hot grams — a stop-word-heavy corpus puts a
+    * huge share of rows on few gram keys and the train×eval candidate
+    * blowup is quadratic per hot gram. The cap removes exactly those
+    * keys (computed first with a map-side-combining count, where hot
+    * keys collapse to one row per task before the shuffle), so the join
+    * runs on rare grams only. Rows-only (no DuckDB xxhash64);
+    * PipelineSpec pins output equality with the oracle-paired raw form. */
+  def decontaminateHashed(spark: SparkSession, dir: String): DataFrame =
+    decontaminateHashedOf(Tables.documents(spark, dir), DfCap)
+
+  private[graft] def decontaminateHashedOf(docs: DataFrame, dfCap: Int): DataFrame = {
+    val g = docs
+      .filter(expr(s"size($toks) >= $NGram"))
+      .selectExpr("doc_id", s"$isEvalExpr as is_eval",
+        s"explode(array_distinct(transform(${gramsExpr(NGram)}, g -> xxhash64(g)))) as gh")
+    val keep = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("gh"))
+    val pruned = g.join(keep, "gh")
+    val train = pruned.filter(!col("is_eval")).select(col("doc_id"), col("gh"))
+    val eval = pruned.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("gh"))
+    train.join(eval, "gh")
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as(s"n_${n}grams"),
-        max(col("c")).as(s"top${n}_n"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup${n}_n"))
+      .agg(countDistinct(col("gh")).as("n_shared_grams"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Gopher-style intra-document repetition metrics: fraction of 2-gram
     * occurrences inside the single most frequent 2-gram, fraction inside
     * any repeated 2-gram, and the top-3-gram fraction — the standard
     * "degenerate repetition" quality gates. All counts are exact
-    * integers; each fraction is one IEEE division. Map-side explode +
-    * two-level aggregate per doc; no cross-document shuffle. */
+    * integers; each fraction is one IEEE division.
+    *
+    * Single pass: both gram sizes come out of ONE documents scan (each
+    * gram tagged with its n and exploded together), where round 3 scanned
+    * the table twice — the per-(doc,n,gram) and per-(doc,n) aggregates
+    * partial-combine map-side, so the extra grouping level costs almost
+    * nothing vs the saved scan. No cross-document shuffle. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    gramStats(docs, 2).join(gramStats(docs, 3), "doc_id")
+    val g = Tables.documents(spark, dir)
+      .filter(expr(s"size($toks) >= 2"))
+      .selectExpr("doc_id",
+        s"""explode(concat(
+           |  transform(${gramsExpr(2)}, g -> struct(2 as n, g as gram)),
+           |  if(size($toks) >= 3,
+           |     transform(${gramsExpr(3)}, g -> struct(3 as n, g as gram)),
+           |     cast(array() as array<struct<n: int, gram: string>>)))) as ng""".stripMargin)
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+    g.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"), max(col("c")).as("topn"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupn"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("n") === 2, col("total"))).as("n_2grams"),
+        max(when(col("n") === 2, col("topn"))).as("top2_n"),
+        max(when(col("n") === 2, col("dupn"))).as("dup2_n"),
+        max(when(col("n") === 3, col("total"))).as("n_3grams"),
+        max(when(col("n") === 3, col("topn"))).as("top3_n"))
+      // docs with exactly 2 tokens have no 3-grams; the round-3 inner
+      // join dropped them and the oracle still does
+      .filter(col("n_3grams").isNotNull)
       .selectExpr("doc_id", "n_2grams", "top2_n", "dup2_n",
         "cast(top2_n as double) / cast(n_2grams as double) as top2_frac",
         "cast(dup2_n as double) / cast(n_2grams as double) as dup2_frac",
@@ -120,7 +178,10 @@ object Pipeline extends QueryPack {
     * rebalancing pass every multilingual pre-training mix needs).
     * Pure map-side filter; zero shuffles. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    stratifiedSampleOf(Tables.documents(spark, dir))
+
+  private[graft] def stratifiedSampleOf(docs: DataFrame): DataFrame =
+    docs
       .filter(expr(
         """substr(md5(cast(concat('strat', cast(doc_id as string)) as binary)), 1, 4)
           |  < (case when lang = 'en' then '4000' else 'c000' end)""".stripMargin))
@@ -132,11 +193,17 @@ object Pipeline extends QueryPack {
     * max/mean absolute reconstruction error — the storage-shrink step
     * (4×) before ANN indexing at 100 TB. Everything is exact IEEE ops
     * (`floor(x/s·127 + ½)`), so the audit hash-matches DuckDB; map-side
-    * only. */
+    * only. The scale is `nullif(·, 0)`: an all-zero embedding would
+    * otherwise divide 0/0, and Spark's `floor(NaN)` (0) disagrees with
+    * DuckDB's (NaN) — the null propagates so degenerate vectors report
+    * NULL errors consistently on both engines (PipelineSpec). */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    quantizeInt8Of(Tables.embeddings(spark, dir))
+
+  private[graft] def quantizeInt8Of(embeddings: DataFrame): DataFrame =
+    embeddings
       .selectExpr("vec_id", "embedding",
-        "array_max(transform(embedding, x -> abs(cast(x as double)))) as scale")
+        "nullif(array_max(transform(embedding, x -> abs(cast(x as double)))), cast(0 as double)) as scale")
       .selectExpr("vec_id", "scale",
         """cast(size(filter(embedding,
           |  x -> abs(floor(cast(x as double) / scale * 127 + 0.5)) = 127)) as bigint) as n_sat""".stripMargin,
@@ -185,6 +252,7 @@ object Pipeline extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate"    -> decontaminate,
+    "text_decontam_hashed"  -> decontaminateHashed,
     "text_repetition"       -> repetition,
     "cur_global_shuffle"    -> globalShuffle,
     "cur_stratified_sample" -> stratifiedSample,
@@ -242,8 +310,8 @@ object Pipeline extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
     "sim_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,
-        |                  list_max(list_transform(embedding,
-        |                    x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |                  nullif(list_max(list_transform(embedding,
+        |                    x -> abs(CAST(x AS DOUBLE)))), 0) AS scale
         |           FROM embeddings),
         |e AS (SELECT vec_id, scale,
         |             list_transform(embedding,

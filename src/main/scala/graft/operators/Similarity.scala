@@ -175,11 +175,12 @@ object Similarity extends QueryPack {
     * for the corpus, queries probe the 14 nearest centroids and rerank
     * exactly. Rows-only + DedupSimilaritySpec recall floor. */
   def topKIvf(spark: SparkSession, dir: String): DataFrame = {
-    // pin the corpus projection once: each Lloyd round plus the final
-    // assignment re-references it, and without a checkpoint every action
-    // re-derives (and re-analyzes) the scan+norm subtree per round — the
-    // same iterative-lineage trap as Curation's fixpoint loop
-    val c = corpus(spark, dir).localCheckpoint()
+    // no checkpoint/cache here: the round-3 localCheckpoint measured as a
+    // no-op on latency (the cost is the Lloyd aggregations themselves,
+    // not re-analysis of the scan+norm subtree) and its blocks were never
+    // freed, accumulating storage memory for the life of a 97-query
+    // bench session — the two-round lineage is shallow enough to re-derive
+    val c = corpus(spark, dir)
     val cents = lloydCentroids(spark, c, LloydIters)
     val assigned = nearest(c, cents, 1, "vec_id", "embedding", "nrm")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
