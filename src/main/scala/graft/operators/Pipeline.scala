@@ -86,13 +86,24 @@ object Pipeline extends QueryPack {
     decontaminateHashedOf(Tables.documents(spark, dir), DfCap)
 
   private[graft] def decontaminateHashedOf(docs: DataFrame, dfCap: Int): DataFrame = {
+    // gram key = xxhash64 over a 5-slice of per-token hashes: tokens are
+    // hashed once and the sliding window hashes 40 bytes of longs, never
+    // building the gram string (the map-side cost that dominates the raw
+    // form's explode, and this subtree is evaluated for the df count and
+    // both join sides)
     val g = docs
       .filter(expr(s"size($toks) >= $NGram"))
+      .withColumn("th", expr(s"transform($toks, t -> xxhash64(t))"))
       .selectExpr("doc_id", s"$isEvalExpr as is_eval",
-        s"explode(array_distinct(transform(${gramsExpr(NGram)}, g -> xxhash64(g)))) as gh")
-    val keep = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("gh"))
-    val pruned = g.join(keep, "gh")
+        s"""explode(array_distinct(transform(sequence(1, size(th) - ${NGram - 1}),
+           |  i -> xxhash64(slice(th, i, $NGram))))) as gh""".stripMargin)
+    // prune via the HOT side: grams over the cap are by definition few
+    // (each needs > dfCap distinct docs), so they broadcast and the
+    // pruning is a map-side anti join — joining on the rare-gram KEEP
+    // set instead would shuffle the full exploded corpus a second time
+    val hot = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("gh"))
+    val pruned = g.join(broadcast(hot), Seq("gh"), "left_anti")
     val train = pruned.filter(!col("is_eval")).select(col("doc_id"), col("gh"))
     val eval = pruned.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("gh"))
@@ -103,41 +114,32 @@ object Pipeline extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private def gramStats(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(expr(s"size($toks) >= $n"))
+      .selectExpr("doc_id", s"explode(${gramsExpr(n)}) as gram")
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as(s"n_${n}grams"),
+        max(col("c")).as(s"top${n}_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup${n}_n"))
+
   /** Gopher-style intra-document repetition metrics: fraction of 2-gram
     * occurrences inside the single most frequent 2-gram, fraction inside
     * any repeated 2-gram, and the top-3-gram fraction — the standard
     * "degenerate repetition" quality gates. All counts are exact
-    * integers; each fraction is one IEEE division.
+    * integers; each fraction is one IEEE division. Map-side explode +
+    * two-level aggregate per doc; no cross-document shuffle.
     *
-    * Single pass: both gram sizes come out of ONE documents scan (each
-    * gram tagged with its n and exploded together), where round 3 scanned
-    * the table twice — the per-(doc,n,gram) and per-(doc,n) aggregates
-    * partial-combine map-side, so the extra grouping level costs almost
-    * nothing vs the saved scan. No cross-document shuffle. */
+    * Deliberately TWO passes over `documents`: a fused single-scan form
+    * (both gram sizes struct-tagged and exploded together) measured 2.7×
+    * SLOWER at sf0.1 (5.1 s vs 1.9 s warm) — the explode/aggregate work
+    * dominates and the struct tagging + array concat cost more per gram
+    * than the second (column-pruned, page-cached) scan saves. At 100 TB
+    * the scan share grows, but the per-doc aggregates stay independent,
+    * so the two passes pipeline freely. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .filter(expr(s"size($toks) >= 2"))
-      .selectExpr("doc_id",
-        s"""explode(concat(
-           |  transform(${gramsExpr(2)}, g -> struct(2 as n, g as gram)),
-           |  if(size($toks) >= 3,
-           |     transform(${gramsExpr(3)}, g -> struct(3 as n, g as gram)),
-           |     cast(array() as array<struct<n: int, gram: string>>)))) as ng""".stripMargin)
-      .select(col("doc_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
-    g.groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(sum(col("c")).as("total"), max(col("c")).as("topn"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupn"))
-      .groupBy(col("doc_id"))
-      .agg(max(when(col("n") === 2, col("total"))).as("n_2grams"),
-        max(when(col("n") === 2, col("topn"))).as("top2_n"),
-        max(when(col("n") === 2, col("dupn"))).as("dup2_n"),
-        max(when(col("n") === 3, col("total"))).as("n_3grams"),
-        max(when(col("n") === 3, col("topn"))).as("top3_n"))
-      // docs with exactly 2 tokens have no 3-grams; the round-3 inner
-      // join dropped them and the oracle still does
-      .filter(col("n_3grams").isNotNull)
+    val docs = Tables.documents(spark, dir)
+    gramStats(docs, 2).join(gramStats(docs, 3), "doc_id")
       .selectExpr("doc_id", "n_2grams", "top2_n", "dup2_n",
         "cast(top2_n as double) / cast(n_2grams as double) as top2_frac",
         "cast(dup2_n as double) / cast(n_2grams as double) as dup2_frac",
