@@ -3,10 +3,9 @@ package graft.operators
 import graft.QueryPack
 import graft.functions.{HyperplaneSigs, VectorOps}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor search over the `embeddings` fixture
   * (north-star surface; SURVEY.md §2.3 X3): brute-force cosine top-k as
@@ -29,9 +28,10 @@ import org.apache.spark.sql.types.DecimalType
   * probes knobs below are the tuning surface.
   *
   * Determinism: hyperplanes come from a fixed LCG seed (no RNG calls);
-  * Lloyd means are order-independent decimal sums; every ranking is
-  * (cosine desc, vec_id) so ties are stable; cosine math follows the
-  * [[VectorOps]] bit-exact fold contract.
+  * Lloyd means are order-independent long fixed-point sums (6-decimal,
+  * the precision decimal(38,6) gave, without per-value BigDecimal
+  * boxing); every ranking is (cosine desc, vec_id) so ties are stable;
+  * cosine math follows the [[VectorOps]] bit-exact fold contract.
   */
 object Similarity extends QueryPack {
 
@@ -120,7 +120,7 @@ object Similarity extends QueryPack {
 
   private val NCentroids = 25
   private val SeedStride = 20
-  private val NProbes = 14
+  private val NProbes = 17
   private val LloydIters = 2
 
   /** Nearest-`keep` centroids per row against a broadcast centroid
@@ -135,65 +135,108 @@ object Similarity extends QueryPack {
       .filter(col("crank") <= keep)
   }
 
+  /** Literal centroid table as a column — array<struct<_1: cid,
+    * _2: vec, _3: norm>> packed into ONE `Literal` node via typedlit
+    * (a CreateArray tree of 25×64 scalar literals re-compiles codegen on
+    * every invocation, since each Lloyd run produces fresh values — that
+    * cold cost measured ~2× the query itself). The norm folds on the
+    * driver in the same array-order double accumulation as
+    * [[VectorOps.norm]]. */
+  private def centArray(cents: Seq[(Int, Array[Float])]): Column =
+    typedlit(cents.map { case (cid, vec) =>
+      (cid, vec.toSeq,
+        math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    })
+
+  /** Nearest-centroid id for each row as a PURE MAP-SIDE argmax fold over
+    * the literal centroid array — no join, no window, no shuffle. Ties
+    * break to the lowest cent_id (strict `>` keeps the earlier entry),
+    * matching the (cosine desc, cent_id) window order used for probes. */
+  private def assignedCentId(cents: Seq[(Int, Array[Float])],
+      eCol: String, nCol: String): Column =
+    aggregate(centArray(cents),
+      struct(lit(Double.MinValue).as("best"), lit(-1).as("cid")),
+      (acc, c) => {
+        val cos = call_function("graft_dot", c.getField("_2"), col(eCol)) /
+          (col(nCol) * c.getField("_3"))
+        when(cos > acc.getField("best"),
+          struct(cos.as("best"), c.getField("_1").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
   /** Lloyd-refined IVF centroids: deterministic every-20th-vector seeds,
     * then `iters` k-means rounds — assignment by cosine (ties to the
     * lowest cent_id), new centroid = per-dimension mean computed from
-    * order-independent DECIMAL sums, cast to float. The k×dim collect is
-    * centroid bookkeeping (bounded, broadcast back out), not data
-    * collection; empty clusters keep their previous centroid. */
-  private def lloydCentroids(spark: SparkSession, c: DataFrame,
-      iters: Int): DataFrame = {
+    * order-independent DECIMAL sums, cast to float. Centroids live on the
+    * driver between rounds (bounded k×dim bookkeeping), so each round is
+    * one map-side argmax pass + one skinny (cent, pos, value) aggregate —
+    * the round-3 form's per-round broadcast join + 125k-row window
+    * shuffle carrying embeddings profiled at ~0.7 s/round, ~2/3 of the
+    * whole query. Empty clusters keep their previous centroid. */
+  private[graft] def lloydCentroids(spark: SparkSession, c: DataFrame,
+      iters: Int): Seq[(Int, Array[Float])] = {
     import spark.implicits._
-    var cents = c.filter(col("vec_id") % SeedStride === 0 &&
+    var cents: Seq[(Int, Array[Float])] = c
+      .filter(col("vec_id") % SeedStride === 0 &&
         col("vec_id") < SeedStride.toLong * NCentroids)
       .select((col("vec_id") / SeedStride).cast("int").as("cent_id"),
-        col("embedding").as("ce"))
+        col("embedding"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    val dim = Dim
     for (_ <- 1 to iters) {
-      val withNorm = cents.select(col("cent_id"), col("ce"),
-        VectorOps.norm("ce").as("cn"))
-      val assigned = nearest(c, withNorm, 1, "vec_id", "embedding", "nrm")
-        .select(col("cent_id"), col("embedding"))
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("embedding")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("col").cast(DecimalType(38, 6))) / count(lit(1)))
-          .cast("float").as("m"))
+      val assigned = c.select(
+        assignedCentId(cents, "embedding", "nrm").as("cent_id"),
+        col("embedding"))
+      // per-dimension sums as `dim` flat agg columns: fully codegen'd
+      // with map-side partials (25 rows × dim per task), where a
+      // posexplode would materialize and hash-aggregate n×dim rows.
+      // LONG fixed-point (×10⁶) instead of decimal(38,6): the same
+      // 6-decimal order-independent determinism, but the accumulator
+      // stays a primitive long (no per-value BigDecimal boxing); no
+      // overflow risk — |x|·10⁶ ≲ 10⁷ per value leaves 10¹¹ headroom
+      // even at 10⁹ rows per cluster
+      val sums = (0 until dim).map(i =>
+        sum(expr(s"cast(round(cast(embedding[$i] as double) * 1e6) as bigint)"))
+          .as(s"s$i"))
+      val next = assigned
         .groupBy(col("cent_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-          .as("ce"))
-      // bounded k×dim bookkeeping: collect, fill empty clusters from the
-      // previous round, broadcast back as the next centroid table
-      val prev = cents.as[(Int, Array[Float])].collect().toMap
-      val next = means.as[(Int, Array[Float])].collect().toMap
-      val merged = prev.keys.toSeq.sorted.map(k => (k, next.getOrElse(k, prev(k))))
-      cents = merged.toDF("cent_id", "ce")
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("cent_id"),
+          array((0 until dim).map(i =>
+            (col(s"s$i") / 1e6 / col("cnt")).cast("float")): _*).as("ce"))
+        .as[(Int, Array[Float])].collect().toMap
+      cents = cents.map { case (k, prev) => (k, next.getOrElse(k, prev)) }
     }
-    cents.select(col("cent_id"), col("ce"), VectorOps.norm("ce").as("cn"))
+    cents
   }
 
   /** IVF ANN: 25 Lloyd-refined centroids, nearest-centroid assignment
     * for the corpus, queries probe the 14 nearest centroids and rerank
-    * exactly. Rows-only + DedupSimilaritySpec recall floor. */
-  def topKIvf(spark: SparkSession, dir: String): DataFrame = {
-    // no checkpoint/cache here: the round-3 localCheckpoint measured as a
-    // no-op on latency (the cost is the Lloyd aggregations themselves,
-    // not re-analysis of the scan+norm subtree) and its blocks were never
-    // freed, accumulating storage memory for the life of a 97-query
-    // bench session — the two-round lineage is shallow enough to re-derive
+    * exactly. Corpus assignment is the map-side argmax (no shuffle); the
+    * 10 probe queries still rank via the 25-row window (trivial). No
+    * distinct on the candidate pairs: each vector has exactly one
+    * centroid, so a (query, vector) pair joins at most once. Rows-only +
+    * DedupSimilaritySpec recall floor. */
+  def topKIvf(spark: SparkSession, dir: String): DataFrame =
+    topKIvfIters(spark, dir, LloydIters)
+
+  private[graft] def topKIvfIters(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    import spark.implicits._
     val c = corpus(spark, dir)
-    val cents = lloydCentroids(spark, c, LloydIters)
-    val assigned = nearest(c, cents, 1, "vec_id", "embedding", "nrm")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    val cents = lloydCentroids(spark, c, iters)
+    val assigned = c.withColumn("cent_id",
+      assignedCentId(cents, "embedding", "nrm"))
+    val centsDf = cents.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce"), VectorOps.norm("ce").as("cn"))
     val q = nearest(
       c.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-      cents, NProbes, "query_id", "qe", "qn")
+      centsDf, NProbes, "query_id", "qe", "qn")
       .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
     val pairs = assigned.join(broadcast(q), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (VectorOps.dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cosine"))
-      .distinct()
     rankedTopK(pairs)
   }
 
