@@ -167,11 +167,73 @@ object Curation extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("split"))
 
+  /** The curation FUNNEL — per-stage corpus accounting for the whole
+    * dedup→quality→sampling chain, the first table any data-curation
+    * run reports: how many documents/tokens survive each gate.
+    *
+    * Stages (cumulative):
+    *   0 raw · 1 exact dedup (min doc_id per md5 text group) ·
+    *   2 near-dup dedup (component representative — a superset check of
+    *   stage 1, since identical texts are Jaccard-1.0 neighbors, so the
+    *   component min is also its md5-group min) · 3 quality gate (same
+    *   predicate as [[curatedCorpus]]) · 4 stratified sample (same
+    *   membership rule as [[Pipeline.stratifiedSample]]).
+    *
+    * One pass: each doc computes its last surviving stage, explodes
+    * `sequence(0, last)`, and a single aggregate yields all stage rows —
+    * no per-stage rescans. Components come from the per-(session, dir)
+    * cache shared with `cur_components`/`cur_corpus`. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).selectExpr(
+      "doc_id", "lang", "text",
+      "cast(size(split(text, ' ')) as bigint) as n_tokens",
+      "cast(size(array_distinct(split(text, ' '))) as double) / size(split(text, ' ')) as dr")
+    val wMd5 = Window.partitionBy(md5(col("text").cast("binary")))
+    val flagged = docs
+      .withColumn("s1", col("doc_id") === min(col("doc_id")).over(wMd5))
+      .join(components(spark, dir), "doc_id")
+      .withColumn("s2", col("doc_id") === col("component"))
+      .withColumn("s3", expr("n_tokens between 20 and 500 and dr > 0.3"))
+      .withColumn("s4", expr(
+        """substr(md5(cast(concat('strat', cast(doc_id as string)) as binary)), 1, 4)
+          |  < (case when lang = 'en' then '4000' else 'c000' end)""".stripMargin))
+      .withColumn("last_stage", expr(
+        "case when not s1 then 0 when not s2 then 1 when not s3 then 2 " +
+          "when not s4 then 3 else 4 end"))
+    flagged
+      .select(col("n_tokens"),
+        explode(expr("sequence(cast(0 as bigint), cast(last_stage as bigint))")).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("stage_name", expr(
+        "case stage when 0 then 'raw' when 1 then 'exact_dedup' " +
+          "when 2 then 'neardup_dedup' when 3 then 'quality' " +
+          "else 'stratified' end"))
+      .select(col("stage"), col("stage_name"), col("n_docs"), col("n_tokens"))
+      .orderBy(col("stage"))
+  }
+
+  /** Corpus composition report — the training-mix table: documents,
+    * tokens, and token share per (lang, source). The share is one IEEE
+    * division of exact integer sums; the full-result window runs over
+    * #langs × #sources rows (bounded metadata, not corpus). */
+  def tokenMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(cast(size(split(text, ' ')) as bigint))").as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+      .orderBy(col("lang"), col("source"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_components" -> components,
     "cur_corpus"     -> curatedCorpus,
     "cur_pack_sequences" -> packSequences,
-    "cur_hash_split" -> hashSplit)
+    "cur_hash_split" -> hashSplit,
+    "cur_funnel"     -> funnel,
+    "cur_token_mix"  -> tokenMix)
 
   /** Components oracle: DuckDB recursive CTE computing min reachable id
     * over the same near-dup edges (same jaccard threshold/shingles). */
@@ -193,6 +255,42 @@ object Curation extends QueryPack {
        |        UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_funnel" ->
+      s"""$edgesSql,
+         |walk(doc_id, target) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.doc_id, s.doc_b FROM walk w JOIN sym s ON w.target = s.doc_a),
+         |comp AS (SELECT doc_id, MIN(target) AS component FROM walk GROUP BY 1),
+         |base AS (SELECT d.doc_id, d.lang,
+         |                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |                CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+         |                  / len(string_split(d.text, ' ')) AS dr,
+         |                d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS s1,
+         |                d.doc_id = c.component AS s2
+         |         FROM documents d JOIN comp c ON d.doc_id = c.doc_id),
+         |flags AS (SELECT n_tokens,
+         |                 CASE WHEN NOT s1 THEN 0 WHEN NOT s2 THEN 1
+         |                      WHEN NOT (n_tokens BETWEEN 20 AND 500 AND dr > 0.3) THEN 2
+         |                      WHEN NOT (substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 4)
+         |                                < (CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END)) THEN 3
+         |                      ELSE 4 END AS last_stage
+         |          FROM base),
+         |f AS (SELECT unnest(generate_series(0, last_stage)) AS stage, n_tokens FROM flags)
+         |SELECT stage,
+         |       CASE stage WHEN 0 THEN 'raw' WHEN 1 THEN 'exact_dedup'
+         |            WHEN 2 THEN 'neardup_dedup' WHEN 3 THEN 'quality'
+         |            ELSE 'stratified' END AS stage_name,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM f GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "cur_token_mix" ->
+      """WITH g AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+        |         AS token_share
+        |FROM g ORDER BY lang, source""".stripMargin,
     "cur_pack_sequences" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents),

@@ -277,7 +277,49 @@ object Dedup extends QueryPack {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Incremental dedup — the production ingestion flow: before a new
+    * batch joins the corpus, find which of its documents already exist.
+    * The corpus splits deterministically by the same Knuth
+    * multiplicative hash as [[Curation.hashSplit]] (bucket < 80 =
+    * existing corpus, ≥ 80 = incoming batch); each incoming doc reports
+    * its best existing match — exact (same md5 digest, matched on the
+    * 16-byte key, never the body) preferred over near (cross-split
+    * PPJoin pair at J ≥ 0.8), ties to the highest Jaccard then lowest
+    * existing id.
+    *
+    * Scale posture: the exact tier is one digest-keyed shuffle; the near
+    * tier reuses the full prefix-filtered [[ngramJaccardOf]] machinery
+    * (at production the existing side's shingle prefixes are a
+    * precomputed index — only the new batch is shingled per run). */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_new", expr("(doc_id * 2654435761) % 4294967296 % 100 >= 80"))
+    val exact = docs.filter(col("is_new"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(docs.filter(!col("is_new"))
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("match_doc")), "fp")
+      .select(col("doc_id"), col("match_doc"),
+        lit("exact").as("match_kind"), lit(1.0).as("jaccard"))
+    val flags = docs.select(col("doc_id"), col("is_new"))
+    val near = ngramJaccardOf(hashedShinglesOf(docs))
+      .join(flags.select(col("doc_id").as("doc_a"), col("is_new").as("new_a")), "doc_a")
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_new").as("new_b")), "doc_b")
+      .filter(col("new_a") =!= col("new_b"))
+      .select(when(col("new_a"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        when(col("new_a"), col("doc_b")).otherwise(col("doc_a")).as("match_doc"),
+        lit("near").as("match_kind"), col("jaccard"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("match_kind"), col("jaccard").desc, col("match_doc"))
+    exact.unionByName(near)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("match_doc"), col("match_kind"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental"   -> incremental,
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh"   -> minhashLsh,
@@ -292,6 +334,37 @@ object Dedup extends QueryPack {
       |                 string_split(text, ' ')[i + 2])))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |                  (doc_id * 2654435761) % 4294967296 % 100 >= 80 AS is_new
+         |           FROM documents),
+         |ex AS (SELECT n.doc_id, MIN(e.doc_id) AS match_doc
+         |       FROM d n JOIN d e
+         |         ON n.is_new AND NOT e.is_new AND md5(n.text) = md5(e.text)
+         |       GROUP BY 1),
+         |sh AS (SELECT doc_id, $dShingles AS s FROM documents),
+         |e2 AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+         |             any_value(a.n) AS na, any_value(b.n) AS nb
+         |      FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b,
+         |              CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+         |       FROM p WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
+         |near AS (SELECT CASE WHEN da.is_new THEN jp.doc_a ELSE jp.doc_b END AS doc_id,
+         |                CASE WHEN da.is_new THEN jp.doc_b ELSE jp.doc_a END AS match_doc,
+         |                jp.jaccard
+         |         FROM jp JOIN d da ON jp.doc_a = da.doc_id
+         |                 JOIN d db ON jp.doc_b = db.doc_id
+         |         WHERE da.is_new <> db.is_new),
+         |allm AS (SELECT doc_id, match_doc, 'exact' AS match_kind,
+         |                CAST(1.0 AS DOUBLE) AS jaccard FROM ex
+         |         UNION ALL
+         |         SELECT doc_id, match_doc, 'near' AS match_kind, jaccard FROM near)
+         |SELECT doc_id, match_doc, match_kind, jaccard FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |            ORDER BY match_kind, jaccard DESC, match_doc) AS rn FROM allm) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -252,9 +252,26 @@ object Pipeline extends QueryPack {
       .selectExpr("l_returnflag", "pcts[0] as p25", "pcts[1] as p50", "pcts[2] as p75")
       .orderBy(col("l_returnflag"))
 
+  /** Corpus-wide boilerplate detector: 5-grams appearing in two or more
+    * distinct documents, with their document frequency — the signal
+    * line-level dedup (C4/RefinedWeb) thresholds on to strip repeated
+    * headers/footers/templates before training. (The fixture corpus has
+    * no newline structure, so the gram is the repetition unit here; on
+    * real web text the same query runs over exploded lines.) One
+    * shuffle on the gram key with map-side combine; the df ≥ 2 filter
+    * keeps the output to actually-repeated content. */
+  def boilerplateGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(expr(s"size($toks) >= $NGram"))
+      .selectExpr(s"explode(array_distinct(${gramsExpr(NGram)})) as gram")
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("gram"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate"    -> decontaminate,
     "text_decontam_hashed"  -> decontaminateHashed,
+    "text_boilerplate_grams" -> boilerplateGrams,
     "text_repetition"       -> repetition,
     "cur_global_shuffle"    -> globalShuffle,
     "cur_stratified_sample" -> stratifiedSample,
@@ -268,6 +285,12 @@ object Pipeline extends QueryPack {
        |  i -> array_to_string(list_slice($dToks, i, i + ${n - 1}), ' '))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "text_boilerplate_grams" ->
+      s"""WITH t AS (SELECT doc_id, ${dGrams(NGram)} AS grams
+         |           FROM documents WHERE len($dToks) >= $NGram),
+         |g AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM t)
+         |SELECT gram, COUNT(*) AS df FROM g
+         |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY df DESC, gram""".stripMargin,
     "text_decontaminate" ->
       s"""WITH t AS (SELECT doc_id,
          |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,

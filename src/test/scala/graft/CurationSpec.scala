@@ -46,4 +46,46 @@ class CurationSpec extends AnyFunSuite {
     // strictly fewer docs than the corpus (dupes + low quality removed)
     assert(rows.length < graft.sources.Tables.documents(spark, TestSpark.Sf).count())
   }
+
+  test("funnel: monotone stages that reconcile with the standalone queries") {
+    val stages = Curation.funnel(spark, TestSpark.Sf)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(stages.map(_._1).toSeq == (0L to 4L),
+      "exactly stages 0..4, none empty")
+    stages.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} grew vs ${a._2}")
+    }
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+    assert(stages(0)._3 == docs.count(), "stage 0 = raw corpus")
+    assert(stages(1)._3 == graft.operators.Dedup.exact(spark, TestSpark.Sf).count(),
+      "stage 1 = one representative per distinct text")
+    val nComponents = Curation.components(spark, TestSpark.Sf)
+      .select("component").distinct().count()
+    assert(stages(2)._3 == nComponents, "stage 2 = one doc per near-dup component")
+  }
+
+  test("token mix: shares sum to 1 and totals reconcile with the corpus") {
+    val rows = Curation.tokenMix(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.length > 1)
+    val corpusTokens = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("cast(sum(size(split(text, ' '))) as bigint)").as[Long].head()
+    assert(rows.map(_._4).sum == corpusTokens)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+  }
+
+  test("incremental dedup: matches cross the split and respect the threshold") {
+    def bucket(id: Long) = (id * 2654435761L) % 4294967296L % 100
+    val rows = graft.operators.Dedup.incremental(spark, TestSpark.Sf)
+      .as[(Long, Long, String, Double)].collect()
+    assert(rows.nonEmpty, "fixture dup clusters must straddle the split")
+    assert(rows.map(_._1).distinct.length == rows.length, "one best match per doc")
+    rows.foreach { case (docId, matchDoc, kind, jaccard) =>
+      assert(bucket(docId) >= 80, s"$docId must be in the incoming batch")
+      assert(bucket(matchDoc) < 80, s"$matchDoc must be in the existing corpus")
+      assert(jaccard >= 0.8)
+      if (kind == "exact") assert(jaccard == 1.0)
+      else assert(kind == "near")
+    }
+  }
 }
