@@ -146,7 +146,73 @@ object Events extends QueryPack {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy(col("event_type"))
 
+  private val FunnelWindow = "interval 7 days"
+
+  /** ClickHouse `windowFunnel` analogue: the deepest step of the
+    * view → click → purchase chain each user completes, with strict
+    * event-time ordering (each step strictly after the previous) and
+    * the whole chain inside a 7-day window anchored at the first view.
+    * Step times are minima, so the result is deterministic regardless of
+    * event arrival order. Reported as the level histogram (level 0 =
+    * users who never viewed), the funnel-conversion table every product
+    * analytics stack starts from.
+    *
+    * Scale posture: three user-keyed aggregates (each with map-side
+    * partials) and user-keyed joins — the same single shuffle key
+    * throughout, no windows over raw events, no per-user event arrays
+    * (ClickHouse's windowFunnel buffers a per-user event list; the
+    * min-anchored formulation needs only (user, step-time) rows). */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr(FunnelWindow))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr(FunnelWindow))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1.select(col("user_id"), col("t1")), Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(when(col("t3").isNotNull, 3)
+        .when(col("t2").isNotNull, 2)
+        .when(col("t1").isNotNull, 1)
+        .otherwise(0).cast("long").as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
+  /** ClickHouse `retention` analogue: per first-seen-day cohort, how
+    * many users come back exactly 1 and exactly 7 days later. One
+    * (user, day) distinct pass, a per-user min, and one cohort-keyed
+    * aggregate — no per-user arrays. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    cohort.join(days, "user_id")
+      .groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(datediff(col("day"), col("cohort_day")) === 1,
+          col("user_id"))).as("retained_d1"),
+        countDistinct(when(datediff(col("day"), col("cohort_day")) === 7,
+          col("user_id"))).as("retained_d7"))
+      // epoch-day integer, per the oracle-parity rule: integer outputs
+      // are immune to date/timestamp physical-type drift between engines
+      .select(expr("cast(unix_date(cohort_day) as bigint)").as("cohort_epoch_day"),
+        col("n_users"), col("retained_d1"), col("retained_d7"))
+      .orderBy(col("cohort_epoch_day"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_steps" -> funnelSteps,
+    "ev_retention"    -> retention,
     "ev_json_extract" -> jsonExtract,
     "ev_props_map"    -> propsMapStats,
     "ev_daily_full_outer" -> dailyFullOuter,
@@ -162,6 +228,39 @@ object Events extends QueryPack {
     oraclesBase + ("ev_session_manual" -> oraclesBase("ev_session"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "ev_funnel_steps" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1.t1) AS t1
+        |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |         AND e.ts <= t1.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |         AND e.ts <= t2.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |                 WHEN t2.user_id IS NOT NULL THEN 2
+        |                 WHEN t1.user_id IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS level,
+        |       COUNT(*) AS n_users
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |       LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT CAST(cohort_day - DATE '1970-01-01' AS BIGINT) AS cohort_epoch_day,
+        |       COUNT(DISTINCT c.user_id) AS n_users,
+        |       COUNT(DISTINCT CASE WHEN d.day - c.cohort_day = 1
+        |                           THEN c.user_id END) AS retained_d1,
+        |       COUNT(DISTINCT CASE WHEN d.day - c.cohort_day = 7
+        |                           THEN c.user_id END) AS retained_d7
+        |FROM cohort c JOIN days d ON c.user_id = d.user_id
+        |GROUP BY cohort_day ORDER BY 1""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, user_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

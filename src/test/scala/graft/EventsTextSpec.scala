@@ -95,4 +95,22 @@ class EventsTextSpec extends AnyFunSuite {
       assert(keep == (n >= 20 && n <= 500 && dr > 0.3))
     }
   }
+
+  test("funnel levels partition the user base; retention bounded by cohort size") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    val levels = graft.operators.Events.funnelSteps(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(levels.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(levels.values.sum == ev.select("user_id").distinct().count(),
+      "every user lands in exactly one deepest level")
+    assert(levels.getOrElse(3L, 0L) > 0, "fixture must contain full conversions")
+    val ret = graft.operators.Events.retention(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ret.nonEmpty)
+    ret.foreach { case (_, n, d1, d7) =>
+      assert(d1 <= n && d7 <= n, "retained users cannot exceed the cohort")
+    }
+    assert(ret.map(_._2).sum == ev.select("user_id").distinct().count(),
+      "cohorts partition the user base")
+  }
 }
