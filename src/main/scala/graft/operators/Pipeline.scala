@@ -241,6 +241,36 @@ object Pipeline extends QueryPack {
       .orderBy(col("day").asc_nulls_last)
   }
 
+  /** KLL quantile-sketch ROLLUP (Apache DataSketches via Spark
+    * builtins): one KLL sketch of `l_extendedprice` per return flag,
+    * the per-flag median read from the sketch, and an ALL row whose
+    * median comes from merging the STORED per-flag sketches alone —
+    * no second scan of the data. This is the quantile twin of
+    * [[hllDaily]]'s partial-sketch pattern: at 100 TB, per-partition
+    * sketches persist and every coarser rollup is a fold over sketch
+    * blobs (the 3-element collect_list here is per-group metadata, not
+    * data). The fold is ordered (array_sort of the binary blobs) so the
+    * merge sequence is deterministic. Rows-only — estimates have no
+    * DuckDB twin; PipelineSpec pins rank-error bounds vs exact
+    * percentiles for every row including ALL. */
+  def kllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val perFlag = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(kll_sketch_agg_double(col("l_extendedprice").cast("double")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    val flagRows = perFlag.select(col("l_returnflag"), col("n_rows"),
+      kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50_est"))
+    val allRow = perFlag
+      .agg(collect_list(col("sk")).as("sks"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("ALL").as("l_returnflag"), col("n_rows"),
+        expr("""kll_sketch_get_quantile_double(
+                |  aggregate(slice(array_sort(sks), 2, size(sks) - 1),
+                |            array_sort(sks)[1],
+                |            (a, s) -> kll_sketch_merge_double(a, s)),
+                |  0.5d)""".stripMargin).as("p50_est"))
+    flagRows.unionByName(allRow).orderBy(col("l_returnflag"))
+  }
+
   /** Approximate quantiles (Greenwald-Khanna sketch) of order value per
     * return flag — the mergeable-quantile companion to [[hllDaily]];
     * rows-only, invariant-tested against exact percentiles. */
@@ -277,7 +307,8 @@ object Pipeline extends QueryPack {
     "cur_stratified_sample" -> stratifiedSample,
     "sim_quantize_int8"     -> quantizeInt8,
     "ev_hll_daily"          -> hllDaily,
-    "x_approx_quantiles"    -> approxQuantiles)
+    "x_approx_quantiles"    -> approxQuantiles,
+    "x_kll_quantile_rollup" -> kllRollup)
 
   private val dToks = "string_split(text, ' ')"
   private def dGrams(n: Int): String =

@@ -58,6 +58,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kll rollup: per-flag and merged-ALL medians inside exact rank bounds") {
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+    val rows = Pipeline.kllRollup(spark, TestSpark.Sf)
+      .as[(String, Long, Double)].collect()
+    val flags = rows.filter(_._1 != "ALL")
+    assert(flags.nonEmpty && rows.exists(_._1 == "ALL"))
+    assert(rows.find(_._1 == "ALL").get._2 == li.count(),
+      "ALL n_rows is exact and must equal the table size")
+    rows.foreach { case (flag, nRows, p50) =>
+      val slice = if (flag == "ALL") li else li.filter(col("l_returnflag") === flag)
+      assert(nRows == slice.count())
+      // KLL default k=200 → normalized rank error ≈1.65%; ±5% is generous,
+      // and crucially also bounds the ALL row computed from MERGED sketches
+      val b = slice.select(expr(
+        "percentile(cast(l_extendedprice as double), array(0.45, 0.55))"))
+        .as[Seq[Double]].head()
+      assert(p50 >= b(0) && p50 <= b(1), s"$flag median $p50 outside $b")
+    }
+  }
+
   test("global shuffle is a dense permutation 1..N and deterministic") {
     val first = Pipeline.globalShuffle(spark, TestSpark.Sf)
       .as[(Long, Long)].collect().toSeq
