@@ -249,10 +249,14 @@ object Pipeline extends QueryPack {
     * [[hllDaily]]'s partial-sketch pattern: at 100 TB, per-partition
     * sketches persist and every coarser rollup is a fold over sketch
     * blobs (the 3-element collect_list here is per-group metadata, not
-    * data). The fold is ordered (array_sort of the binary blobs) so the
-    * merge sequence is deterministic. Rows-only — estimates have no
-    * DuckDB twin; PipelineSpec pins rank-error bounds vs exact
-    * percentiles for every row including ALL. */
+    * data). The cross-group fold is ordered (array_sort of the binary
+    * blobs), but KLL compaction inside `kll_sketch_agg` is
+    * partitioning-dependent, so estimates vary WITHIN THEIR RANK-ERROR
+    * BOUNDS across thread counts — measured: the only query of 105
+    * whose output shifts between cpus=3 and cpus=8 (every other query
+    * is bit-identical). The `n_rows` columns are exact and stable.
+    * Rows-only — estimates have no DuckDB twin; PipelineSpec pins
+    * rank-error bounds vs exact percentiles for every row incl. ALL. */
   def kllRollup(spark: SparkSession, dir: String): DataFrame = {
     val perFlag = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
