@@ -215,7 +215,8 @@ object Pipeline extends QueryPack {
         """aggregate(transform(embedding,
           |    x -> abs(cast(x as double)
           |             - floor(cast(x as double) / scale * 127 + 0.5) * scale / 127)),
-          |  cast(0 as double), (a, v) -> a + v) / size(embedding) as mean_abs_err""".stripMargin)
+          |  cast(0 as double), (a, v) -> a + v)
+          |  / nullif(size(embedding), 0) as mean_abs_err""".stripMargin)
       .orderBy(col("vec_id"))
 
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via
@@ -384,6 +385,6 @@ object Pipeline extends QueryPack {
         |      FROM s)
         |SELECT vec_id, scale, n_sat,
         |       list_max(errs) AS max_abs_err,
-        |       list_dot_product(errs, list_transform(errs, x -> 1.0)) / dim AS mean_abs_err
+        |       list_dot_product(errs, list_transform(errs, x -> 1.0)) / nullif(dim, 0) AS mean_abs_err
         |FROM e ORDER BY vec_id""".stripMargin)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Pipeline}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: every DF-parameterized operator must
+  * return an empty/singleton result on empty and single-doc corpora —
+  * never throw. At 100 TB empty partitions and single-row groups are
+  * routine (a filter that matches nothing, a day with no events), and
+  * an operator that divides by a zero count or windows over an empty
+  * frame fails exactly there. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  private def oneDoc: DataFrame =
+    Seq((1L, "solo document with just enough tokens to shingle")).toDF("doc_id", "text")
+
+  test("dedup operators: empty and single-doc corpora yield no pairs, no errors") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      assert(Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(docs)).count() == 0)
+      assert(Dedup.simhashOf(docs).count() == docs.count())
+    }
+  }
+
+  test("decontamination: empty and single-doc corpora yield no flags") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      assert(Pipeline.decontaminateOf(docs).count() == 0)
+      assert(Pipeline.decontaminateHashedOf(docs, dfCap = 1000).count() == 0)
+    }
+  }
+
+  test("stratified sampling on empty input is empty, not an error") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Pipeline.stratifiedSampleOf(docs).count() == 0)
+  }
+
+  test("int8 quantization handles empty input and empty vectors") {
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Pipeline.quantizeInt8Of(none).count() == 0)
+    // a zero-length embedding: scale is NULL (array_max of empty), errors NULL
+    val hollow = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val r = Pipeline.quantizeInt8Of(hollow).collect()(0)
+    assert(r.isNullAt(1), "empty vector must have NULL scale")
+  }
+
+  test("connected components: no edges, self-edges-only, and empty graphs") {
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val own = Curation.componentsOf(nodes, noEdges).as[(Long, Long)].collect().toMap
+    assert(own == Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      "isolated nodes label themselves")
+    val emptyNodes = Seq.empty[Long].toDF("doc_id")
+    assert(Curation.componentsOf(emptyNodes, noEdges).count() == 0)
+  }
+}
