@@ -128,6 +128,52 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelOut(user_id: Long, level: Long)
+
+  private val FunnelWindowUs: Long = 7L * 24 * 3600 * 1000 * 1000
+
+  /** Streaming windowFunnel: the incremental twin of
+    * [[graft.operators.Events.funnelSteps]]. Per-user state holds the
+    * (t1, t2, t3) step minima of the view → click → purchase chain
+    * (strict ordering, 7-day window anchored at the first view); each
+    * micro-batch folds its new events in event-time order through the
+    * same acceptance rules the batch form's min-anchored algebra
+    * implies, and emits the user's current deepest level (Update mode).
+    * State is three longs per user — bounded, RocksDB-friendly — where
+    * ClickHouse's windowFunnel buffers a per-user event list.
+    * StreamingSpec pins the final level histogram equal to the batch
+    * query's. Late data: events are folded when they arrive; an event
+    * older than an already-anchored step cannot retroactively lower it
+    * (the batch form would), which is the standard funnel-state trade —
+    * bound it with a watermark-sized replay in the landing zone. */
+  def funnelLevels(spark: SparkSession, eventsDir: String): Dataset[FunnelOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
+          var FunnelState(t1, t2, t3) =
+            state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            val ts = epochUs(e.ts)
+            e.event_type match {
+              case "view" if t1 < 0 => t1 = ts
+              case "click" if t1 >= 0 && t2 < 0 &&
+                ts > t1 && ts <= t1 + FunnelWindowUs => t2 = ts
+              case "purchase" if t2 >= 0 && t3 < 0 &&
+                ts > t2 && ts <= t1 + FunnelWindowUs => t3 = ts
+              case _ =>
+            }
+          }
+          state.update(FunnelState(t1, t2, t3))
+          FunnelOut(user,
+            if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L)
+      }
+  }
+
   /** Custom-state sessionization with `flatMapGroupsWithState`: emits a
     * session whenever a ≥30-min gap closes it; the trailing open session
     * per user is held in state and flushed by event-time timeout. */

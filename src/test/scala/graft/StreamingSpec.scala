@@ -36,6 +36,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming funnel levels equal the batch windowFunnel histogram") {
+    val q = EventStream.funnelLevels(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // last emitted level per user (one row here — single micro-batch)
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("level").as("level"))
+      .groupBy("level").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = Events.funnelSteps(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(batch.getOrElse(3L, 0L) > 0, "fixture must contain full conversions")
+  }
+
   test("stream-static enrichment matches the batch join, sinks via foreachBatch") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val q = EventStream.sinkToParquet(
