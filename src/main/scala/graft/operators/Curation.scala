@@ -227,13 +227,42 @@ object Curation extends QueryPack {
           sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
       .orderBy(col("lang"), col("source"))
 
+  private val ChunkSize = 128
+  private val ChunkStride = 96 // 32-token overlap between neighbors
+
+  /** Overlapping token-window chunking — the RAG/embedding prep step:
+    * each document becomes ceil-strided 128-token windows at stride 96
+    * (32-token overlap), the last window clipped at the document end.
+    * Emits the window's token count and an md5 content fingerprint
+    * rather than the text, so the audit output stays narrow. Pure
+    * per-doc map-side transform + explode: embarrassingly parallel,
+    * no shuffle before the output sort. */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    chunkWindowsOf(Tables.documents(spark, dir))
+
+  private[graft] def chunkWindowsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n", expr("size(toks)"))
+      // windows = 1 + ceil((n − size)/stride) = 1 + (n − size + stride − 1) div stride
+      .withColumn("n_chunks", expr(
+        s"case when n <= $ChunkSize then 1 else 1 + (n - ${ChunkSize - ChunkStride + 1}) div $ChunkStride end"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, n_chunks - 1),
+           |  k -> slice(toks, k * $ChunkStride + 1, $ChunkSize))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        expr("cast(size(col) as bigint)").as("n_chunk_tokens"),
+        expr("md5(cast(array_join(col, ' ') as binary))").as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_components" -> components,
     "cur_corpus"     -> curatedCorpus,
     "cur_pack_sequences" -> packSequences,
     "cur_hash_split" -> hashSplit,
     "cur_funnel"     -> funnel,
-    "cur_token_mix"  -> tokenMix)
+    "cur_token_mix"  -> tokenMix,
+    "cur_chunk_windows" -> chunkWindows)
 
   /** Components oracle: DuckDB recursive CTE computing min reachable id
     * over the same near-dup edges (same jaccard threshold/shingles). */
@@ -291,6 +320,22 @@ object Curation extends QueryPack {
         |       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
         |         AS token_share
         |FROM g ORDER BY lang, source""".stripMargin,
+    "cur_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |             CASE WHEN n <= 128 THEN 1 ELSE 1 + (n - 33) // 96 END AS n_chunks,
+        |             toks, n
+        |      FROM d),
+        |w AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+        |             toks FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(toks, chunk_id * 96 + 1, chunk_id * 96 + 128)) AS BIGINT)
+        |         AS n_chunk_tokens,
+        |       md5(array_to_string(list_slice(toks, chunk_id * 96 + 1, chunk_id * 96 + 128), ' '))
+        |         AS chunk_fp
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
     "cur_pack_sequences" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents),

@@ -74,6 +74,25 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
   }
 
+  test("chunk windows: stride, overlap, and tail clipping on multi-window docs") {
+    // 300 distinct tokens → windows at 0/96/192: 128, 128, 108 tokens
+    val toks = (0 until 300).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val rows = Curation.chunkWindowsOf(docs)
+      .as[(Long, Long, Long, String)].collect()
+    val big = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(big.map(r => (r._2, r._3)).toSeq == Seq((0L, 128L), (1L, 128L), (2L, 108L)))
+    // neighbor windows share exactly the 32-token overlap: fingerprints
+    // must all differ, and the middle window starts at token 96
+    assert(big.map(_._4).distinct.length == 3)
+    val expectedMid = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.slice(96, 224).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(big(1)._4 == expectedMid, "window 1 covers tokens [96, 224)")
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSeq == Seq((0L, 2L)),
+      "short docs produce one clipped window")
+  }
+
   test("incremental dedup: matches cross the split and respect the threshold") {
     def bucket(id: Long) = (id * 2654435761L) % 4294967296L % 100
     val rows = graft.operators.Dedup.incremental(spark, TestSpark.Sf)
