@@ -51,9 +51,20 @@ object Dedup extends QueryPack {
   private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr("split(text, ' ')"))
+      // shingle key = xxhash64 over a 3-slice of per-token hashes: each
+      // token is hashed once and the sliding window hashes 24 bytes of
+      // longs instead of building the shingle string — this projection
+      // is re-evaluated for every self-join side downstream, so its
+      // per-row cost multiplies (measured on the decontamination twin:
+      // ~2× on the whole query). Collision semantics are unchanged: a
+      // collision can only ADD a candidate, which exact verification
+      // rejects; the jaccard over distinct hash sets is the jaccard
+      // over distinct shingles absent collisions, same as hashing the
+      // string form.
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)),
-          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))""".stripMargin).as("sh"))
+        """array_distinct(transform(sequence(1, greatest(size(th) - 2, 0)),
+          |  i -> xxhash64(slice(th, i, 3))))""".stripMargin).as("sh"))
 
   private val JaccardT = 0.8
   // J ≥ t as the exact rational 4/5: all prefix/length/positional bounds
