@@ -175,7 +175,11 @@ object Curation extends QueryPack {
     *   0 raw · 1 exact dedup (min doc_id per md5 text group) ·
     *   2 near-dup dedup (component representative — a superset check of
     *   stage 1, since identical texts are Jaccard-1.0 neighbors, so the
-    *   component min is also its md5-group min) · 3 quality gate (same
+    *   component min is also its md5-group min; this identity assumes
+    *   docs of ≥3 tokens — shorter texts have no shingles, so identical
+    *   short duplicates are exact-dups without being shingle-connected,
+    *   and the stage ordering would no longer be a strict funnel on such
+    *   a corpus) · 3 quality gate (same
     *   predicate as [[curatedCorpus]]) · 4 stratified sample (same
     *   membership rule as [[Pipeline.stratifiedSample]]).
     *

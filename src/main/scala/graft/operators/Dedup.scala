@@ -62,9 +62,15 @@ object Dedup extends QueryPack {
       // over distinct shingles absent collisions, same as hashing the
       // string form.
       .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      // guard: size < 3 means no 3-shingles. Without it, sequence(1, 0)
+      // counts DOWN (Spark's default step is -1 when stop < start) and
+      // slice(th, 0, 3) throws INVALID_PARAMETER_VALUE.START on any doc
+      // of fewer than three tokens.
       .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, greatest(size(th) - 2, 0)),
-          |  i -> xxhash64(slice(th, i, 3))))""".stripMargin).as("sh"))
+        """if(size(th) >= 3,
+          |  array_distinct(transform(sequence(1, size(th) - 2),
+          |    i -> xxhash64(slice(th, i, 3)))),
+          |  array())""".stripMargin).cast("array<long>").as("sh"))
 
   private val JaccardT = 0.8
   // J ≥ t as the exact rational 4/5: all prefix/length/positional bounds

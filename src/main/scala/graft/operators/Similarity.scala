@@ -151,7 +151,14 @@ object Similarity extends QueryPack {
   /** Nearest-centroid id for each row as a PURE MAP-SIDE argmax fold over
     * the literal centroid array — no join, no window, no shuffle. Ties
     * break to the lowest cent_id (strict `>` keeps the earlier entry),
-    * matching the (cosine desc, cent_id) window order used for probes. */
+    * matching the (cosine desc, cent_id) window order used for probes.
+    *
+    * Zero-norm or NaN embeddings are deliberately EXCLUDED: their cosine
+    * is NaN, NaN > x is false for every x, so cent_id stays -1 and the
+    * vector joins no probe list — an undefined-direction vector has no
+    * meaningful cosine neighbors. (The fixture corpus contains none; a
+    * production ingest should drop or impute them upstream, mirroring
+    * the nullif guard in quantizeInt8.) */
   private def assignedCentId(cents: Seq[(Int, Array[Float])],
       eCol: String, nCol: String): Column =
     aggregate(centArray(cents),
@@ -210,8 +217,8 @@ object Similarity extends QueryPack {
   }
 
   /** IVF ANN: 25 Lloyd-refined centroids, nearest-centroid assignment
-    * for the corpus, queries probe the 14 nearest centroids and rerank
-    * exactly. Corpus assignment is the map-side argmax (no shuffle); the
+    * for the corpus, queries probe the [[NProbes]] nearest centroids and
+    * rerank exactly. Corpus assignment is the map-side argmax (no shuffle); the
     * 10 probe queries still rank via the 25-row window (trivial). No
     * distinct on the candidate pairs: each vector has exactly one
     * centroid, so a (query, vector) pair joins at most once. Rows-only +

@@ -73,8 +73,13 @@ object TextAnalysis extends QueryPack {
   /** Global top-20 character trigrams — n-gram profile extraction. */
   def charTrigrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // the length guard keeps sequence() from counting down on <3-char
+      // docs (substring tolerates start <= 0 but would emit duplicate
+      // partial grams instead of none)
       .select(explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        """if(length(text) >= 3,
+          |  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)),
+          |  array())""".stripMargin))
         .as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(20)

@@ -20,11 +20,32 @@ class EdgeCaseSpec extends AnyFunSuite {
   private def oneDoc: DataFrame =
     Seq((1L, "solo document with just enough tokens to shingle")).toDF("doc_id", "text")
 
+  private def shortDocs: DataFrame =
+    // 1- and 2-token docs, including an identical duplicate pair: below
+    // the 3-token shingle width, so shingle arrays must be EMPTY (not a
+    // slice() crash from Spark's descending sequence(1, 0))
+    Seq((1L, "lone"), (2L, "two tokens"), (3L, "two tokens"), (4L, ""))
+      .toDF("doc_id", "text")
+
   test("dedup operators: empty and single-doc corpora yield no pairs, no errors") {
     for (docs <- Seq(emptyDocs, oneDoc)) {
       assert(Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(docs)).count() == 0)
       assert(Dedup.simhashOf(docs).count() == docs.count())
     }
+  }
+
+  test("sub-shingle-width docs: empty shingle sets, no pairs, no slice errors") {
+    val sh = Dedup.hashedShinglesOf(shortDocs).collect()
+    assert(sh.length == 4)
+    assert(sh.forall(r => r.getSeq[Long](1).isEmpty),
+      "docs under 3 tokens have no 3-shingles")
+    // identical 2-token duplicates are exact-dups (md5 path) but NOT
+    // shingle-connected — near-dup semantics start at shingle width
+    assert(Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(shortDocs)).count() == 0)
+    // split('', ' ') yields [""] — one empty token — so even the empty
+    // doc gets a (degenerate) simhash signature
+    assert(Dedup.simhashOf(shortDocs).count() == 4)
+    assert(Pipeline.decontaminateOf(shortDocs).count() == 0)
   }
 
   test("decontamination: empty and single-doc corpora yield no flags") {
