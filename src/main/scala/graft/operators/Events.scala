@@ -210,7 +210,74 @@ object Events extends QueryPack {
       .orderBy(col("cohort_epoch_day"))
   }
 
+  /** Markov transition matrix of the event stream: counts of adjacent
+    * (previous type → next type) steps inside each user's time-ordered
+    * event sequence — the first-order behavioral model product
+    * analytics derives navigation graphs from.
+    *
+    * One window shuffle keyed by user_id (the same key every other
+    * per-user operator here shuffles on) with a (ts, event_id) sort
+    * inside each user — per-user sequences stay partition-local no
+    * matter the corpus size, and the final aggregate is 25 rows
+    * (|types|²), map-side combinable. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("event_type").as("next_type"), col("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** ClickHouse `sequenceCount('(?1).*(?2)')` analogue in its
+    * overlapping-pair form: per user, the number of ordered
+    * (view, click) pairs — every click counts each view that precedes
+    * it. A running conditional count over the per-user sequence (rows
+    * frame, exclusive of the current row) evaluated at click rows;
+    * deterministic under the (ts, event_id) tie-break.
+    *
+    * Same single user-keyed window shuffle as [[transitions]]; no
+    * self-join of the event stream (the naive pair join is quadratic
+    * per user — the running count is linear). */
+  def sequencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("views_before",
+        coalesce(sum(when(col("event_type") === "view", 1L)).over(w), lit(0L)))
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(sum(col("views_before")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  /** Fixed-width value histogram (ClickHouse-histogram-style report
+    * with deterministic bins): 25-unit buckets, the last bucket open
+    * at the top. The bucket id is one floor division per row — exact
+    * in IEEE doubles for these magnitudes — and the aggregate is keyed
+    * by ≤20 buckets with map-side partials, so the reduce side sees a
+    * handful of rows regardless of event count. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(least(floor(col("value") / 25.0d), lit(19.0d)).cast("long").as("bucket"),
+        col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("bucket"), (col("bucket") * 25.0d).as("bucket_lo"),
+        col("n"), col("min_value"), col("max_value"))
+      .orderBy(col("bucket"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_transitions"  -> transitions,
+    "ev_sequence_pairs" -> sequencePairs,
+    "ev_histogram"    -> valueHistogram,
     "ev_funnel_steps" -> funnelSteps,
     "ev_retention"    -> retention,
     "ev_json_extract" -> jsonExtract,
@@ -228,6 +295,33 @@ object Events extends QueryPack {
     oraclesBase + ("ev_session_manual" -> oraclesBase("ev_session"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "ev_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sequence_pairs" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS views_before
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(views_before) AS BIGINT) AS n_pairs
+        |FROM o WHERE event_type = 'click'
+        |GROUP BY 1 HAVING SUM(views_before) > 0 ORDER BY 1""".stripMargin,
+    "ev_histogram" ->
+      """SELECT bucket, bucket * 25.0 AS bucket_lo, COUNT(*) AS n,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM (SELECT CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT) AS bucket,
+        |             value FROM events) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ev_funnel_steps" ->
       """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

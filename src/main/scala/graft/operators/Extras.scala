@@ -355,7 +355,31 @@ object Extras extends QueryPack {
       .orderBy(col("day"))
   }
 
+  /** Explicit skew-salted fact-dim join as an end-to-end QUERY (the
+    * [[Skew.saltedJoin]] mechanics, already pinned row-identical by
+    * SkewSpec, exercised over the fixture fact table): lineitem salts
+    * its orderkey 8 ways off the line number, orders replicates across
+    * the salts, so a hot orderkey's rows spread over 8 reducer
+    * partitions instead of one. Semantically identical to the plain
+    * join — the oracle computes that — and the replication factor
+    * bounds at 8× the DIM side, never the fact side. This is the
+    * deterministic, plan-level form of what AQE skew-split does
+    * post-hoc, for when the hot key set is known up front. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, o, "l_orderkey",
+        saltBy = col("l_orderkey") * 10 + col("l_linenumber"), factor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_salted_join"        -> saltedJoinQuery,
     "x_grouping_sets"      -> groupingSets,
     "x_range_join_bands"   -> rangeJoinBands,
     "x_gap_fill_daily"     -> gapFillDaily,
@@ -382,6 +406,12 @@ object Extras extends QueryPack {
     oraclesBase + ("x_asof_custom_op" -> oraclesBase("x_asof_last_purchase"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "x_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_grouping_sets" ->
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal

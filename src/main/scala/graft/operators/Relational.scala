@@ -332,7 +332,47 @@ object Relational extends QueryPack {
         col("l_quantity") * col("p_retailprice") * lit(0.5), "profit"))
       .orderBy(col("order_year"), col("p_brand"))
 
+  /** ClickHouse `argMax` analogue: the top customer by account balance
+    * per nation, computed as `max(struct(...))` — a plain partial
+    * aggregate (lexicographic struct max with a unique `-custkey`
+    * tie-break), NOT a row_number window. The window form sorts every
+    * partition's rows; the struct-max form keeps one 4-field struct per
+    * group per task and merges — at 100 TB that is the difference
+    * between a sort shuffle of the table and a 25-row reduce. The
+    * oracle computes the window form; results agree because the struct
+    * order is total. */
+  def argMaxCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(max(struct(col("c_acctbal"), (-col("c_custkey")).as("neg_key"),
+        col("c_name"))).as("m"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("m.c_name").as("top_customer"),
+        (-col("m.neg_key")).cast("long").as("top_custkey"),
+        col("m.c_acctbal").as("top_acctbal"))
+      .orderBy(col("nationkey"))
+
+  /** ClickHouse `-If` combinator analogues (`countIf`/`sumIf`/`avgIf`):
+    * conditional aggregates inside ONE grouped pass instead of N
+    * filtered scans. All money math rides DECIMAL(38,6) intermediates;
+    * empty condition groups yield NULL in both engines (no `otherwise`
+    * defaults). Single aggregate keyed by priority, partial-agg
+    * friendly. */
+  def condAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("n_f"),
+        sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))
+          .cast(DoubleType).as("total_f"),
+        (sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice"))))
+          .cast(DoubleType) /
+          count(when(col("o_orderstatus") === "O", lit(1)))).as("avg_open"))
+      .orderBy(col("o_orderpriority"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_argmax"           -> argMaxCustomer,
+    "rel_cond_aggs"        -> condAggs,
     "ssb_q2_2_brand_range" -> ssbQ2BrandRange,
     "ssb_q2_3_single_brand" -> ssbQ2SingleBrand,
     "ssb_q3_3_city_pair" -> ssbQ3CityPair,
@@ -363,6 +403,23 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "rel_argmax" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       c_name AS top_customer,
+        |       c_custkey AS top_custkey,
+        |       c_acctbal AS top_acctbal
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) t
+        |WHERE rn = 1 ORDER BY nationkey""".stripMargin,
+    "rel_cond_aggs" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+        |         / COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS avg_open
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "ssb_q2_3_single_brand" ->
       s"""SELECT EXTRACT(YEAR FROM l_shipdate) AS ship_year, p_brand,
          |       CAST(SUM($discPrice) AS DOUBLE) AS revenue

@@ -156,7 +156,89 @@ object TextAnalysis extends QueryPack {
       "md5(cast(text as binary)) as fp",
       s"md5(cast(array_join(array_sort(array_distinct($toks)), ' ') as binary)) as fp_norm")
 
+  /** Tokenizer-vocab coverage: the minimum number of distinct terms
+    * (taken in descending frequency order) that covers 50% / 90% / 99%
+    * of all token occurrences — the curve tokenizer vocab sizing reads
+    * off. All math is exact integer arithmetic: `needed` is a ceiling
+    * in integer rationals, and within a tied frequency level any k
+    * terms are interchangeable, so the answer needs no per-term global
+    * ranking at all.
+    *
+    * Scale posture: the corpus collapses to term counts (one shuffle),
+    * the counts collapse to a count-of-counts HISTOGRAM (second, tiny
+    * shuffle), and the only unpartitioned window runs over that
+    * histogram — thousands of rows under Zipf no matter the corpus
+    * size, never the vocab, never the corpus. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .selectExpr(s"explode($toks) as tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_terms"))
+      .withColumn("occ", col("c") * col("n_terms"))
+    val wAbove = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum_above", coalesce(sum(col("occ")).over(wAbove), lit(0L)))
+      .withColumn("terms_above", coalesce(sum(col("n_terms")).over(wAbove), lit(0L)))
+      .withColumn("total", sum(col("occ")).over(wAll))
+      .select(col("*"), explode(typedlit(Seq(
+        ("0.50", 1L, 2L), ("0.90", 9L, 10L), ("0.99", 99L, 100L)))).as("t"))
+      .select(col("c"), col("occ"), col("cum_above"), col("terms_above"),
+        col("total"), col("t._1").as("threshold"),
+        col("t._2").as("num"), col("t._3").as("den"))
+      .withColumn("needed", expr("(num * total + den - 1) div den"))
+      .filter(col("cum_above") < col("needed") &&
+        col("cum_above") + col("occ") >= col("needed"))
+      .withColumn("k", expr("(needed - cum_above + c - 1) div c"))
+      .select(col("threshold"),
+        (col("terms_above") + col("k")).as("n_terms"),
+        (col("cum_above") + col("k") * col("c")).as("covered_tokens"),
+        col("total").as("total_tokens"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Collocation mining: top-20 adjacent-token bigrams by LIFT —
+    * P(xy) / (P(x)·P(y)) — with a ≥5 occurrence floor, the phrase
+    * detector tokenizer merge-rules and stop-phrase lists start from.
+    * Lift is used instead of PMI so the score is one fixed-order chain
+    * of IEEE multiplies and divides over exact integer counts (log()
+    * ulp drift between engines would break the hash gate; the ranking
+    * is identical since log is monotone).
+    *
+    * Scale posture: bigram and unigram counts are vocab-bounded; the
+    * two count joins key on a word each, and the scalar totals ride a
+    * broadcast. Nothing touches the corpus after the two explode
+    * passes. */
+  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs
+      .withColumn("t", expr(toks))
+      .filter(size(col("t")) >= 2)
+      .selectExpr("""explode(transform(sequence(1, size(t) - 1),
+        |  i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))) as bg"""
+        .stripMargin)
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = docs.selectExpr(s"explode($toks) as tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nB = pairs.agg(sum(col("c_xy")).as("n_b"))
+    val nT = uni.agg(sum(col("c")).as("n_t"))
+    pairs.filter(col("c_xy") >= 5)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nB)).crossJoin(broadcast(nT))
+      .withColumn("lift", col("c_xy").cast("double") * col("n_t") * col("n_t") /
+        (col("n_b").cast("double") * col("c_x") * col("c_y")))
+      .select(col("w1"), col("w2"), col("c_xy"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> vocabCoverage,
+    "text_bigram_lift"   -> bigramLift,
     "text_token_stats"   -> tokenStats,
     "text_term_freq"     -> termFreq,
     "text_tfidf_counts"  -> tfidfCounts,
@@ -174,6 +256,49 @@ object TextAnalysis extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      s"""WITH tc AS (SELECT unnest($dToks) AS tok FROM documents),
+         |counts AS (SELECT tok, COUNT(*) AS c FROM tc GROUP BY 1),
+         |hist AS (SELECT c, COUNT(*) AS n_terms, c * COUNT(*) AS occ
+         |         FROM counts GROUP BY 1),
+         |cum AS (SELECT c, n_terms, occ,
+         |          COALESCE(SUM(occ) OVER (ORDER BY c DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS cum_above,
+         |          COALESCE(SUM(n_terms) OVER (ORDER BY c DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS terms_above,
+         |          SUM(occ) OVER () AS total
+         |        FROM hist),
+         |th(threshold, num, den) AS (
+         |  VALUES ('0.50', 1, 2), ('0.90', 9, 10), ('0.99', 99, 100)),
+         |j AS (SELECT threshold, c, occ, cum_above, terms_above, total,
+         |             (num * total + den - 1) // den AS needed
+         |      FROM cum CROSS JOIN th)
+         |SELECT threshold,
+         |       CAST(terms_above + (needed - cum_above + c - 1) // c AS BIGINT)
+         |         AS n_terms,
+         |       CAST(cum_above + ((needed - cum_above + c - 1) // c) * c AS BIGINT)
+         |         AS covered_tokens,
+         |       CAST(total AS BIGINT) AS total_tokens
+         |FROM j
+         |WHERE cum_above < needed AND cum_above + occ >= needed
+         |ORDER BY threshold""".stripMargin,
+    "text_bigram_lift" ->
+      s"""WITH d AS (SELECT $dToks AS t FROM documents WHERE len($dToks) >= 2),
+         |idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM d),
+         |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+         |pairs AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT unnest($dToks) AS tok FROM documents),
+         |uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+         |nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_b FROM pairs),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_t FROM uc)
+         |SELECT w1, w2, c_xy,
+         |       CAST(c_xy AS DOUBLE) * n_t * n_t
+         |         / (CAST(n_b AS DOUBLE) * a.c * b.c) AS lift
+         |FROM pairs JOIN uc a ON w1 = a.tok JOIN uc b ON w2 = b.tok, nb, nt
+         |WHERE c_xy >= 5
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  len($dToks) AS n_tokens,
