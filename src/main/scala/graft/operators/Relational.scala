@@ -370,7 +370,60 @@ object Relational extends QueryPack {
           count(when(col("o_orderstatus") === "O", lit(1)))).as("avg_open"))
       .orderBy(col("o_orderpriority"))
 
+  /** Pearson correlation from exact decimal moments (the same contract
+    * as `x_value_stats`): Σx, Σy, Σxy, Σx², Σy² are order-independent
+    * DECIMAL(38,6) sums, and the correlation is then ONE fixed IEEE
+    * expression — deterministic across engines and partitionings,
+    * unlike `corr()`'s streaming Welford merge whose result drifts with
+    * merge order. Single grouped pass, partial-agg friendly.
+    *
+    * Inputs are pre-scaled (quantity ×0.1, price ×1e-5) — correlation
+    * is scale-invariant, and the scaling keeps every moment's 6-dp
+    * integer mantissa under 2^53, where decimal→double is exact-then-
+    * one-rounding in BOTH engines. Unscaled, Σ(price²) ≈ 7e13 carries a
+    * ~7e19 mantissa and the two engines' decimal→double conversions
+    * disagree by an ulp (Java converts correctly-rounded; an int-cast +
+    * divide rounds twice). */
+  def corrQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity") * lit(0.1)
+    val y = col("l_extendedprice") * lit(1e-5)
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(dec(x)).cast(DoubleType)
+    val sy = sum(dec(y)).cast(DoubleType)
+    val sxy = sum(dec(x * y)).cast(DoubleType)
+    val sx2 = sum(dec(x * x)).cast(DoubleType)
+    val sy2 = sum(dec(y * y)).cast(DoubleType)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** NTILE quartiles of order value within each priority class, reduced
+    * to the per-(priority, quartile) revenue table. The exact NTILE is
+    * a within-group sort — correct as the arbitration tier, but at
+    * 100 TB the scale path cuts quartiles with approximate quantile
+    * boundaries (the `x_kll_quantile_rollup` sketch) and buckets
+    * map-side; this operator pins what those cut-points must converge
+    * to. Ties are impossible under the (totalprice, orderkey) order. */
+  def ntileRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_corr"             -> corrQuantityPrice,
+    "rel_ntile"            -> ntileRevenue,
     "rel_argmax"           -> argMaxCustomer,
     "rel_cond_aggs"        -> condAggs,
     "ssb_q2_2_brand_range" -> ssbQ2BrandRange,
@@ -403,6 +456,37 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "rel_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         l_quantity * CAST(0.1 AS DOUBLE) AS x,
+        |         l_extendedprice * 1e-5 AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(COUNT(*) AS DOUBLE) AS nd,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+        |         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS sy2
+        |  FROM s GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       (nd * sxy - sx * sy)
+        |         / sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy))
+        |         AS corr_qty_price
+        |FROM m ORDER BY 1""".stripMargin,
+    "rel_ntile" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, quartile, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS min_price,
+        |       MAX(o_totalprice) AS max_price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rel_argmax" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
         |       c_name AS top_customer,

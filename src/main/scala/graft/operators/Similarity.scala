@@ -263,11 +263,31 @@ object Similarity extends QueryPack {
     rankedTopK(pairs)
   }
 
+  /** Per-label embedding centroids at (label, dimension) grain — the
+    * class-mean table nearest-class-mean audits and cluster-quality
+    * reports start from. Each mean is an exact DECIMAL(38,6) sum over
+    * the dimension divided once in IEEE (float→double→decimal is
+    * tie-free, so both engines truncate identically).
+    *
+    * Scale posture: posexplode multiplies rows ×dim but the (label,
+    * dim) aggregate collapses them with map-side partials before the
+    * exchange, and the output is |labels|·dim rows — bounded metadata,
+    * never corpus-sized. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast("double").cast("decimal(38,6)"))
+          .cast("double") / count(lit(1))).as("mean_x"))
+      .orderBy(col("label"), col("dim"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> topKBruteForce,
     "sim_topk_codegen"    -> topKCodegen,
     "sim_topk_lsh"        -> topKLsh,
-    "sim_topk_ivf"        -> topKIvf)
+    "sim_topk_ivf"        -> topKIvf,
+    "sim_label_centroids" -> labelCentroids)
 
   private val bruteForceOracle: String =
       s"""WITH c AS (SELECT vec_id, embedding,
@@ -285,5 +305,12 @@ object Similarity extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteForceOracle,
-    "sim_topk_codegen"    -> bruteForceOracle)
+    "sim_topk_codegen"    -> bruteForceOracle,
+    "sim_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim, COUNT(*) AS n,
+        |       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
+        |            AS DOUBLE) / COUNT(*) AS mean_x
+        |FROM embeddings,
+        |     unnest(generate_series(1, len(embedding))) AS s(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
