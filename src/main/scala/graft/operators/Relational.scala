@@ -370,34 +370,41 @@ object Relational extends QueryPack {
           count(when(col("o_orderstatus") === "O", lit(1)))).as("avg_open"))
       .orderBy(col("o_orderpriority"))
 
-  /** Pearson correlation from exact decimal moments (the same contract
-    * as `x_value_stats`): Σx, Σy, Σxy, Σx², Σy² are order-independent
-    * DECIMAL(38,6) sums, and the correlation is then ONE fixed IEEE
-    * expression — deterministic across engines and partitionings,
-    * unlike `corr()`'s streaming Welford merge whose result drifts with
-    * merge order. Single grouped pass, partial-agg friendly.
-    *
-    * Inputs are pre-scaled (quantity ×0.1, price ×1e-5) — correlation
-    * is scale-invariant, and the scaling keeps every moment's 6-dp
-    * integer mantissa under 2^53, where decimal→double is exact-then-
-    * one-rounding in BOTH engines. Unscaled, Σ(price²) ≈ 7e13 carries a
-    * ~7e19 mantissa and the two engines' decimal→double conversions
-    * disagree by an ulp (Java converts correctly-rounded; an int-cast +
-    * divide rounds twice). */
+  /** Pearson correlation from EXACT INTEGER moments. corr()'s streaming
+    * Welford merge drifts with merge order, and even decimal-summed
+    * moments combined in IEEE are not enough here: the numerator
+    * n·Σxy − Σx·Σy cancels catastrophically (corr ≈ 0.008), so a single
+    * per-row double→decimal cast ulp surfaces at the 8th significant
+    * digit and the engines disagree. Instead both inputs are lossless
+    * integers (quantity is integral; price has exactly 2 decimals →
+    * cents via a decimal(18,2) hop, never a double round-trip), all
+    * five moments are DECIMAL(38,0) sums of long per-row products
+    * (p² ≤ ~1e14 fits a long; the sums are int128-exact in both
+    * engines — DuckDB mirrors with HUGEINT), and the cancellation-prone
+    * subtractions happen in exact integer arithmetic. Only the final
+    * (num, varx, vary) triple is cast to double — one correctly-rounded
+    * conversion per term, identical across engines and partitionings.
+    * Correlation is scale-invariant, so the cents/units scaling does
+    * not change the statistic. Single grouped pass, partial-agg
+    * friendly; at 100 TB rows the moments stay < 1e34 ≪ 10³⁸. */
   def corrQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity") * lit(0.1)
-    val y = col("l_extendedprice") * lit(1e-5)
-    val n = count(lit(1)).cast(DoubleType)
-    val sx = sum(dec(x)).cast(DoubleType)
-    val sy = sum(dec(y)).cast(DoubleType)
-    val sxy = sum(dec(x * y)).cast(DoubleType)
-    val sx2 = sum(dec(x * x)).cast(DoubleType)
-    val sy2 = sum(dec(y * y)).cast(DoubleType)
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+    val d0 = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("q"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("p"))
+    val n38 = col("n").cast(DecimalType(38, 0))
+    base.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        ((n * sxy - sx * sy) /
-          sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).as("corr_qty_price"))
+        sum(d0(col("q"))).as("sq"), sum(d0(col("p"))).as("sp"),
+        sum(d0(col("q") * col("p"))).as("sqp"),
+        sum(d0(col("q") * col("q"))).as("sq2"),
+        sum(d0(col("p") * col("p"))).as("sp2"))
+      .select(col("l_returnflag"), col("n"),
+        ((n38 * col("sqp") - col("sq") * col("sp")).cast(DoubleType) /
+          sqrt((n38 * col("sq2") - col("sq") * col("sq")).cast(DoubleType) *
+            (n38 * col("sp2") - col("sp") * col("sp")).cast(DoubleType)))
+          .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -457,23 +464,23 @@ object Relational extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "rel_corr" ->
-      """WITH s AS (
+      """WITH b AS (
         |  SELECT l_returnflag,
-        |         l_quantity * CAST(0.1 AS DOUBLE) AS x,
-        |         l_extendedprice * 1e-5 AS y
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
         |  FROM lineitem),
         |m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |         CAST(COUNT(*) AS DOUBLE) AS nd,
-        |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-        |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-        |         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-        |         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
-        |         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS sy2
-        |  FROM s GROUP BY 1)
+        |         CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+        |         CAST(SUM(CAST(p AS HUGEINT)) AS HUGEINT) AS sp,
+        |         CAST(SUM(CAST(q * p AS HUGEINT)) AS HUGEINT) AS sqp,
+        |         CAST(SUM(CAST(q * q AS HUGEINT)) AS HUGEINT) AS sq2,
+        |         CAST(SUM(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS HUGEINT) AS sp2
+        |  FROM b GROUP BY 1)
         |SELECT l_returnflag, n,
-        |       (nd * sxy - sx * sy)
-        |         / sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy))
+        |       CAST(CAST(n AS HUGEINT) * sqp - sq * sp AS DOUBLE)
+        |         / sqrt(CAST(CAST(n AS HUGEINT) * sq2 - sq * sq AS DOUBLE)
+        |              * CAST(CAST(n AS HUGEINT) * sp2 - sp * sp AS DOUBLE))
         |         AS corr_qty_price
         |FROM m ORDER BY 1""".stripMargin,
     "rel_ntile" ->
