@@ -1,0 +1,422 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Warehouse-lifecycle + analytics operators rounding out the dbt-side
+  * surface of the reference (baikulov/clickhouse_vs_dbt): the reference
+  * manages models with dbt, whose flagship lifecycle features beyond
+  * materialization are snapshots (SCD type 2) and data tests
+  * (unique / not-null / relationships / accepted-values) — re-expressed
+  * here as first-class Spark operators — plus the ClickHouse-flavored
+  * funnel/path/topK analytics families the reference's engine is known
+  * for (cf. reference README's star-schema flight, `README.md:352-438`).
+  *
+  * Every query is oracle-paired. Date outputs are epoch-day bigints and
+  * money/value sums ride DECIMAL(38,6) intermediates, per the parity
+  * rules in `Events`/`Relational`.
+  */
+object Warehouse extends QueryPack {
+
+  private def dec(c: Column) = c.cast(DecimalType(38, 6))
+  private def d0(c: Column) = c.cast(DecimalType(38, 0))
+
+  // ---------------------------------------------------------------- SCD2
+
+  /** dbt-snapshot analogue (SCD type 2): collapse each customer's
+    * order-priority history into validity intervals. Runs of consecutive
+    * equal priorities (ordered by (o_orderdate, o_orderkey) — a total
+    * order, so islands are deterministic) become one row with
+    * [valid_from, valid_to) epoch-day bounds; the live segment has NULL
+    * valid_to, exactly like a dbt snapshot's `dbt_valid_to`.
+    *
+    * Islands via the classic rn−rn gaps-and-islands difference; segment
+    * order for the `lead` that closes intervals is `min(rn_all)` per
+    * island (valid_from alone can tie when one customer places
+    * different-priority orders on the same day).
+    *
+    * Scale posture: both windows partition by o_custkey — per-customer
+    * sequences (tens of rows), never a global sort; one shuffle on
+    * custkey serves rn, the island aggregate, and the closing lead. */
+  def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Seq(col("o_orderdate"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey")).orderBy(byKey: _*)
+    val wVal = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(byKey: _*)
+    val wSeg = Window.partitionBy(col("o_custkey")).orderBy(col("seg_ord"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        expr("cast(unix_date(to_date(o_orderdate)) as bigint)").as("day"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("rn_all", row_number().over(wAll))
+      .withColumn("grp", col("rn_all") - row_number().over(wVal))
+      .groupBy(col("o_custkey"), col("o_orderpriority"), col("grp"))
+      .agg(min(col("day")).as("valid_from"), max(col("day")).as("last_day"),
+        count(lit(1)).as("n_orders"), min(col("rn_all")).as("seg_ord"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
+      .select(col("o_custkey"), col("o_orderpriority"), col("valid_from"),
+        col("valid_to"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+  }
+
+  // ------------------------------------------------------------ dbt tests
+
+  /** dbt data-test pack as one report table: every relationships
+    * (FK orphan), unique, and accepted-values test in the schema,
+    * one row per test with its violation count (all 0 on the fixtures —
+    * the assertion is that BOTH engines prove it).
+    *
+    * Scale posture: each FK test is a LEFT ANTI join against a dimension
+    * key set — broadcast for the small dims, shuffle-keyed on the FK for
+    * orders/lineitem-sized sides; unique tests are one count-distinct
+    * aggregate. The union is of 1-row aggregates — plan width, not data
+    * width. */
+  def referentialTests(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("test_name"), col("n_violations"))
+    def unique(name: String, t: DataFrame, k: String): DataFrame =
+      t.agg((count(lit(1)) - count_distinct(col(k))).as("n_violations"))
+        .select(lit(name).as("test_name"), col("n_violations"))
+    val nation = Tables.nation(spark, dir)
+    val tests = Seq(
+      orphans("customer_nationkey_fk", Tables.customer(spark, dir),
+        "c_nationkey", nation, "n_nationkey"),
+      orphans("lineitem_orderkey_fk", Tables.lineitem(spark, dir),
+        "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
+      orphans("lineitem_partkey_fk", Tables.lineitem(spark, dir),
+        "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      orphans("lineitem_suppkey_fk", Tables.lineitem(spark, dir),
+        "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      orphans("nation_regionkey_fk", nation,
+        "n_regionkey", Tables.region(spark, dir), "r_regionkey"),
+      orphans("orders_custkey_fk", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      orphans("supplier_nationkey_fk", Tables.supplier(spark, dir),
+        "s_nationkey", nation, "n_nationkey"),
+      unique("customer_custkey_unique", Tables.customer(spark, dir), "c_custkey"),
+      unique("orders_orderkey_unique", Tables.orders(spark, dir), "o_orderkey"),
+      Tables.orders(spark, dir)
+        .agg(count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1)))
+          .as("n_violations"))
+        .select(lit("orders_status_accepted").as("test_name"),
+          col("n_violations")))
+    tests.reduce(_ unionByName _).orderBy(col("test_name"))
+  }
+
+  // ---------------------------------------------------- rolling distinct
+
+  /** Rolling 7-day distinct users (WAU) per day, EXACTLY — the
+    * arbitration tier for the mergeable-HLL rollup (`ev_hll_daily`),
+    * which approximates precisely this when the distinct count stops
+    * fitting. Distinct (day, user) pairs first (the only corpus-sized
+    * shuffle, and it shrinks events to at most DAU×days rows), then each
+    * pair lands in ≤7 trailing windows via a broadcast range join
+    * against the tiny day grid — map-side ×7 expansion, one final
+    * aggregate. No per-day self-scan of raw events.
+    *
+    * `dau` rides along from the same pairs (COUNT(DISTINCT CASE …)
+    * restricted to the window's own day). */
+  def trailingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(expr("cast(unix_date(to_date(ts)) as bigint)").as("pday"),
+        col("user_id")).distinct()
+    val days = pairs.select(col("pday").as("day")).distinct()
+    pairs.join(broadcast(days),
+        col("pday") >= col("day") - 6 && col("pday") <= col("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau7"),
+        count_distinct(when(col("pday") === col("day"), col("user_id")))
+          .as("dau"))
+      .orderBy(col("day"))
+  }
+
+  // ------------------------------------------------------- attribution
+
+  /** First-touch / last-touch attribution for purchases: per purchase
+    * event, the user's first-ever event type (first touch) and the most
+    * recent NON-purchase type strictly before it (last touch; 'direct'
+    * when the purchase opens the history), rolled up to the
+    * (first_touch, last_touch) matrix with purchase count, distinct
+    * buyers, and attributed value. (ts, event_id) is a total order, so
+    * both window reads are deterministic.
+    *
+    * Scale posture: both windows partition by user_id — one shuffle,
+    * per-user sequences; the rollup output is |types|² rows. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Seq(col("ts"), col("event_id"))
+    val wFull = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("first_touch", first(col("event_type")).over(wFull))
+      .withColumn("last_touch",
+        coalesce(last(when(col("event_type") =!= "purchase",
+          col("event_type")), ignoreNulls = true).over(wPrev), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count_distinct(col("user_id")).as("n_buyers"),
+        sum(dec(col("value"))).cast(DoubleType).as("attributed_value"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
+  // ----------------------------------------------------------- z-score
+
+  /** Daily-volume z-scores per event type — the monitoring/anomaly
+    * operator. Same exactness contract as `rel_corr`: counts are
+    * integers, the per-type moments (Σn, Σn²) are DECIMAL(38,0) sums
+    * (HUGEINT in the oracle), the cancellation-prone numerator
+    * n·days − Σn and variance days·Σn² − (Σn)² are computed in exact
+    * integer arithmetic, and only the final ratio is IEEE:
+    * z = (n·days − Σn) / sqrt(days·Σn² − (Σn)²) — the population
+    * z-score, one correctly-rounded conversion per term.
+    *
+    * Scale posture: events collapse to (type, day) counts (one
+    * partial-agg shuffle); the 5-row moment table broadcasts back. At
+    * 100 TB, n ~ 1e9/day keeps n² inside a long and the moments inside
+    * 38 digits. */
+  def dailyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"), sum(d0(col("n"))).as("m1"),
+        sum(d0(col("n") * col("n"))).as("m2"))
+    val d38 = col("days").cast(DecimalType(38, 0))
+    daily.join(broadcast(moments), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        ((col("n") * d38 - col("m1")).cast(DoubleType) /
+          sqrt((d38 * col("m2") - col("m1") * col("m1")).cast(DoubleType)))
+          .as("z"))
+      .withColumn("is_outlier",
+        (abs(col("z")) >= 2.0).cast("long"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  // -------------------------------------------------------- user paths
+
+  /** ClickHouse-style user-path analytics: each user's first 8 events
+    * (by the (ts, event_id) total order) joined into a '>' journey
+    * string, rolled up to (path, n_users). The row_number cap bounds
+    * the string at 8 segments, so the path cardinality — and the final
+    * aggregate — stays |types|⁸-bounded regardless of corpus size.
+    *
+    * The per-user join is order-tagged: sort_array over (rn, type)
+    * structs, NOT collect_list order (which is partition-dependent). */
+  def pathStrings(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .groupBy(col("user_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  // ------------------------------------------------- entity resolution
+
+  /** Blocked edit-distance entity resolution over part names — the
+    * catalog-dedup pattern: collapse rows to distinct entities first
+    * (64 names regardless of part count — the blocking input must be
+    * entity-, not row-, sized), block on the head noun (last token), and
+    * compare only within blocks: Σ block² pairs instead of n². Pairs at
+    * Levenshtein 1–3 surface as merge candidates with each side's row
+    * support. Distances are integers — exact across engines.
+    *
+    * At 100 TB the same shape holds: entities ≪ rows (the groupBy is
+    * the corpus-sized shuffle), and hot blocks — not corpus size —
+    * bound the pair count; a second blocking key (first token) would
+    * split any hot block the way the LSH band split does in `Dedup`. */
+  def nameEr(spark: SparkSession, dir: String): DataFrame = {
+    val ents = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", regexp_extract(col("p_name"), "[^ ]+$", 0))
+    val a = ents.select(col("block"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = ents.select(col("block"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, "block")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist").between(1, 3))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  // -------------------------------------------------------- approx topK
+
+  /** ClickHouse-`topK` analogue via Spark 4's ApproxTopK sketch —
+    * mergeable frequent-items state, the 100 TB path for "top N values"
+    * without a full groupBy when the value domain explodes. The sketch
+    * is EXACT while the tracked-item budget (default 10⁴) covers the
+    * true cardinality — the fixtures' event-type domain (5) is far
+    * inside it, which is what lets this query be oracle-paired against
+    * the plain exact histogram rather than rows-only. The exploded
+    * output is re-sorted (est desc, item) so sketch-internal order never
+    * reaches the result. */
+  def approxTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(expr("approx_top_k(event_type, 8)").as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.item").as("item"), col("s.count").cast("long").as("est"))
+      .orderBy(col("est").desc, col("item"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_scd2_dim"           -> scd2Dim,
+    "x_referential_tests"  -> referentialTests,
+    "ev_trailing_distinct" -> trailingDistinct,
+    "ev_attribution"       -> attribution,
+    "ev_daily_zscore"      -> dailyZscore,
+    "ev_path_strings"      -> pathStrings,
+    "dedup_name_er"        -> nameEr,
+    "x_approx_topk"        -> approxTopK)
+
+  override val oracles: Map[String, String] = Map(
+    "x_scd2_dim" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS rn_all,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+        |           ORDER BY o_orderdate, o_orderkey) AS rn_val
+        |  FROM orders),
+        |seg AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |         MIN(day) AS valid_from, COUNT(*) AS n_orders,
+        |         MIN(rn_all) AS seg_ord
+        |  FROM o GROUP BY o_custkey, o_orderpriority, rn_all - rn_val)
+        |SELECT o_custkey, o_orderpriority, valid_from,
+        |       LEAD(valid_from) OVER (PARTITION BY o_custkey
+        |         ORDER BY seg_ord) AS valid_to,
+        |       n_orders
+        |FROM seg
+        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+    "x_referential_tests" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_nationkey_fk' AS test_name, COUNT(*) AS n_violations
+        |    FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', COUNT(*)
+        |    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem_partkey_fk', COUNT(*)
+        |    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'lineitem_suppkey_fk', COUNT(*)
+        |    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'nation_regionkey_fk', COUNT(*)
+        |    FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', COUNT(*)
+        |    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'supplier_nationkey_fk', COUNT(*)
+        |    FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'customer_custkey_unique',
+        |         COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique',
+        |         COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_status_accepted',
+        |         COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) FROM orders
+        |) ORDER BY test_name""".stripMargin,
+    "ev_trailing_distinct" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS pday,
+        |         user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT pday AS day FROM pairs)
+        |SELECT day,
+        |       COUNT(DISTINCT user_id) AS wau7,
+        |       COUNT(DISTINCT CASE WHEN pday = day THEN user_id END) AS dau
+        |FROM pairs JOIN days ON pday BETWEEN day - 6 AND day
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "ev_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, value,
+        |         FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS first_touch,
+        |         COALESCE(LAST_VALUE(
+        |             CASE WHEN event_type <> 'purchase' THEN event_type END
+        |             IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           'direct') AS last_touch
+        |  FROM events)
+        |SELECT first_touch, last_touch, COUNT(*) AS n_purchases,
+        |       COUNT(DISTINCT user_id) AS n_buyers,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_daily_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS days,
+        |         CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS m1,
+        |         CAST(SUM(CAST(n * n AS HUGEINT)) AS HUGEINT) AS m2
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n,
+        |       CAST(CAST(d.n AS HUGEINT) * CAST(m.days AS HUGEINT) - m.m1
+        |            AS DOUBLE)
+        |         / sqrt(CAST(CAST(m.days AS HUGEINT) * m.m2 - m.m1 * m.m1
+        |                     AS DOUBLE)) AS z,
+        |       CAST(CASE WHEN abs(
+        |           CAST(CAST(d.n AS HUGEINT) * CAST(m.days AS HUGEINT) - m.m1
+        |                AS DOUBLE)
+        |           / sqrt(CAST(CAST(m.days AS HUGEINT) * m.m2 - m.m1 * m.m1
+        |                       AS DOUBLE))) >= 2.0
+        |         THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM daily d JOIN m USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin,
+    "ev_path_strings" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
+    "dedup_name_er" ->
+      """WITH e AS (
+        |  SELECT p_name, COUNT(*) AS n_parts,
+        |         regexp_extract(p_name, '[^ ]+$') AS block
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM e a JOIN e b ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "x_approx_topk" ->
+      """SELECT event_type AS item, COUNT(*) AS est
+        |FROM events GROUP BY 1 ORDER BY est DESC, item""".stripMargin)
+}
