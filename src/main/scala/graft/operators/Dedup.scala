@@ -160,17 +160,44 @@ object Dedup extends QueryPack {
   private val NumHashes = 32
   private val Bands = 8 // × 4 rows per band
 
-  /** MinHash signatures + banded LSH bucket join + exact verification —
-    * the linear-scale near-dup path. Rows-only (xxhash64-based). */
+  /** MinHash signatures + banded LSH bucket grouping + exact
+    * verification — the linear-scale near-dup path. Rows-only
+    * (xxhash64-based).
+    *
+    * Candidates come from a GROUP-BY over (band, band_sig) with
+    * within-bucket pair expansion, NOT a bucket self-join: a self-join
+    * references the signature subtree twice and Spark re-executes the
+    * whole shingle→explode→MinHashAgg pipeline per side (measured ~40%
+    * of the query at sf0.1). The groupBy form computes signatures once,
+    * shuffles once on the bucket key, and explodes the s·(s−1)/2 pairs
+    * inside each bucket — the same pair set (collect_list order is
+    * partition-dependent, so pairs are normalized with least/greatest
+    * and distinct'd). Bucket sizes are near-dup-cluster sized, so the
+    * quadratic expansion is as bounded as the join it replaces; a hot
+    * bucket would hurt either form equally. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(spark, dir)
-    // each shingle is hashed ONCE (in hashedShingles); the whole 32-hash
-    // signature is ONE imperative aggregate buffer (MinHashAgg) — no
-    // seed explosion, one primitive array per group, mergeable partials
+    // sub-shingle-width docs are excluded with a CHEAP predicate on the
+    // raw text (≥3 tokens ⟺ non-empty shingle set) BEFORE the shingle
+    // projection: a filter on size(sh) placed after it re-evaluates the
+    // whole interpreted higher-order shingle chain per row for the
+    // predicate (measured 0.7 s → 4.8 s at sf0.1). Excluding them is
+    // required anyway — their signature would be the degenerate
+    // all-MaxValue vector and every such doc would share one bucket.
+    val docs = Tables.documents(spark, dir)
+      .filter(expr("size(split(text, ' ')) >= 3"))
+    val sh = hashedShinglesOf(docs)
+    // whole 32-hash signature per row in ONE codegen'd expression
+    // (MinHashSig) — no explode, no doc_id re-aggregation: the shingle
+    // array is already per-doc, so re-keying it through a groupBy only
+    // added a shuffle AND knocked the stage out of whole-stage codegen
+    // (the keyed aggregate over the generator disables it; measured
+    // 3.5 s of interpreted higher-order evaluation at sf0.1). The
+    // streaming/mergeable form of the same chain lives in MinHashAgg
+    // for inputs that ARRIVE exploded (pinned byte-equal by
+    // CatalystAggSpec).
     val sig = sh
-      .select(col("doc_id"), explode(col("sh")).as("h0"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg.minhashSig(col("h0"), NumHashes).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), NumHashes).as("sig"))
     // band signature: one hash per group of 4 adjacent signature slots
     val bandCols = (0 until Bands).map { b =>
       val in = (0 until NumHashes / Bands)
@@ -182,12 +209,19 @@ object Dedup extends QueryPack {
         (0 until Bands).map(b => s"struct($b as band, band$b as band_sig)")
           .mkString("array(", ", ", ")"))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-    // candidates: docs sharing any (band, band_sig) bucket
-    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
-    val cand = ba.join(bb, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // candidates: all unordered doc pairs sharing any (band, band_sig)
+    // bucket, expanded inside the bucket group
+    val cand = bands.groupBy(col("band"), col("band_sig"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    x -> struct(least(element_at(ids, i), x) as doc_a,
+          |                greatest(element_at(ids, i), x) as doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
     // exact verification of the few candidates, on the hashed arrays
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
@@ -288,6 +322,17 @@ object Dedup extends QueryPack {
       .select(col("vec_id"),
         posexplode(graft.functions.HyperplaneSigs.sigs(col("embedding"), planes, CosLshBits)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
+    // NOTE kept as a self-join ON PURPOSE (the opposite call to
+    // minhashLsh's bucket-group): a collect_list bucket grouping is an
+    // ObjectHashAggregate, which disables whole-stage codegen for its
+    // entire input stage — including the native HyperplaneSigs pass,
+    // which then runs interpreted (measured 2.9 s → 5.1 s at sf0.1).
+    // The join form evaluates the signature pass once per side, but
+    // both sides stay codegen'd stages ending in the join exchange —
+    // twice-codegen'd beats once-interpreted here, where the heavy
+    // expression is codegen-able (minhash's shingle chain is
+    // higher-order-function fallback either way, so there the
+    // single-evaluation grouping wins).
     val cand = banded.select(col("vec_id").as("vec_a"), col("tbl"), col("sig"))
       .join(banded.select(col("vec_id").as("vec_b"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
