@@ -37,8 +37,31 @@ object Tables {
     read(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  /** The fixture parquet files are a single row group each, so Spark
+    * schedules ONE scan task no matter the core count — and the corpus
+    * tables below carry the engine's heavy per-row map work (shingling,
+    * n-gram explodes, signatures), which then serializes on one core
+    * (measured 4× on the char-trigram profile at sf0.1/local[32]).
+    * Fan such scans out to the session's parallelism. The guard makes
+    * this a NO-OP on production layouts: a 100 TB table arrives in
+    * thousands of row-group splits, the condition fails, and no
+    * corpus-wide shuffle is ever added. Round-robin repartition is
+    * deterministic (Spark sorts partitions locally before assigning,
+    * SPARK-23207), and every consumer is partition-order independent
+    * (pinned by the cross-thread-count determinism sweep). */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= cores) df.repartition(cores) else df
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  =
+    fanOut(spark, read(spark, dir, "documents"))
+  /** NOT fanned out: embedding consumers are codegen'd native passes
+    * (dot products, hyperplane signatures) that don't serialize on the
+    * interpreted-expression path, and the iterative ones (IVF's Lloyd
+    * rounds) re-traverse the scan per round — an added exchange is paid
+    * every iteration (measured sim_topk_ivf 1.3 s → 2.3 s). */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings")
 
   /** All relational + extension tables, keyed by logical name — the Spark
     * equivalent of the reference's dbt source registry (`README.md:269-292`). */
