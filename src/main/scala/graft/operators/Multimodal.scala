@@ -234,7 +234,36 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** Exact multimodal dedup, blocking tier + digest tier in one report —
+    * the media twin of `dedup_exact`: assets first BLOCK on the cheap
+    * (media_type, n_bytes) metadata key (two assets can only be
+    * byte-identical if type and size agree — computed from metadata/
+    * footers, no payload read), then each candidate block is verified
+    * by content digest. Output: one row per multi-asset block with its
+    * candidate count, distinct-digest count, and confirmed duplicate
+    * count (candidates − distinct digests). The shuffle key is 16 bytes
+    * of digest + a few metadata bytes per asset — the payload itself
+    * never moves. At 100 TB of media the blocking tier prunes the
+    * digest work to size-colliding assets; this is the standard first
+    * pass ahead of any perceptual hashing. */
+  def dedupPayload(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("media_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"))
+      .groupBy(col("media_type"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count_distinct(col("digest")).as("n_distinct"),
+        min(col("media_id")).as("first_media_id"))
+      .filter(col("n_candidates") > 1)
+      .select(col("media_type"), col("n_bytes"), col("n_candidates"),
+        col("n_distinct"),
+        (col("n_candidates") - col("n_distinct")).as("n_dup_assets"),
+        col("first_media_id"))
+      .orderBy(col("media_type"), col("n_bytes"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup_payload" -> dedupPayload,
     "mm_meta" -> meta,
     "mm_features" -> ((s: SparkSession, d: String) =>
       decodeFeatures(s, d).toDF()
@@ -255,6 +284,21 @@ object Multimodal extends QueryPack {
           max(col("mean_pixel")).as("brightest_tile"))))
 
   override val oracles: Map[String, String] = Map(
+    "mm_dedup_payload" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |           AS media_type,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         md5(text) AS digest
+        |  FROM documents)
+        |SELECT media_type, n_bytes, COUNT(*) AS n_candidates,
+        |       COUNT(DISTINCT digest) AS n_distinct,
+        |       COUNT(*) - COUNT(DISTINCT digest) AS n_dup_assets,
+        |       MIN(media_id) AS first_media_id
+        |FROM a GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |ORDER BY media_type, n_bytes""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

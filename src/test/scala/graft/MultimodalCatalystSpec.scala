@@ -111,4 +111,22 @@ class MultimodalCatalystSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("payload dedup blocking: counts consistent, dups confirmed by digest") {
+    val rows = graft.operators.Multimodal.dedupPayload(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty, "the fixture has size-colliding assets")
+    rows.foreach { r =>
+      val cand = r.getAs[Long]("n_candidates")
+      val dist = r.getAs[Long]("n_distinct")
+      assert(cand > 1 && dist >= 1 && dist <= cand)
+      assert(r.getAs[Long]("n_dup_assets") == cand - dist)
+    }
+    // confirmed duplicate total must equal the corpus-wide exact-dup count
+    // (blocking is lossless for byte-identical payloads: equal bytes =>
+    // equal (type-independent) size => same block when type also matches)
+    val media = graft.operators.Multimodal.mediaTable(spark, TestSpark.Sf).toDF()
+    val totalDups = media.count() -
+      media.selectExpr("media_type", "md5(payload) as d").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_dup_assets")).sum == totalDups)
+  }
 }
