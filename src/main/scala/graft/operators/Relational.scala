@@ -43,6 +43,67 @@ object Relational extends QueryPack {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q3 analogue (shipping-priority): the classic
+    * filter-then-3-way-join — BUILDING-segment customers, orders placed
+    * before / line items shipped after the cut date, top-10 open orders
+    * by outstanding revenue. Both date predicates and the segment
+    * filter push to the scans, so the join inputs are pruned before the
+    * one fact-fact shuffle; customer is dimension-sized and
+    * broadcast-eligible. Revenue is the decimal-exact money sum; the
+    * top-10 is fully tie-broken (revenue desc, orderkey). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-01-01"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        expr("cast(unix_date(to_date(o_orderdate)) as bigint)").as("order_day"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("order_day"), col("o_orderpriority"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 analogue (local-supplier volume): the classic 6-way join —
+    * region → nation → customer → orders → lineitem → supplier, with the
+    * LOCAL constraint c_nationkey = s_nationkey closing the cycle, 1997
+    * orders, ASIA region, revenue per nation. Exercises join ordering
+    * over four dimension tables + two facts: region/nation broadcast
+    * (bounded), customer/supplier joins carry only keys, and the single
+    * fact-fact shuffle happens on the order key. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(expr("year(o_orderdate) = 1997"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** ORDER BY + LIMIT top-k (driver-wide total order with tie-break). */
   def topOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -441,6 +502,8 @@ object Relational extends QueryPack {
     "ssb_q3_2_segment_flows" -> ssbQ3SegmentFlows,
     "ssb_q4_2_brand_profit" -> ssbQ4BrandProfit,
     "rel_pricing_summary"  -> pricingSummary,
+    "rel_shipping_priority" -> shippingPriority,
+    "rel_local_volume"     -> localSupplierVolume,
     "rel_top_orders"       -> topOrders,
     "rel_brand_top3"       -> brandTop3,
     "rel_running_total"    -> runningTotal,
@@ -463,6 +526,34 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "rel_shipping_priority" ->
+      s"""SELECT o.o_orderkey,
+        |       CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |         AS order_day,
+        |       o.o_orderpriority,
+        |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "rel_local_volume" ->
+      s"""SELECT n.n_name,
+        |       CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND EXTRACT(year FROM o.o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "rel_corr" ->
       """WITH b AS (
         |  SELECT l_returnflag,
