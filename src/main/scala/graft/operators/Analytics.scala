@@ -109,13 +109,77 @@ object Analytics extends QueryPack {
       .orderBy(col("isodow"), col("hour"))
   }
 
+  /** Snapshot diff audit (dbt audit-helper analogue): row-level
+    * reconciliation of two per-customer revenue snapshots built from
+    * overlapping order windows (1995–97 vs 1996–98), classified per key
+    * as added / removed / changed / unchanged via one FULL OUTER join,
+    * rolled up to a per-class report with key counts and the exact
+    * decimal revenue delta. The detail rows are the join output; only
+    * the bounded report materializes.
+    *
+    * Scale posture: both snapshots are partial-agg collapses of the
+    * fact table; the diff join is keyed on the snapshot key (one
+    * shuffle, co-partitioned); the classification is a map-side CASE.
+    * Equality on DECIMAL(38,6) sums is exact — no float fuzz in the
+    * changed/unchanged split. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def snap(lo: Int, hi: Int) = Tables.orders(spark, dir)
+      .filter(expr(s"year(o_orderdate) between $lo and $hi"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"), count(lit(1)).as("n"))
+    val a = snap(1995, 1997).select(col("o_custkey").as("k"),
+      col("rev").as("rev_a"), col("n").as("n_a"))
+    val b = snap(1996, 1998).select(col("o_custkey").as("k"),
+      col("rev").as("rev_b"), col("n").as("n_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("rev_a").isNull, "added")
+          .when(col("rev_b").isNull, "removed")
+          .when(col("rev_a") === col("rev_b") && col("n_a") === col("n_b"),
+            "unchanged")
+          .otherwise("changed").as("change_type"),
+        coalesce(col("rev_b"), lit(0)).cast(DecimalType(38, 6))
+          .minus(coalesce(col("rev_a"), lit(0)).cast(DecimalType(38, 6)))
+          .as("delta"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("delta")).cast(DoubleType).as("revenue_delta"))
+      .orderBy(col("change_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_snapshot_diff"   -> snapshotDiff,
     "x_gap_fill_locf"   -> gapFillLocf,
     "rel_percent_rank"  -> percentRankSuppliers,
     "text_doc_keywords" -> docKeywords,
     "ev_hour_heatmap"   -> hourHeatmap)
 
   override val oracles: Map[String, String] = Map(
+    "x_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k,
+        |         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_a,
+        |         COUNT(*) AS n_a
+        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1995 AND 1997
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey AS k,
+        |         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_b,
+        |         COUNT(*) AS n_b
+        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 1998
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT COALESCE(a.k, b.k) AS k,
+        |         CASE WHEN a.rev_a IS NULL THEN 'added'
+        |              WHEN b.rev_b IS NULL THEN 'removed'
+        |              WHEN a.rev_a = b.rev_b AND a.n_a = b.n_b THEN 'unchanged'
+        |              ELSE 'changed' END AS change_type,
+        |         CAST(COALESCE(b.rev_b, 0) AS DECIMAL(38,6))
+        |           - CAST(COALESCE(a.rev_a, 0) AS DECIMAL(38,6)) AS delta
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT change_type, COUNT(*) AS n_keys,
+        |       CAST(SUM(delta) AS DOUBLE) AS revenue_delta
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_gap_fill_locf" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,

@@ -70,44 +70,76 @@ object Warehouse extends QueryPack {
     * one row per test with its violation count (all 0 on the fixtures —
     * the assertion is that BOTH engines prove it).
     *
-    * Scale posture: each FK test is a LEFT ANTI join against a dimension
-    * key set — broadcast for the small dims, shuffle-keyed on the FK for
-    * orders/lineitem-sized sides; unique tests are one count-distinct
-    * aggregate. The union is of 1-row aggregates — plan width, not data
-    * width. */
+    * Scale posture: every fact table is scanned ONCE no matter how many
+    * tests it carries — all of a table's FK probes are chained
+    * broadcast/shuffle LEFT joins on key-set projections inside one
+    * pass, and its unique/accepted-values tests ride the same final
+    * aggregate as conditional counts (a naive per-test plan re-scans
+    * lineitem three times; at 100 TB the fact scans ARE the cost). The
+    * per-table aggregate rows then unpivot via a literal struct array —
+    * plan width, not data width. */
   def referentialTests(spark: SparkSession, dir: String): DataFrame = {
-    def orphans(name: String, fact: DataFrame, fk: String,
-        dim: DataFrame, pk: String): DataFrame =
-      fact.join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("test_name"), col("n_violations"))
-    def unique(name: String, t: DataFrame, k: String): DataFrame =
-      t.agg((count(lit(1)) - count_distinct(col(k))).as("n_violations"))
-        .select(lit(name).as("test_name"), col("n_violations"))
-    val nation = Tables.nation(spark, dir)
-    val tests = Seq(
-      orphans("customer_nationkey_fk", Tables.customer(spark, dir),
-        "c_nationkey", nation, "n_nationkey"),
-      orphans("lineitem_orderkey_fk", Tables.lineitem(spark, dir),
-        "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
-      orphans("lineitem_partkey_fk", Tables.lineitem(spark, dir),
-        "l_partkey", Tables.part(spark, dir), "p_partkey"),
-      orphans("lineitem_suppkey_fk", Tables.lineitem(spark, dir),
-        "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
-      orphans("nation_regionkey_fk", nation,
-        "n_regionkey", Tables.region(spark, dir), "r_regionkey"),
-      orphans("orders_custkey_fk", Tables.orders(spark, dir),
-        "o_custkey", Tables.customer(spark, dir), "c_custkey"),
-      orphans("supplier_nationkey_fk", Tables.supplier(spark, dir),
-        "s_nationkey", nation, "n_nationkey"),
-      unique("customer_custkey_unique", Tables.customer(spark, dir), "c_custkey"),
-      unique("orders_orderkey_unique", Tables.orders(spark, dir), "o_orderkey"),
+    // one row per (test, violations) from a single already-aggregated row
+    def unpivot(agg: DataFrame, tests: Seq[(String, String)]): DataFrame =
+      agg.select(explode(array(tests.map { case (n, c) =>
+        struct(lit(n).as("test_name"), col(c).as("n_violations")) }: _*)).as("t"))
+        .select(col("t.test_name").as("test_name"),
+          col("t.n_violations").as("n_violations"))
+    def keyset(t: DataFrame, k: String): DataFrame = t.select(col(k)).distinct()
+    val nationKeys = keyset(Tables.nation(spark, dir), "n_nationkey")
+    // lineitem: one scan, three chained FK probes
+    val li = unpivot(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(keyset(Tables.orders(spark, dir), "o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(keyset(Tables.part(spark, dir), "p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(keyset(Tables.supplier(spark, dir), "s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(when(col("o_orderkey").isNull, lit(1))).as("v_ord"),
+          count(when(col("p_partkey").isNull, lit(1))).as("v_part"),
+          count(when(col("s_suppkey").isNull, lit(1))).as("v_supp")),
+      Seq("lineitem_orderkey_fk" -> "v_ord", "lineitem_partkey_fk" -> "v_part",
+        "lineitem_suppkey_fk" -> "v_supp"))
+    // orders: one scan carries the FK probe, the PK-unique test, and the
+    // accepted-values test
+    val ord = unpivot(
       Tables.orders(spark, dir)
-        .agg(count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1)))
-          .as("n_violations"))
-        .select(lit("orders_status_accepted").as("test_name"),
-          col("n_violations")))
-    tests.reduce(_ unionByName _).orderBy(col("test_name"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .join(broadcast(keyset(Tables.customer(spark, dir), "c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(when(col("c_custkey").isNull, lit(1))).as("v_cust"),
+          (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_uniq"),
+          count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1)))
+            .as("v_status")),
+      Seq("orders_custkey_fk" -> "v_cust", "orders_orderkey_unique" -> "v_uniq",
+        "orders_status_accepted" -> "v_status"))
+    val cust = unpivot(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nationKeys), col("c_nationkey") === col("n_nationkey"),
+          "left")
+        .agg(count(when(col("n_nationkey").isNull, lit(1))).as("v_nat"),
+          (count(lit(1)) - count_distinct(col("c_custkey"))).as("v_uniq")),
+      Seq("customer_nationkey_fk" -> "v_nat",
+        "customer_custkey_unique" -> "v_uniq"))
+    val supp = unpivot(
+      Tables.supplier(spark, dir)
+        .select(col("s_nationkey"))
+        .join(broadcast(nationKeys), col("s_nationkey") === col("n_nationkey"),
+          "left")
+        .agg(count(when(col("n_nationkey").isNull, lit(1))).as("v_nat")),
+      Seq("supplier_nationkey_fk" -> "v_nat"))
+    val nat = unpivot(
+      Tables.nation(spark, dir)
+        .select(col("n_regionkey"))
+        .join(broadcast(keyset(Tables.region(spark, dir), "r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .agg(count(when(col("r_regionkey").isNull, lit(1))).as("v_reg")),
+      Seq("nation_regionkey_fk" -> "v_reg"))
+    Seq(li, ord, cust, supp, nat).reduce(_ unionByName _)
+      .orderBy(col("test_name"))
   }
 
   // ---------------------------------------------------- rolling distinct

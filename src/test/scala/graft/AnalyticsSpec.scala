@@ -63,6 +63,29 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff: classes partition keyspace, deltas conserve revenue") {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = Analytics.snapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("change_type") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("revenue_delta"))).toMap
+    def snap(lo: Int, hi: Int) = Tables.orders(spark, sf)
+      .filter(expr(s"year(o_orderdate) between $lo and $hi"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(38, 6))).as("rev"))
+    val a = snap(1995, 1997).select(col("o_custkey"), col("rev").as("rev_a"))
+    val b = snap(1996, 1998).select(col("o_custkey"), col("rev").as("rev_b"))
+    val nKeys = a.join(b, Seq("o_custkey"), "full_outer").count()
+    assert(rows.values.map(_._1).sum == nKeys,
+      "added+removed+changed+unchanged covers every snapshot key exactly once")
+    val totA = a.agg(sum("rev_a")).collect()(0).getDecimal(0).doubleValue()
+    val totB = b.agg(sum("rev_b")).collect()(0).getDecimal(0).doubleValue()
+    val deltaSum = rows.values.map(_._2).sum
+    assert(math.abs(deltaSum - (totB - totA)) < 1e-6 * math.abs(totB),
+      "per-class deltas sum to the total revenue movement")
+    rows.get("unchanged").foreach { case (_, d) =>
+      assert(d == 0.0, "unchanged class carries zero delta") }
+  }
+
   test("heatmap: count conservation, valid cell coordinates, shares sum to 1") {
     val rows = Analytics.hourHeatmap(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
