@@ -37,7 +37,11 @@ object Warehouse extends QueryPack {
     * Islands via the classic rn−rn gaps-and-islands difference; segment
     * order for the `lead` that closes intervals is `min(rn_all)` per
     * island (valid_from alone can tie when one customer places
-    * different-priority orders on the same day).
+    * different-priority orders on the same day). `seg_ord` is also
+    * OUTPUT and is the final ORDER BY tie-break: (custkey, valid_from,
+    * priority) alone is not a total order — interleaved same-day
+    * priorities (P1,P2,P1) can yield two same-priority islands sharing
+    * a valid_from — and the hash gate is order-sensitive.
     *
     * Scale posture: both windows partition by o_custkey — per-customer
     * sequences (tens of rows), never a global sort; one shuffle on
@@ -56,11 +60,13 @@ object Warehouse extends QueryPack {
       .withColumn("grp", col("rn_all") - row_number().over(wVal))
       .groupBy(col("o_custkey"), col("o_orderpriority"), col("grp"))
       .agg(min(col("day")).as("valid_from"), max(col("day")).as("last_day"),
-        count(lit(1)).as("n_orders"), min(col("rn_all")).as("seg_ord"))
+        count(lit(1)).as("n_orders"),
+        min(col("rn_all")).cast("long").as("seg_ord"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
       .select(col("o_custkey"), col("o_orderpriority"), col("valid_from"),
-        col("valid_to"), col("n_orders"))
-      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+        col("valid_to"), col("n_orders"), col("seg_ord"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"),
+        col("seg_ord"))
   }
 
   // ------------------------------------------------------------ dbt tests
@@ -77,7 +83,12 @@ object Warehouse extends QueryPack {
     * aggregate as conditional counts (a naive per-test plan re-scans
     * lineitem three times; at 100 TB the fact scans ARE the cost). The
     * per-table aggregate rows then unpivot via a literal struct array —
-    * plan width, not data width. */
+    * plan width, not data width.
+    *
+    * NULL FK semantics follow dbt's relationships test (and SQL
+    * `NOT IN`): a NULL foreign key is NOT a violation — the violation
+    * predicate requires the FK itself non-null, or a join miss on a
+    * NULL key would be miscounted. */
   def referentialTests(spark: SparkSession, dir: String): DataFrame = {
     // one row per (test, violations) from a single already-aggregated row
     def unpivot(agg: DataFrame, tests: Seq[(String, String)]): DataFrame =
@@ -97,9 +108,12 @@ object Warehouse extends QueryPack {
           col("l_partkey") === col("p_partkey"), "left")
         .join(broadcast(keyset(Tables.supplier(spark, dir), "s_suppkey")),
           col("l_suppkey") === col("s_suppkey"), "left")
-        .agg(count(when(col("o_orderkey").isNull, lit(1))).as("v_ord"),
-          count(when(col("p_partkey").isNull, lit(1))).as("v_part"),
-          count(when(col("s_suppkey").isNull, lit(1))).as("v_supp")),
+        .agg(count(when(col("l_orderkey").isNotNull && col("o_orderkey").isNull,
+            lit(1))).as("v_ord"),
+          count(when(col("l_partkey").isNotNull && col("p_partkey").isNull,
+            lit(1))).as("v_part"),
+          count(when(col("l_suppkey").isNotNull && col("s_suppkey").isNull,
+            lit(1))).as("v_supp")),
       Seq("lineitem_orderkey_fk" -> "v_ord", "lineitem_partkey_fk" -> "v_part",
         "lineitem_suppkey_fk" -> "v_supp"))
     // orders: one scan carries the FK probe, the PK-unique test, and the
@@ -109,7 +123,8 @@ object Warehouse extends QueryPack {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         .join(broadcast(keyset(Tables.customer(spark, dir), "c_custkey")),
           col("o_custkey") === col("c_custkey"), "left")
-        .agg(count(when(col("c_custkey").isNull, lit(1))).as("v_cust"),
+        .agg(count(when(col("o_custkey").isNotNull && col("c_custkey").isNull,
+            lit(1))).as("v_cust"),
           (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_uniq"),
           count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1)))
             .as("v_status")),
@@ -120,7 +135,8 @@ object Warehouse extends QueryPack {
         .select(col("c_custkey"), col("c_nationkey"))
         .join(broadcast(nationKeys), col("c_nationkey") === col("n_nationkey"),
           "left")
-        .agg(count(when(col("n_nationkey").isNull, lit(1))).as("v_nat"),
+        .agg(count(when(col("c_nationkey").isNotNull && col("n_nationkey").isNull,
+            lit(1))).as("v_nat"),
           (count(lit(1)) - count_distinct(col("c_custkey"))).as("v_uniq")),
       Seq("customer_nationkey_fk" -> "v_nat",
         "customer_custkey_unique" -> "v_uniq"))
@@ -129,14 +145,16 @@ object Warehouse extends QueryPack {
         .select(col("s_nationkey"))
         .join(broadcast(nationKeys), col("s_nationkey") === col("n_nationkey"),
           "left")
-        .agg(count(when(col("n_nationkey").isNull, lit(1))).as("v_nat")),
+        .agg(count(when(col("s_nationkey").isNotNull && col("n_nationkey").isNull,
+            lit(1))).as("v_nat")),
       Seq("supplier_nationkey_fk" -> "v_nat"))
     val nat = unpivot(
       Tables.nation(spark, dir)
         .select(col("n_regionkey"))
         .join(broadcast(keyset(Tables.region(spark, dir), "r_regionkey")),
           col("n_regionkey") === col("r_regionkey"), "left")
-        .agg(count(when(col("r_regionkey").isNull, lit(1))).as("v_reg")),
+        .agg(count(when(col("n_regionkey").isNotNull && col("r_regionkey").isNull,
+            lit(1))).as("v_reg")),
       Seq("nation_regionkey_fk" -> "v_reg"))
     Seq(li, ord, cust, supp, nat).reduce(_ unionByName _)
       .orderBy(col("test_name"))
@@ -149,9 +167,14 @@ object Warehouse extends QueryPack {
     * which approximates precisely this when the distinct count stops
     * fitting. Distinct (day, user) pairs first (the only corpus-sized
     * shuffle, and it shrinks events to at most DAU×days rows), then each
-    * pair lands in ≤7 trailing windows via a broadcast range join
-    * against the tiny day grid — map-side ×7 expansion, one final
-    * aggregate. No per-day self-scan of raw events.
+    * pair EXPLODES to the ≤7 trailing window anchors it covers
+    * (`sequence(pday, pday+6)`) — a true map-side ×7 expansion — and a
+    * broadcast EQUI-join against the observed-day grid drops anchors
+    * beyond the data's horizon. (The earlier non-equi `BETWEEN` join
+    * form compiled to a BroadcastNestedLoopJoin: O(|pairs|×|days|)
+    * predicate evaluations — at multi-year scale that inner loop over
+    * every day dwarfs the ×7 fan-out this op actually needs.) No
+    * per-day self-scan of raw events.
     *
     * `dau` rides along from the same pairs (COUNT(DISTINCT CASE …)
     * restricted to the window's own day). */
@@ -160,8 +183,10 @@ object Warehouse extends QueryPack {
       .select(expr("cast(unix_date(to_date(ts)) as bigint)").as("pday"),
         col("user_id")).distinct()
     val days = pairs.select(col("pday").as("day")).distinct()
-    pairs.join(broadcast(days),
-        col("pday") >= col("day") - 6 && col("pday") <= col("day"))
+    pairs
+      .select(col("pday"), col("user_id"),
+        explode(expr("sequence(pday, pday + 6)")).as("day"))
+      .join(broadcast(days), "day")
       .groupBy(col("day"))
       .agg(count_distinct(col("user_id")).as("wau7"),
         count_distinct(when(col("pday") === col("day"), col("user_id")))
@@ -335,9 +360,9 @@ object Warehouse extends QueryPack {
         |SELECT o_custkey, o_orderpriority, valid_from,
         |       LEAD(valid_from) OVER (PARTITION BY o_custkey
         |         ORDER BY seg_ord) AS valid_to,
-        |       n_orders
+        |       n_orders, seg_ord
         |FROM seg
-        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+        |ORDER BY o_custkey, valid_from, o_orderpriority, seg_ord""".stripMargin,
     "x_referential_tests" ->
       """SELECT * FROM (
         |  SELECT 'customer_nationkey_fk' AS test_name, COUNT(*) AS n_violations
