@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Hash chain is IDENTICAL to [[MinHashAgg]] (and the SQL
   * `xxhash64(h, s)` composition): per shingle `base = XXH64.hashLong(h,
-  * 42)`, per slot `XXH64.hashInt(s, base)`, element-wise min — pinned
-  * byte-equal by CatalystAggSpec. An EMPTY shingle array yields the
+  * 42)`, per slot `XXH64.hashInt(s, base)`, element-wise min.
+  * CatalystAggSpec pins THIS expression equal to the
+  * explode→groupBy→[[MinHashAgg]] signature of the same input, with
+  * whole-stage codegen ON (doGenCode path) and OFF (nullSafeEval
+  * path). An EMPTY shingle array yields the
   * all-Long.MaxValue signature (the aggregate form emits no row for a
   * doc with no shingles — callers that band signatures must filter
   * empty-shingle docs first, or every sub-width doc would share one

@@ -180,9 +180,19 @@ object Multimodal extends QueryPack {
     * the pixel rectangle exactly; means accumulate in row-major order
     * (deterministic). */
   def imageTiles(spark: SparkSession, dir: String, grid: Int = 4,
-      codec: MediaCodec = FakeCodec): Dataset[ImageTile] = {
+      codec: MediaCodec = FakeCodec): Dataset[ImageTile] =
+    imageTilesOf(
+      mediaTable(spark, dir).filter(col("media_type") === "image"),
+      grid, codec)
+
+  /** Tile means over an arbitrary media dataset — the seam
+    * MultimodalCatalystSpec uses to pin tile values on a synthetic
+    * image with hand-computable means. */
+  private[graft] def imageTilesOf(media: Dataset[MediaRow], grid: Int,
+      codec: MediaCodec): Dataset[ImageTile] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, dir).filter(col("media_type") === "image")
+    media
       .flatMap { r =>
         val px = codec.pixels(r.payload, r.width, r.height)
         for {

@@ -50,6 +50,45 @@ class CatalystAggSpec extends AnyFunSuite {
     typedAvg.foreach { case (k, v) => assert(v == untyped(k), k) }
   }
 
+  test("MinHashSig equals explode+MinHashAgg, with codegen ON and OFF") {
+    import graft.functions.MinHashSig
+    // per-doc shingle arrays, including dup hashes inside one array
+    val docs = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(10L, 99L, 10L)),
+      (3L, Seq(7L)),
+      (4L, Seq(Long.MinValue, 0L, Long.MaxValue))).toDF("doc_id", "sh")
+    def viaSig(): Map[Long, Seq[Long]] = docs
+      .select($"doc_id", MinHashSig.minhashSig($"sh", n).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = docs.select($"doc_id", explode($"sh").as("h0"))
+      .groupBy($"doc_id").agg(MinHashAgg.minhashSig($"h0", n).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val conf = spark.conf
+    val codegenOn = viaSig()
+    val prevWs = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val codegenOff =
+      try {
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        viaSig()
+      } finally {
+        conf.set("spark.sql.codegen.wholeStage", prevWs)
+        conf.set("spark.sql.codegen.factoryMode", prevFm)
+      }
+    assert(codegenOn == viaAgg, "doGenCode path diverges from MinHashAgg")
+    assert(codegenOff == viaAgg, "nullSafeEval path diverges from MinHashAgg")
+  }
+
+  test("MinHashSig: empty shingle array yields the all-MaxValue signature") {
+    import graft.functions.MinHashSig
+    val sig = Seq((9L, Seq.empty[Long])).toDF("doc_id", "sh")
+      .select(MinHashSig.minhashSig($"sh", n).as("sig"))
+      .as[Seq[Long]].head()
+    assert(sig == Seq.fill(n)(Long.MaxValue))
+  }
+
   test("MinHashAgg estimates Jaccard (sketch property, loose bound)") {
     // two sets with true overlap 50/150 ≈ 0.33 under 64 hashes
     val a = (1L to 100L).map(h => (0L, h))

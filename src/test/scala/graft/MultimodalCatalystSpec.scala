@@ -35,6 +35,55 @@ class MultimodalCatalystSpec extends AnyFunSuite {
     assert(r.map(_.media_id).toSet == orig)
   }
 
+  test("image tiles: means pinned on a synthetic gradient image") {
+    import Multimodal.MediaRow
+    // 8×8 image, pixel value = row-major index (0..63). Under grid=4
+    // each tile is a 2×2 block at (y0=2·tr, x0=2·tc); its mean is
+    // (p + p+1 + p+8 + p+9)/4 = p + 4.5 with p = 8·y0 + x0, i.e.
+    // 16·tr + 2·tc + 4.5 — hand-computable closed form.
+    val gradient = Array.tabulate[Byte](64)(_.toByte)
+    // constant 0xFF image: every tile mean must be 255.0 exactly —
+    // catches a signed-byte slip (byte -1 must read as 255).
+    val white = Array.fill[Byte](64)(-1)
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, gradient, "image", 8, 8, 1),
+      MediaRow(2L, white, "image", 8, 8, 1)))
+    val tiles = Multimodal.imageTilesOf(media, 4, Multimodal.FakeCodec)
+      .collect().map(t => (t.media_id, t.tile_row, t.tile_col) -> t.mean_pixel)
+      .toMap
+    assert(tiles.size == 32, "two 8×8 images × 16 tiles each")
+    for (tr <- 0 until 4; tc <- 0 until 4) {
+      assert(tiles((1L, tr, tc)) == 16.0 * tr + 2.0 * tc + 4.5, s"gradient ($tr,$tc)")
+      assert(tiles((2L, tr, tc)) == 255.0, s"white ($tr,$tc)")
+    }
+  }
+
+  test("image tiles: fixture run matches a driver-side replication exactly") {
+    // replicates imageTiles' arithmetic in plain Scala over the same
+    // fixture rows — pins the distributed path (mm_image_tiles' source)
+    // value-exact, including the ragged tile-drop rule.
+    val rows = Multimodal.mediaTable(spark, TestSpark.Sf)
+      .filter($"media_type" === "image").collect()
+    assert(rows.nonEmpty)
+    val grid = 4
+    val expected = rows.flatMap { r =>
+      val px = Multimodal.FakeCodec.pixels(r.payload, r.width, r.height)
+      for {
+        tr <- 0 until grid; tc <- 0 until grid
+        y0 = r.height * tr / grid; y1 = r.height * (tr + 1) / grid
+        x0 = r.width * tc / grid; x1 = r.width * (tc + 1) / grid
+        if y1 > y0 && x1 > x0
+      } yield {
+        val sum = (y0 until y1).flatMap(y => (x0 until x1)
+          .map(x => (px(y * r.width + x) & 0xFF).toLong)).sum
+        (r.media_id, tr, tc) -> sum.toDouble / ((y1 - y0) * (x1 - x0))
+      }
+    }.toMap
+    val got = Multimodal.imageTiles(spark, TestSpark.Sf).collect()
+      .map(t => (t.media_id, t.tile_row, t.tile_col) -> t.mean_pixel).toMap
+    assert(got == expected)
+  }
+
   test("frame sampling: indices follow the stride, bytes within frame bounds") {
     val fs = Multimodal.frameSample(spark, TestSpark.Sf, 5).collect()
     assert(fs.nonEmpty)
