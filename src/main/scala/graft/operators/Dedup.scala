@@ -159,6 +159,21 @@ object Dedup extends QueryPack {
 
   private val NumHashes = 32
   private val Bands = 8 // × 4 rows per band
+  /** Hot-bucket guard for [[minhashLsh]]: buckets larger than this are
+    * NOT pair-expanded. The in-bucket expansion materializes
+    * s·(s−1)/2 structs as ONE array value before the explode, so an
+    * unguarded degenerate bucket (boilerplate-dominated corpus: every
+    * near-identical doc lands in the same (band, band_sig) bucket) is
+    * quadratic memory in a single task row — at cap 1024 the worst
+    * array is ~524k structs ≈ 12 MB, safely inside a task; at 10k
+    * members it would be ~50M structs ≈ 1.2 GB and OOM. Oversized
+    * buckets are dropped from pair expansion and surfaced via
+    * [[minhashHotBuckets]] / the `dedup_bucket_stats` telemetry — the
+    * production posture: a >1024-member minhash bucket is boilerplate
+    * to triage, not 500k pairs to verify. EdgeCaseSpec pins both the
+    * guard (10k identical docs complete, hot bucket reported) and that
+    * the guarded pair set is unchanged on the normal fixture. */
+  private[graft] val HotBucketCap = 1024
 
   /** MinHash signatures + banded LSH bucket grouping + exact
     * verification — the linear-scale near-dup path. Rows-only
@@ -172,10 +187,13 @@ object Dedup extends QueryPack {
     * shuffles once on the bucket key, and explodes the s·(s−1)/2 pairs
     * inside each bucket — the same pair set (collect_list order is
     * partition-dependent, so pairs are normalized with least/greatest
-    * and distinct'd). Bucket sizes are near-dup-cluster sized, so the
-    * quadratic expansion is as bounded as the join it replaces; a hot
-    * bucket would hurt either form equally. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * and distinct'd). Healthy buckets are near-dup-cluster sized;
+    * degenerate ones are cut off by the [[HotBucketCap]] guard and
+    * surfaced via [[minhashHotBuckets]] instead of OOMing the task. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOf(Tables.documents(spark, dir), HotBucketCap)
+
+  private[graft] def minhashLshOf(docsRaw: DataFrame, cap: Int): DataFrame = {
     // sub-shingle-width docs are excluded with a CHEAP predicate on the
     // raw text (≥3 tokens ⟺ non-empty shingle set) BEFORE the shingle
     // projection: a filter on size(sh) placed after it re-evaluates the
@@ -183,8 +201,7 @@ object Dedup extends QueryPack {
     // predicate (measured 0.7 s → 4.8 s at sf0.1). Excluding them is
     // required anyway — their signature would be the degenerate
     // all-MaxValue vector and every such doc would share one bucket.
-    val docs = Tables.documents(spark, dir)
-      .filter(expr("size(split(text, ' ')) >= 3"))
+    val docs = docsRaw.filter(expr("size(split(text, ' ')) >= 3"))
     val sh = hashedShinglesOf(docs)
     // whole 32-hash signature per row in ONE codegen'd expression
     // (MinHashSig) — no explode, no doc_id re-aggregation: the shingle
@@ -195,25 +212,19 @@ object Dedup extends QueryPack {
     // streaming/mergeable form of the same chain lives in MinHashAgg
     // for inputs that ARRIVE exploded (pinned byte-equal by
     // CatalystAggSpec).
-    val sig = sh
-      .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("sh"), NumHashes).as("sig"))
-    // band signature: one hash per group of 4 adjacent signature slots
-    val bandCols = (0 until Bands).map { b =>
-      val in = (0 until NumHashes / Bands)
-        .map(r => expr(s"element_at(sig, ${b * (NumHashes / Bands) + r + 1})"))
-      xxhash64(in: _*).as(s"band$b")
-    }
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), explode(expr(
-        (0 until Bands).map(b => s"struct($b as band, band$b as band_sig)")
-          .mkString("array(", ", ", ")"))).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val bands = minhashBandsOf(sh)
     // candidates: all unordered doc pairs sharing any (band, band_sig)
-    // bucket, expanded inside the bucket group
+    // bucket, expanded inside the bucket group. The upper size bound is
+    // the hot-bucket guard (see [[HotBucketCap]]): the expansion below
+    // builds the whole s·(s−1)/2 pair array as one value, so bucket
+    // size must be capped BEFORE it — oversized buckets are telemetry
+    // ([[minhashHotBuckets]]), not candidates. The collect_list buffer
+    // itself stays linear in bucket membership (8 bytes/member), which
+    // survives even the degenerate case the cap protects the quadratic
+    // term from.
     val cand = bands.groupBy(col("band"), col("band_sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cap)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(slice(ids, i + 1, size(ids) - i),
@@ -232,6 +243,43 @@ object Dedup extends QueryPack {
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc_id, band, band_sig) LSH bucket membership: whole 32-hash
+    * signature per row in ONE codegen'd expression ([[graft.functions
+    * .MinHashSig]]), then one xxhash64 band key per group of 4
+    * adjacent slots, exploded to a row per band. Shared by the pair
+    * path ([[minhashLshOf]]) and the telemetry paths
+    * ([[minhashHotBuckets]], [[bucketStats]]). */
+  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame = {
+    val sig = sh
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), NumHashes).as("sig"))
+    val bandCols = (0 until Bands).map { b =>
+      val in = (0 until NumHashes / Bands)
+        .map(r => expr(s"element_at(sig, ${b * (NumHashes / Bands) + r + 1})"))
+      xxhash64(in: _*).as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(expr(
+        (0 until Bands).map(b => s"struct($b as band, band$b as band_sig)")
+          .mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  /** The overflow side of [[HotBucketCap]]: every minhash LSH bucket
+    * the pair path REFUSED to expand, with its membership count — what
+    * an operator triages on a boilerplate-dominated corpus. Empty on
+    * healthy corpora (the fixture's buckets are near-dup-cluster
+    * sized), so not a driver query key; EdgeCaseSpec exercises it. */
+  private[graft] def minhashHotBuckets(docsRaw: DataFrame,
+      cap: Int = HotBucketCap): DataFrame = {
+    val docs = docsRaw.filter(expr("size(split(text, ' ')) >= 3"))
+    minhashBandsOf(hashedShinglesOf(docs))
+      .groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+      .orderBy(col("band"), col("band_sig"))
   }
 
   /** 64-bit tf-weighted SimHash signature per document. Rows-only. */
@@ -262,12 +310,7 @@ object Dedup extends QueryPack {
     * cross pairing. Rows-only. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = simhash(spark, dir)
-    val banded = s.select(col("doc_id"), col("simhash"), explode(expr(
-      (0 until 4).map(b =>
-        s"struct($b as band, shiftright(simhash, ${b * 16}) & 65535 as bsig)")
-        .mkString("array(", ", ", ")"))).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val banded = simhashBandsOf(s)
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
       col("band"), col("bsig"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
@@ -280,6 +323,17 @@ object Dedup extends QueryPack {
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** 16-bit band rows of a (doc_id, simhash) frame — the 4×16
+    * pigeonhole banding [[simhashPairs]] buckets on; shared with
+    * [[bucketStats]]. */
+  private[graft] def simhashBandsOf(s: DataFrame): DataFrame =
+    s.select(col("doc_id"), col("simhash"), explode(expr(
+      (0 until 4).map(b =>
+        s"struct($b as band, shiftright(simhash, ${b * 16}) & 65535 as bsig)")
+        .mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
   /** Embedding-cosine near-dup pairs (cosine ≥ 0.45): semantic dedup.
     * Norms computed once per vector; pair scores bit-match DuckDB.
@@ -313,15 +367,21 @@ object Dedup extends QueryPack {
     * 100% recall on the fixture's cos≈0.45..0.51 pairs; the low fixture
     * threshold is the adversarial regime — production near-dup
     * thresholds (≥0.9) bucket far more selectively). */
-  def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, tbl, sig) hyperplane-LSH bucket rows: 32 4-bit tables in
+    * one fused native pass; shared by [[cosineLsh]] and
+    * [[bucketStats]]. */
+  private[graft] def cosineBandsOf(e: DataFrame): DataFrame = {
     val planes = Similarity.hyperplanes(CosLshTables * CosLshBits, 64)
+    e.select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneSigs.sigs(col("embedding"), planes, CosLshBits)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
+  }
+
+  def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm("embedding").as("nrm"))
-    val banded = e
-      .select(col("vec_id"),
-        posexplode(graft.functions.HyperplaneSigs.sigs(col("embedding"), planes, CosLshBits)))
-      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
+    val banded = cosineBandsOf(e)
     // NOTE kept as a self-join ON PURPOSE (the opposite call to
     // minhashLsh's bucket-group): a collect_list bucket grouping is an
     // ObjectHashAggregate, which disables whole-stage codegen for its
@@ -345,6 +405,79 @@ object Dedup extends QueryPack {
       .filter(col("cosine") >= CosineT)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact p50/p99/max of a bucket-size relation `(band, n)` per band,
+    * via a count-of-counts histogram: bucket sizes collapse to
+    * (band, size → #buckets) first, so the percentile window runs over
+    * DISTINCT sizes per band (a few hundred rows even when the band has
+    * billions of buckets), never over the buckets themselves — the
+    * shape that keeps exact telemetry percentiles viable at 100 TB.
+    * Percentile semantics are discrete rank ceil(q·N) with pure integer
+    * arithmetic ((N+1) div 2, (99N+99) div 100 — no IEEE ceil), so
+    * results hash-match DuckDB exactly. */
+  private[graft] def bucketStatsOf(sized: DataFrame, path: String): DataFrame = {
+    val hist = sized.groupBy(col("band"), col("n")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("band")).orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("band"))))
+    cum.groupBy(col("band"))
+      .agg(sum(col("cnt")).as("n_buckets"),
+        sum(col("n") * col("cnt")).as("n_entries"),
+        max(col("n")).as("max_members"),
+        min(when(col("cum") >= expr("(total + 1) div 2"), col("n"))).as("p50_members"),
+        min(when(col("cum") >= expr("(99 * total + 99) div 100"), col("n"))).as("p99_members"))
+      .select(lit(path).as("path"), col("band").cast("long").as("band"),
+        col("n_buckets"), col("n_entries"),
+        col("p50_members"), col("p99_members"), col("max_members"))
+  }
+
+  /** Bucket-size distribution telemetry across the three LSH dedup
+    * paths — the observability a 100 TB dedup job actually watches:
+    * a p99 or max drifting toward [[HotBucketCap]] means boilerplate is
+    * concentrating and the guard (or an extra band) is about to matter.
+    * One row per (path, band) with bucket count, total entries, and
+    * exact p50/p99/max membership. Rows-only (every banding is
+    * xxhash64/hyperplane-based, no DuckDB counterpart);
+    * DedupSimilaritySpec pins conservation invariants and an
+    * independently recomputed band. */
+  def bucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(expr("size(split(text, ' ')) >= 3"))
+    val mh = minhashBandsOf(hashedShinglesOf(docs))
+      .groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("n"))
+      .select(col("band"), col("n"))
+    val sim = simhashBandsOf(simhash(spark, dir))
+      .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
+      .select(col("band"), col("n"))
+    val cos = cosineBandsOf(Tables.embeddings(spark, dir))
+      .groupBy(col("tbl"), col("sig")).agg(count(lit(1)).as("n"))
+      .select(col("tbl").as("band"), col("n"))
+    bucketStatsOf(mh, "minhash")
+      .unionByName(bucketStatsOf(sim, "simhash"))
+      .unionByName(bucketStatsOf(cos, "cosine"))
+      .orderBy(col("path"), col("band"))
+  }
+
+  /** The oracle-paired twin of [[bucketStats]], over the two blocking
+    * schemes DuckDB can reproduce: content-digest blocking (md5 of the
+    * body — [[exact]]'s key) and token-count blocking (the classic
+    * cheap ER blocking key). Same stats machinery, hash-exact vs the
+    * oracle — so the percentile math behind the rows-only LSH telemetry
+    * is itself CORRECTNESS-gated. */
+  def blockStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val digest = docs.groupBy(md5(col("text").cast("binary"))).agg(count(lit(1)).as("n"))
+      .select(lit(0).as("band"), col("n"))
+    val toklen = docs.groupBy(expr("size(split(text, ' '))")).agg(count(lit(1)).as("n"))
+      .select(lit(0).as("band"), col("n"))
+    bucketStatsOf(digest, "digest")
+      .unionByName(bucketStatsOf(toklen, "token_count"))
+      .select(col("path"), col("n_buckets"), col("n_entries"),
+        col("p50_members"), col("p99_members"), col("max_members"))
+      .orderBy(col("path"))
   }
 
   /** Incremental dedup — the production ingestion flow: before a new
@@ -396,14 +529,39 @@ object Dedup extends QueryPack {
     "dedup_simhash"       -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_cosine_pairs"  -> cosinePairs,
-    "dedup_cosine_lsh"    -> cosineLsh)
+    "dedup_cosine_lsh"    -> cosineLsh,
+    "dedup_bucket_stats"  -> bucketStats,
+    "dedup_block_stats"   -> blockStats)
 
   private val dShingles =
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
       |  i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i + 1],
       |                 string_split(text, ' ')[i + 2])))""".stripMargin
 
+  /** Stats CTE trio over a bucket relation `rel(n)` for the
+    * [[blockStats]] oracle — the same histogram/cum/integer-rank math
+    * as [[bucketStatsOf]], in DuckDB. */
+  private def dStats(rel: String, path: String, p: String): String =
+    s"""${p}h AS (SELECT n, COUNT(*) AS cnt FROM $rel GROUP BY n),
+       |${p}c AS (SELECT n, cnt, SUM(cnt) OVER (ORDER BY n) AS cum,
+       |                 SUM(cnt) OVER () AS total FROM ${p}h),
+       |${p}s AS (SELECT '$path' AS path, CAST(SUM(cnt) AS BIGINT) AS n_buckets,
+       |                 CAST(SUM(n * cnt) AS BIGINT) AS n_entries,
+       |                 CAST(MIN(CASE WHEN cum >= (total + 1) // 2 THEN n END) AS BIGINT)
+       |                   AS p50_members,
+       |                 CAST(MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN n END) AS BIGINT)
+       |                   AS p99_members,
+       |                 CAST(MAX(n) AS BIGINT) AS max_members
+       |          FROM ${p}c)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    "dedup_block_stats" ->
+      s"""WITH dig_b AS (SELECT COUNT(*) AS n FROM documents GROUP BY md5(text)),
+         |tok_b AS (SELECT COUNT(*) AS n FROM documents
+         |          GROUP BY len(string_split(text, ' '))),
+         |${dStats("dig_b", "digest", "d")},
+         |${dStats("tok_b", "token_count", "t")}
+         |SELECT * FROM ds UNION ALL SELECT * FROM ts ORDER BY path""".stripMargin,
     "dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, text,
          |                  (doc_id * 2654435761) % 4294967296 % 100 >= 80 AS is_new

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSimilaritySpec extends AnyFunSuite {
@@ -79,6 +80,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     Dedup.cosineLsh(spark, TestSpark.Sf).as[(Long, Long, Double)].collect()
       .foreach { case (a, b, c) => assert(exactScores((a, b)) == c) }
+  }
+
+  test("bucket stats: conservation per band, ordered percentiles, recomputed band") {
+    val stats = Dedup.bucketStats(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (path, band) -> (n_buckets, n_entries, p50, p99, max)
+    assert(stats.keys.count(_._1 == "minhash") == 8)
+    assert(stats.keys.count(_._1 == "simhash") == 4)
+    assert(stats.keys.count(_._1 == "cosine") == 32)
+    stats.values.foreach { case (nb, ne, p50, p99, mx) =>
+      assert(nb >= 1 && nb <= ne, "buckets cannot outnumber entries")
+      assert(1 <= p50 && p50 <= p99 && p99 <= mx, "percentiles must be ordered")
+    }
+    // every banding assigns each input to exactly one bucket per band
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+    val eligible = docs.filter(expr("size(split(text, ' ')) >= 3")).count()
+    (0 until 8).foreach(b => assert(stats(("minhash", b.toLong))._2 == eligible))
+    (0 until 4).foreach(b => assert(stats(("simhash", b.toLong))._2 == docs.count()))
+    val nVec = graft.sources.Tables.embeddings(spark, TestSpark.Sf).count()
+    (0 until 32).foreach(b => assert(stats(("cosine", b.toLong))._2 == nVec))
+    // independent driver-side recompute of minhash band 0
+    val sizes = Dedup.minhashBandsOf(Dedup.hashedShinglesOf(
+        docs.filter(expr("size(split(text, ' ')) >= 3"))))
+      .filter(col("band") === 0)
+      .groupBy(col("band_sig")).count().select("count").as[Long].collect().sorted
+    def rank(q_num: Int, q_den: Int) =
+      sizes((q_num * sizes.length + q_den - 1) / q_den - 1)
+    assert(stats(("minhash", 0L)) ==
+      ((sizes.length.toLong, sizes.sum, rank(1, 2), rank(99, 100), sizes.last)))
   }
 
   test("brute-force top-k ranks are 1..5 per query, cosine non-increasing") {

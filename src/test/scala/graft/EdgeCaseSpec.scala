@@ -34,6 +34,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash LSH hot-bucket guard: 10k identical docs complete, buckets reported") {
+    // every doc has the same signature, so all 10k land in ONE bucket
+    // per band — unguarded, the in-bucket expansion would build 8
+    // arrays of ~50M pair structs (~1.2 GB each) as single task values.
+    // With the cap the query completes, refuses those buckets, and the
+    // telemetry names them.
+    val docs = spark.range(10000)
+      .selectExpr("id as doc_id", "'alpha beta gamma delta' as text")
+    assert(Dedup.minhashLshOf(docs, Dedup.HotBucketCap).count() == 0,
+      "all candidates live in refused buckets")
+    val hot = Dedup.minhashHotBuckets(docs).collect()
+      .map(r => r.getAs[Int]("band") -> r.getAs[Long]("n_members"))
+    assert(hot.map(_._1).toSeq.sorted == (0 until 8),
+      "one hot bucket per band")
+    assert(hot.forall(_._2 == 10000L))
+  }
+
+  test("minhash LSH hot-bucket guard: cap is a no-op on healthy corpora") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+    def pairs(cap: Int) = Dedup.minhashLshOf(docs, cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val guarded = pairs(Dedup.HotBucketCap)
+    assert(guarded.nonEmpty, "fixture should contain planted near-dups")
+    assert(guarded == pairs(Int.MaxValue),
+      "no fixture bucket reaches the cap, so the pair set must be identical")
+    assert(Dedup.minhashHotBuckets(docs).count() == 0)
+  }
+
   test("sub-shingle-width docs: empty shingle sets, no pairs, no slice errors") {
     val sh = Dedup.hashedShinglesOf(shortDocs).collect()
     assert(sh.length == 4)
