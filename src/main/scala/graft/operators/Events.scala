@@ -188,6 +188,52 @@ object Events extends QueryPack {
       .orderBy(col("level"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1)(?2)...(?n)')` analogue
+    * (`/root/reference/README.md:1-17` — the behavioral-analytics
+    * family the reference's engine is the namesake of): for each user,
+    * does the ORDERED pattern of event types occur, each step strictly
+    * after the previous, arbitrary other events in between, the whole
+    * chain inside `window` anchored at the first step's earliest
+    * occurrence? Generalizes [[funnelSteps]] from the fixed
+    * view→click→purchase chain to any type sequence (repeated types
+    * included): on funnel-shaped patterns the matched-user set is
+    * exactly funnel level == pattern length (EventsTextSpec pins this).
+    *
+    * Semantics are the earliest-completion recurrence
+    * `t_k = min{ts : type = pattern(k), ts > t_{k-1}, ts ≤ t_1 + window}`
+    * — deterministic, and each step is one user-keyed aggregate with
+    * map-side partials (the same single shuffle key throughout; no
+    * per-user event arrays, unlike ClickHouse's in-memory event list).
+    * Output: one row per fully-matched user with the step times as
+    * epoch microseconds (exact integers; fractional-second epochs
+    * floor vs round differently across engines). */
+  def sequenceMatch(spark: SparkSession, dir: String,
+      pattern: Seq[String] = Seq("view", "click", "purchase"),
+      window: String = FunnelWindow): DataFrame =
+    sequenceMatchOf(Tables.events(spark, dir), pattern, window)
+
+  private[graft] def sequenceMatchOf(ev: DataFrame, pattern: Seq[String],
+      window: String): DataFrame = {
+    require(pattern.nonEmpty, "pattern must name at least one event type")
+    var cur = ev.filter(col("event_type") === pattern.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    for (k <- 2 to pattern.length) {
+      // carried step times are constant per user; min() is just the
+      // cheapest way to keep them through the aggregate
+      val carried = (1 until k).map(j => min(col(s"t$j")).as(s"t$j"))
+      val aggs = min(col("ts")).as(s"t$k") +: carried
+      cur = ev.filter(col("event_type") === pattern(k - 1))
+        .join(cur, "user_id")
+        .filter(col("ts") > col(s"t${k - 1}") &&
+          col("ts") <= col("t1") + expr(window))
+        .groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val stepCols = (1 to pattern.length)
+      .map(k => unix_micros(col(s"t$k")).as(s"t${k}_us"))
+    cur.select(col("user_id") +: stepCols: _*).orderBy(col("user_id"))
+  }
+
   /** ClickHouse `retention` analogue: per first-seen-day cohort, how
     * many users come back exactly 1 and exactly 7 days later. One
     * (user, day) distinct pass, a per-user min, and one cohort-keyed
@@ -279,6 +325,7 @@ object Events extends QueryPack {
     "ev_sequence_pairs" -> sequencePairs,
     "ev_histogram"    -> valueHistogram,
     "ev_funnel_steps" -> funnelSteps,
+    "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "ev_retention"    -> retention,
     "ev_json_extract" -> jsonExtract,
     "ev_props_map"    -> propsMapStats,
@@ -344,6 +391,23 @@ object Events extends QueryPack {
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |       LEFT JOIN t3 USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_sequence_match" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t1) AS t1,
+        |              MIN(s2.t2) AS t2
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1)
+        |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+        |       epoch_us(t3) AS t3_us
+        |FROM s3 ORDER BY user_id""".stripMargin,
     "ev_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)

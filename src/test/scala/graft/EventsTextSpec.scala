@@ -113,4 +113,38 @@ class EventsTextSpec extends AnyFunSuite {
     assert(ret.map(_._2).sum == ev.select("user_id").distinct().count(),
       "cohorts partition the user base")
   }
+
+  test("sequenceMatch on the funnel pattern equals funnel level 3 exactly") {
+    import graft.operators.Events
+    val matched = Events.sequenceMatch(spark, TestSpark.Sf)
+    assert(matched.select("user_id").distinct().count() == matched.count(),
+      "one row per matched user")
+    val levels = Events.funnelSteps(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(matched.count() == levels.getOrElse(3L, 0L),
+      "funnel-shaped pattern must match exactly the full-conversion users")
+    // step times are ordered and inside the 7-day window
+    matched.select("t1_us", "t2_us", "t3_us")
+      .as[(Long, Long, Long)].collect().foreach { case (t1, t2, t3) =>
+        assert(t1 < t2 && t2 < t3)
+        assert(t3 <= t1 + 7L * 86400 * 1000000)
+      }
+  }
+
+  test("sequenceMatch: order and window are enforced; repeated types work") {
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: a-b-a in order, tight gaps → matches a,b,a
+      (1L, "a", t(0)), (1L, "b", t(1)), (1L, "a", t(2)),
+      // user 2: b before a only → no a,b,a (second a missing)
+      (2L, "b", t(0)), (2L, "a", t(1)), (2L, "b", t(2)),
+      // user 3: right order but second a outside the window
+      (3L, "a", t(0)), (3L, "b", t(1)), (3L, "a", t(8 * 24 * 60)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.sequenceMatchOf(ev, Seq("a", "b", "a"), "interval 7 days")
+      .select("user_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"expected only user 1, got $got")
+  }
 }
