@@ -303,7 +303,60 @@ object Pipeline extends QueryPack {
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("gram"))
 
+  /** Tokens per pseudo-line for [[lineDedup]]: the fixture corpus has
+    * no newline or sentence structure (verified: 0 of the fixture docs
+    * contain '. '), so the deterministic line unit is the fixed
+    * 8-token chunk — the same role paragraphs/lines play in C4 and
+    * RefinedWeb line-level dedup; on real web text the split expression
+    * is `split(text, '\n')` and nothing else changes. */
+  private val LineTokens = 8
+  /** Drop a line once it appears in this many distinct documents. */
+  private val LineDfCap = 2
+
+  /** Line-level dedup — the within-document boilerplate removal every
+    * production text pipeline runs between corpus-level dedup and
+    * training (C4's "three-sentence" rule, RefinedWeb/CCNet line dedup):
+    * split each doc into deterministic lines, compute each line's
+    * document frequency across the corpus, drop lines appearing in
+    * ≥ [[LineDfCap]] distinct docs, and reassemble the survivors in
+    * original order. Every doc stays in the output (a fully-boilerplate
+    * doc keeps an empty `clean_text`) with kept/dropped accounting.
+    *
+    * Scale posture: one shuffle keyed on the line for the df count
+    * (map-side combine), one line-keyed join back, one doc-keyed
+    * reassembly — the per-doc collect_list is bounded by document
+    * length, never by corpus size. At 100 TB the join key would be a
+    * 128-bit line digest instead of the line text (8-byte-per-line
+    * shuffle); the string key here keeps the query oracle-exact, and a
+    * digest collision could only ever drop an extra line, not corrupt
+    * one. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOf(Tables.documents(spark, dir), LineDfCap)
+
+  private[graft] def lineDedupOf(docs: DataFrame, k: Int): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, (size($toks) + ${LineTokens - 1}) div $LineTokens),
+           |  i -> concat_ws(' ', slice($toks, (i - 1) * $LineTokens + 1, $LineTokens)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+    val df = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+    lines.join(df, "line")
+      .withColumn("keep", col("df") < k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("line"), col("keep"))).as("ls"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', transform(filter(array_sort(ls), s -> s.keep), s -> s.line))")
+          .as("clean_text"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup"       -> lineDedup,
     "text_decontaminate"    -> decontaminate,
     "text_decontam_hashed"  -> decontaminateHashed,
     "text_boilerplate_grams" -> boilerplateGrams,
@@ -321,6 +374,24 @@ object Pipeline extends QueryPack {
        |  i -> array_to_string(list_slice($dToks, i, i + ${n - 1}), ' '))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "text_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |l0 AS (SELECT doc_id, toks,
+         |              unnest(generate_series(1, (len(toks) + ${LineTokens - 1}) // $LineTokens))
+         |                AS pos
+         |       FROM t),
+         |l AS (SELECT doc_id, pos,
+         |             array_to_string(list_slice(toks, (pos - 1) * $LineTokens + 1,
+         |                                        pos * $LineTokens), ' ') AS line
+         |      FROM l0),
+         |d AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+         |SELECT doc_id,
+         |       COALESCE(string_agg(CASE WHEN df < $LineDfCap THEN line END,
+         |                           ' ' ORDER BY pos), '') AS clean_text,
+         |       CAST(SUM(CASE WHEN df < $LineDfCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN df < $LineDfCap THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |FROM l JOIN d USING (line)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_boilerplate_grams" ->
       s"""WITH t AS (SELECT doc_id, ${dGrams(NGram)} AS grams
          |           FROM documents WHERE len($dToks) >= $NGram),

@@ -131,6 +131,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw == hashed)
   }
 
+  test("line dedup strips injected boilerplate chunks, keeps unique content") {
+    // 8-token boilerplate planted chunk-aligned in three docs (df = 3)
+    val bp = "subscribe to our newsletter for daily updates now"
+    val docs = Seq(
+      (1L, s"$bp u1a u1b u1c u1d u1e u1f u1g u1h"),
+      (2L, s"$bp u2a u2b u2c u2d u2e u2f u2g u2h"),
+      (3L, bp),
+      (4L, "only unique tokens here make one single chunk"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.lineDedupOf(docs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("u1a u1b u1c u1d u1e u1f u1g u1h", 1L, 1L)))
+    assert(out(2L) == (("u2a u2b u2c u2d u2e u2f u2g u2h", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)), "fully-boilerplate doc keeps an empty text")
+    assert(out(4L) == (("only unique tokens here make one single chunk", 1L, 0L)))
+  }
+
+  test("line dedup: untouched docs reassemble byte-exact; chunk accounting conserves") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val out = Pipeline.lineDedup(spark, TestSpark.Sf)
+    assert(out.count() == docs.count(), "every doc stays in the output")
+    val mismatched = out.join(docs, "doc_id")
+      .filter(col("n_dropped") === 0 && col("clean_text") =!= col("text"))
+    assert(mismatched.count() == 0,
+      "docs with nothing dropped must reassemble to their original text")
+    val totalChunks = docs
+      .selectExpr("cast((size(split(text, ' ')) + 7) div 8 as long) as c")
+      .agg(sum(col("c"))).as[Long].head()
+    val accounted = out.agg(sum(col("n_kept") + col("n_dropped"))).as[Long].head()
+    assert(accounted == totalChunks, "kept + dropped must cover every chunk")
+  }
+
   test("int8 quantization: all-zero embedding reports NULLs, never NaN") {
     val emb = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
       .toDF("vec_id", "embedding")
