@@ -396,6 +396,8 @@ object Extras extends QueryPack {
     "x_value_stats"        -> valueStats,
     "x_sql_entry"          -> sqlEntry,
     "x_star_materialized"  -> starMaterializedRollup,
+    "x_star_bucketed"      -> ((s: SparkSession, d: String) =>
+      graft.plans.Bucketed.orderRevenue(s, d)),
     "x_star_incremental"   -> starIncrementalRollup,
     "x_star_partition_pruned" -> starPartitionPruned,
     "x_merge_upsert"       -> mergeUpsert,
@@ -545,6 +547,12 @@ object Extras extends QueryPack {
          |            AS DOUBLE) AS revenue
          |FROM ${Star.sql}
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_star_bucketed" ->
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "x_star_incremental" ->
       s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, COUNT(*) AS n,
          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
