@@ -5,7 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Scratch stage-profiler for sim_topk_ivf (dev-only; run via
-  * `Test/runMain graft.ProfIvf`). Times Lloyd vs the final
+  * `runMain graft.ProfIvf`). Times Lloyd vs the final
   * assignment+probe+rerank, and reports recall at 0/1/2 Lloyd
   * iterations so the iteration count is evidence, not folklore. */
 object ProfIvf {

@@ -49,12 +49,37 @@ object Tables {
     * deterministic (Spark sorts partitions locally before assigning,
     * SPARK-23207), and every consumer is partition-order independent
     * (pinned by the cross-thread-count determinism sweep). */
-  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def fanOut(spark: SparkSession, df: DataFrame, dir: String,
+      name: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= cores) df.repartition(cores) else df
+    if (scanSplits(spark, dir, name) * 4 <= cores) df.repartition(cores) else df
   }
+
+  /** Estimated scan-task count from a plain file listing — what the
+    * FileSourceScan would schedule (one task per maxPartitionBytes
+    * split, at least one per file). A pure driver-side metadata probe:
+    * the previous `df.rdd.getNumPartitions` probe materialized the
+    * physical RDD lineage per call. Unlistable paths (remote schemes,
+    * missing dirs) report many-splits so fan-out stays a no-op. */
+  private def scanSplits(spark: SparkSession, dir: String, name: String): Int = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      else if (root.isFile) Array(root)
+      else Array.empty[java.io.File]
+    if (files.isEmpty) Int.MaxValue
+    else {
+      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      files.map(f => math.max(1L, (f.length + maxSplit - 1) / maxSplit))
+        .sum.min(Int.MaxValue.toLong).toInt
+    }
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame  =
-    fanOut(spark, read(spark, dir, "documents"))
+    fanOut(spark, read(spark, dir, "documents"), dir, "documents")
   /** NOT fanned out: embedding consumers are codegen'd native passes
     * (dot products, hyperplane signatures) that don't serialize on the
     * interpreted-expression path, and the iterative ones (IVF's Lloyd
