@@ -302,6 +302,71 @@ object Events extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse `sequenceCount('(?1)(?2)')` analogue in its
+    * MAXIMUM-DISJOINT form: per user, the largest number of disjoint
+    * ordered (view, click) pairs — the bracket-matching count (view =
+    * open, click = close, each click consuming the earliest available
+    * view). Scanning left to right, `matched = total_clicks − max(0,
+    * max_prefix(clicks_so_far − views_so_far))` — the classic
+    * parenthesis identity — so the whole operator is two running sums
+    * and a per-user max: ONE user-keyed window shuffle, no per-user
+    * event arrays, no self-join. ClickHouse's own greedy restart
+    * semantics (which can undercount: on view,view,click,click it
+    * finds 1, the maximum is 2) is [[sequenceCountGreedy]].
+    *
+    * EventsTextSpec pins the formula against a direct stack simulation
+    * and the ≥-greedy dominance; the oracle re-states the identity in
+    * DuckDB window SQL. */
+  def sequenceCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("views", sum(when(col("event_type") === "view", 1L)
+        .otherwise(0L)).over(w))
+      .withColumn("clicks", sum(when(col("event_type") === "click", 1L)
+        .otherwise(0L)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("clicks")).as("total_clicks"),
+        greatest(max(col("clicks") - col("views")), lit(0L)).as("unmatched"))
+      .select(col("user_id"),
+        (col("total_clicks") - col("unmatched")).as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  /** ClickHouse `sequenceCount` EXACT semantics: scan each user's
+    * ordered stream with a two-state machine (looking-for-view →
+    * looking-for-click), restarting after each completed match — the
+    * non-overlapping greedy count ClickHouse implements with its
+    * in-memory per-user event list. Here the per-user stream is the
+    * filtered (view|click) subsequence only, collected and sorted once
+    * per user and folded with the `aggregate` higher-order function —
+    * array size is bounded by per-user event count, the same bound
+    * ClickHouse itself assumes, and the fold is codegen'd per row.
+    * Rows-only (a DFA fold has no windowed-SQL oracle form);
+    * EventsTextSpec pins it against a direct Scala simulation and
+    * dominance by [[sequenceCount]]'s maximum. */
+  def sequenceCountGreedy(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        when(col("event_type") === "view", 0).otherwise(1).as("sym"))))
+        .as("seq"))
+      .withColumn("n_matches", expr(
+        """aggregate(seq, named_struct('st', 0, 'cnt', 0L),
+          |  (a, x) -> if(a.st = 0 and x.sym = 0,
+          |              named_struct('st', 1, 'cnt', a.cnt),
+          |              if(a.st = 1 and x.sym = 1,
+          |                 named_struct('st', 0, 'cnt', a.cnt + 1L),
+          |                 a)),
+          |  a -> a.cnt)""".stripMargin))
+      .filter(col("n_matches") > 0)
+      .select(col("user_id"), col("n_matches"))
+      .orderBy(col("user_id"))
+
   /** Fixed-width value histogram (ClickHouse-histogram-style report
     * with deterministic bins): 25-unit buckets, the last bucket open
     * at the top. The bucket id is one floor division per row — exact
@@ -323,6 +388,8 @@ object Events extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_transitions"  -> transitions,
     "ev_sequence_pairs" -> sequencePairs,
+    "ev_sequence_count" -> sequenceCount,
+    "ev_sequence_count_greedy" -> sequenceCountGreedy,
     "ev_histogram"    -> valueHistogram,
     "ev_funnel_steps" -> funnelSteps,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -351,6 +418,24 @@ object Events extends QueryPack {
         |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
         |FROM o WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sequence_count" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS views,
+        |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clicks
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, MAX(clicks) AS total_clicks,
+        |         GREATEST(MAX(clicks - views), 0) AS unmatched
+        |  FROM o GROUP BY 1)
+        |SELECT user_id, CAST(total_clicks - unmatched AS BIGINT) AS n_matches
+        |FROM a WHERE total_clicks - unmatched > 0 ORDER BY user_id""".stripMargin,
     "ev_sequence_pairs" ->
       """WITH o AS (
         |  SELECT user_id, event_type,

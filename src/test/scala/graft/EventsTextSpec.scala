@@ -131,6 +131,43 @@ class EventsTextSpec extends AnyFunSuite {
       }
   }
 
+  test("sequenceCount: prefix formula equals stack simulation; greedy equals DFA") {
+    import graft.operators.Events
+    // ground truth from a direct per-user scan of the fixture stream
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      val syms = rows.sortBy(r => (r._2, r._3)).map(_._4)
+        .filter(t => t == "view" || t == "click")
+      // maximum disjoint pairs: stack matching (view pushes, click pops)
+      var avail = 0; var matched = 0
+      // greedy ClickHouse restart semantics: two-state DFA
+      var st = 0; var greedy = 0
+      syms.foreach { t =>
+        if (t == "view") avail += 1
+        else if (avail > 0) { avail -= 1; matched += 1 }
+        if (st == 0 && t == "view") st = 1
+        else if (st == 1 && t == "click") { st = 0; greedy += 1 }
+      }
+      u -> (matched.toLong, greedy.toLong)
+    }
+    val gotMax = Events.sequenceCount(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    val gotGreedy = Events.sequenceCountGreedy(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(gotMax.nonEmpty && gotGreedy.nonEmpty)
+    perUser.foreach { case (u, (m, g)) =>
+      assert(gotMax.getOrElse(u, 0L) == m, s"max-disjoint mismatch for user $u")
+      assert(gotGreedy.getOrElse(u, 0L) == g, s"greedy mismatch for user $u")
+      assert(g <= m, s"greedy must be dominated by the maximum for user $u")
+    }
+    // queries emit no users beyond the simulation's nonzero set
+    assert(gotMax.keySet.forall(u => perUser.toMap.apply(u)._1 > 0))
+    assert(gotGreedy.keySet.forall(u => perUser.toMap.apply(u)._2 > 0))
+  }
+
   test("sequenceMatch: order and window are enforced; repeated types work") {
     import graft.operators.Events
     import java.sql.Timestamp
