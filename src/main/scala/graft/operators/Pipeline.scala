@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Training-data pipeline operators beyond dedup/similarity (north-star
   * surface, round 3): eval-set decontamination, intra-document
@@ -111,6 +112,36 @@ object Pipeline extends QueryPack {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_shared_grams"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document n-gram novelty: of a document's DISTINCT 5-grams, how
+    * many appear in no other document — the "new content" signal data
+    * curation uses to rank near-template documents below genuinely
+    * novel ones (the complement of [[decontaminate]]'s overlap view,
+    * corpus-wide instead of vs a held-out split).
+    *
+    * Because grams are `array_distinct`ed per doc before the explode,
+    * a gram's document frequency is a plain `count(*)` — map-side
+    * combinable, no countDistinct shuffle. The df table then joins back
+    * to the exploded grams on the gram key: two shuffles total, both on
+    * the gram key, fanout linear in corpus token count. At production
+    * scale the gram strings ride as xxhash64 keys exactly like
+    * [[decontaminateHashed]]; raw strings keep the oracle portable. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val g = docs.filter(expr(s"size($toks) >= $NGram"))
+      .selectExpr("doc_id", s"explode(array_distinct(${gramsExpr(NGram)})) as gram")
+    val df = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    g.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("novel_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -358,6 +389,7 @@ object Pipeline extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_line_dedup"       -> lineDedup,
     "text_decontaminate"    -> decontaminate,
+    "text_ngram_novelty"    -> ngramNovelty,
     "text_decontam_hashed"  -> decontaminateHashed,
     "text_boilerplate_grams" -> boilerplateGrams,
     "text_repetition"       -> repetition,
@@ -410,6 +442,17 @@ object Pipeline extends QueryPack {
          |FROM g tr JOIN g ev USING (gram)
          |WHERE NOT tr.is_eval AND ev.is_eval
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, ${dGrams(NGram)} AS grams
+         |           FROM documents WHERE len($dToks) >= $NGram),
+         |g AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM t),
+         |d AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+         |FROM g JOIN d USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH g2 AS (SELECT doc_id, unnest(${dGrams(2)}) AS gram
          |            FROM documents WHERE len($dToks) >= 2),

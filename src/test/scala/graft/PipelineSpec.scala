@@ -123,6 +123,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.decontaminateHashedOf(docs, dfCap = 1).count() == 0)
   }
 
+  test("ngram novelty: duplicated docs score 0, unique docs score 1, mixtures exact") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo"),          // one 5-gram, copied by 2
+      (2L, "alpha bravo charlie delta echo"),          // exact copy → df 2
+      (3L, "one two three four five six"),             // two 5-grams, both unique
+      // shares its first 5-gram with nobody, but tokens overlap doc 3 —
+      // novelty is about grams, not vocabulary
+      (4L, "six five four three two one"),
+      (5L, "short text"))                              // < 5 tokens → excluded
+      .toDF("doc_id", "text")
+    val got = Pipeline.ngramNoveltyOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 0.0), (2L, 1L, 0L, 0.0),
+      (3L, 2L, 2L, 1.0), (4L, 2L, 2L, 1.0)))
+  }
+
   test("hashed+capped decontaminate equals the raw oracle form on the fixture") {
     val raw = Pipeline.decontaminate(spark, TestSpark.Sf)
       .as[(Long, Long, Long)].collect().toSeq
