@@ -263,6 +263,136 @@ object Similarity extends QueryPack {
     rankedTopK(pairs)
   }
 
+  // ---- Product quantization (PQ) --------------------------------------
+
+  private val PqM = 8               // subspaces
+  private val PqSubDim = Dim / PqM  // 8 dims each
+  private val PqK = 16              // centroids per subspace → 4-bit codes
+  private val PqSeedStride = 20
+  private val PqIters = 2
+  // ADC candidates reranked exactly. 150 (~0.3 of the fixture corpus) is
+  // the measured recall@5 ≥ 0.9 point in the random-vector regime (50 →
+  // 0.64): 64-bit codes on direction-uniform vectors leave genuine
+  // neighbors mid-shortlist, the same adversarial effect the LSH scan
+  // fraction note above documents (~0.6 there). On clustered production
+  // embeddings the codes separate far better at the same shortlist.
+  private val PqShortlist = 150
+
+  /** The 8×16 codebooks as ONE literal node: array (per subspace) of
+    * array (per centroid) of (cid, subvector) — same typedlit rationale
+    * as [[centArray]]. */
+  private def pqBooksLit(books: Seq[Seq[(Int, Array[Double])]]): Column =
+    typedlit(books.map(_.map { case (cid, v) => (cid, v.toSeq) }))
+
+  /** L2-nearest centroid id within one subspace's codebook — a map-side
+    * fold, no join/shuffle. Strict `<` keeps the lowest cid on ties;
+    * the inner zip_with/aggregate pair folds in fixed array order, so
+    * the distance is IEEE-deterministic. */
+  private def pqAssign(book: Column, subvec: Column): Column =
+    aggregate(book,
+      struct(lit(Double.MaxValue).as("best"), lit(-1).as("cid")),
+      (acc, cc) => {
+        val d = aggregate(zip_with(cc.getField("_2"), subvec,
+          (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y)
+        when(d < acc.getField("best"),
+          struct(d.as("best"), cc.getField("_1").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
+  /** Corpus with unit-normalized double vectors (`ne`): PQ codebooks are
+    * trained on directions so that summed sub-space inner products
+    * approximate cosine. Zero-norm vectors are excluded for the same
+    * undefined-direction reason [[assignedCentId]] documents. */
+  private def pqCorpus(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).filter(col("nrm") > 0)
+      .withColumn("ne", expr("transform(embedding, x -> cast(x as double) / nrm)"))
+
+  /** Per-subspace k-means codebooks, trained exactly like
+    * [[lloydCentroids]] (deterministic every-20th-vector seeds, long
+    * fixed-point sums, empty clusters keep their previous centroid) but
+    * over all 8 subspaces in ONE pass per round: the (s, subvec) explode
+    * is ×8 rows of 8 doubles each, and the (s, cid) aggregate collapses
+    * them map-side to 128 skinny rows. Codebooks live on the driver
+    * between rounds — 8×16×8 doubles of bookkeeping, not data. */
+  private[graft] def pqCodebooks(spark: SparkSession, c: DataFrame,
+      iters: Int): Seq[Seq[(Int, Array[Double])]] = {
+    import spark.implicits._
+    var books: Seq[Seq[(Int, Array[Double])]] = {
+      val seeds = c.filter(col("vec_id") % PqSeedStride === 0 &&
+          col("vec_id") < PqSeedStride.toLong * PqK)
+        .select((col("vec_id") / PqSeedStride).cast("int").as("cid"), col("ne"))
+        .as[(Int, Array[Double])].collect().sortBy(_._1).toSeq
+      (0 until PqM).map(s => seeds.map { case (cid, v) =>
+        (cid, v.slice(s * PqSubDim, (s + 1) * PqSubDim)) })
+    }
+    for (_ <- 1 to iters) {
+      val lit3 = pqBooksLit(books)
+      val sub = c.select(posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), s -> slice(ne, s * $PqSubDim + 1, $PqSubDim))")))
+        .select(col("pos").as("s"), col("col").as("subvec"))
+        .withColumn("cid", pqAssign(element_at(lit3, col("s") + 1), col("subvec")))
+      val sums = (0 until PqSubDim).map(i =>
+        sum(expr(s"cast(round(subvec[$i] * 1e6) as bigint)")).as(s"s$i"))
+      val next = sub.groupBy(col("s"), col("cid"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("s"), col("cid"),
+          array((0 until PqSubDim).map(i => col(s"s$i") / 1e6 / col("cnt")): _*).as("ce"))
+        .as[(Int, Int, Array[Double])].collect()
+        .map { case (s, cid, ce) => (s, cid) -> ce }.toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.map { case (cid, prev) => (cid, next.getOrElse((s, cid), prev)) } }
+    }
+    books
+  }
+
+  /** Product-quantization ANN — the 100 TB shape: after training, every
+    * corpus vector is represented by an 8-int code (conceptually 8
+    * BYTES — 4 bits/subspace; int array here for expression simplicity)
+    * instead of 256 bytes of floats, computed map-side with no shuffle.
+    * Queries precompute a 128-entry inner-product table (subspace ×
+    * centroid, broadcast with the 10-row query set), so asymmetric-
+    * distance scoring is 8 array lookups + adds per (query, vector) —
+    * no float vector ever moves after encoding. The ADC shortlist
+    * ([[PqShortlist]] per query, chosen by approximate score) is then
+    * reranked with exact cosine, the standard shortlist-then-refine
+    * production topology. Rows-only; DedupSimilaritySpec pins
+    * recall@5 ≥ 0.9 vs [[topKBruteForce]] and run-to-run determinism. */
+  def topKPq(spark: SparkSession, dir: String): DataFrame = {
+    val c = pqCorpus(spark, dir)
+    val books = pqCodebooks(spark, c, PqIters)
+    val lit3 = pqBooksLit(books)
+    val codes = c.select(col("vec_id"),
+      transform(sequence(lit(0), lit(PqM - 1)), s =>
+        pqAssign(element_at(lit3, s + 1),
+          slice(col("ne"), s * lit(PqSubDim) + lit(1), lit(PqSubDim)))).as("codes"))
+    val q = c.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {
+          val s = floor(i / lit(PqK)).cast("int")
+          val cent = element_at(element_at(lit3, s + 1),
+            pmod(i, lit(PqK)).cast("int") + 1).getField("_2")
+          aggregate(zip_with(cent,
+            slice(col("ne"), s * lit(PqSubDim) + lit(1), lit(PqSubDim)),
+            (a, b) => a * b), lit(0.0), (x, y) => x + y)
+        }).as("qtab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val short = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("qtab"),
+          s.cast("int") * lit(PqK) + element_at(col("codes"), s.cast("int") + 1) + 1)))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val pairs = corpus(spark, dir)
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (VectorOps.dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cosine"))
+    rankedTopK(pairs)
+  }
+
   /** Per-label embedding centroids at (label, dimension) grain — the
     * class-mean table nearest-class-mean audits and cluster-quality
     * reports start from. Each mean is an exact DECIMAL(38,6) sum over
@@ -287,6 +417,7 @@ object Similarity extends QueryPack {
     "sim_topk_codegen"    -> topKCodegen,
     "sim_topk_lsh"        -> topKLsh,
     "sim_topk_ivf"        -> topKIvf,
+    "sim_topk_pq"         -> topKPq,
     "sim_label_centroids" -> labelCentroids)
 
   private val bruteForceOracle: String =
