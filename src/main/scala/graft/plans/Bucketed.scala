@@ -21,12 +21,28 @@ object Bucketed {
 
   val NumBuckets = 8
 
+  /** SaveMode.Overwrite only clears the location when the CATALOG knows
+    * the table; a fresh session (in-memory catalog) pointed at a
+    * warehouse dir where a previous JVM left `<name>_bkt` files fails
+    * with LOCATION_ALREADY_EXISTS — exactly the driver's Verify-then-
+    * Bench sequence. Drop the stale managed location first (bounded
+    * one-time setup IO, not a data path). */
+  private def clearStaleLocation(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   /** One-time CTAS of both fact tables, co-bucketed on the order key. */
   def materialize(spark: SparkSession, dir: String): Unit = {
+    clearStaleLocation(spark, "lineitem_bkt")
     Tables.lineitem(spark, dir).write
       .mode(SaveMode.Overwrite)
       .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("lineitem_bkt")
+    clearStaleLocation(spark, "orders_bkt")
     Tables.orders(spark, dir).write
       .mode(SaveMode.Overwrite)
       .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
