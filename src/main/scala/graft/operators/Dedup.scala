@@ -157,6 +157,79 @@ object Dedup extends QueryPack {
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }
 
+  // Containment threshold 9/10 as an exact rational (same integer-
+  // arithmetic rationale as TNum/TDen above).
+  private val CNum = 9
+  private val CDen = 10
+
+  /** Near-containment pairs: C(A→B) = |A∩B| / |A| ≥ 0.9 over distinct
+    * hashed 3-gram shingles — the ASYMMETRIC near-dup relation Jaccard
+    * misses: a paragraph pasted into a much larger page scores J ≈
+    * |A|/|B| (tiny) but containment ≈ 1. The standard curation use is
+    * dropping sub-documents of retained supersets.
+    *
+    * Filtering is necessarily asymmetric too: containment bounds
+    * nothing about |B| from above, so only the CONTAINED side gets a
+    * prefix — A must share one of its `n_a − ceil(t·n_a) + 1` smallest
+    * (hash-ordered) shingles with B, whose full shingle set is indexed.
+    * A length filter (|B| ≥ t·|A|, exact integers) and the positional
+    * bound overlap ≤ 1 + min(n_a−p_a, n_b−p_b) vs α = ceil(t·n_a)
+    * prune the rest, and candidates verify exactly — lossless vs the
+    * naive all-pairs form (the DuckDB oracle computes exactly that).
+    *
+    * Scale posture: the join is A-prefix × full inverted index, so
+    * boilerplate shingles on the B side are the hot-key risk; the
+    * production lever is the same df-cap-before-join
+    * [[graft.operators.Pipeline.decontaminateHashed]] applies (a
+    * shingle in >cap docs is boilerplate, not containment evidence) —
+    * not applied here so the oracle stays the uncapped truth. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(hashedShingles(spark, dir))
+
+  private[graft] def containmentOf(sh: DataFrame): DataFrame = {
+    // Global order = hash order, map-side prefixes, as in
+    // [[ngramJaccardOf]]. A (df ASC, hash) order was built and measured
+    // too — its better pruning is real (join fanout 311k → 165k rows at
+    // sf0.1) but its three extra linear shuffles (df count + h-join +
+    // per-doc rank window, paid on the FULL inverted index) cost more
+    // than the fanout saves at any corpus without degenerate hot
+    // shingles (3.55 s vs 1.5 s warm); boilerplate hot keys are handled
+    // by the df-cap lever documented above, not by reordering.
+    //
+    // No size(sh) > 0 pre-filter, deliberately: a filter on any
+    // shingle-derived column — including the one
+    // InferFiltersFromGenerate adds under a bare explode(attribute) —
+    // is pushed below [[graft.sources.Tables.documents]]'s fan-out
+    // repartition onto the parquet scan, where the fixture's single
+    // row group evaluates the whole shingle chain on ONE task
+    // (measured: ~3.5 s serial vs 0.3 s fanned out). posexplode of the
+    // sliced/sorted arrays skips empty arrays by itself and keeps the
+    // generator input a non-attribute, so no filter is inferred.
+    val aPrefix = sh
+      .select(col("doc_id").as("doc_a"), size(col("sh")).as("na"),
+        posexplode(expr(
+          s"""slice(array_sort(sh), 1,
+             |  size(sh) - (size(sh) * $CNum + ${CDen - 1}) div $CDen + 1)""".stripMargin)))
+      .select(col("doc_a"), col("na"), (col("pos") + 1).as("pa"), col("col").as("h"))
+    val bFull = sh
+      .select(col("doc_id").as("doc_b"), size(col("sh")).as("nb"),
+        posexplode(expr("array_sort(sh)")))
+      .select(col("doc_b"), col("nb"), (col("pos") + 1).as("pb"), col("col").as("h"))
+    val cand = aPrefix.join(bFull, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(expr(s"nb * $CDen >= na * $CNum"))
+      .filter(expr(s"least(na - pa, nb - pb) + 1 >= (na * $CNum + ${CDen - 1}) div $CDen"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("containment",
+        col("common").cast("double") / size(col("sha")))
+      .filter(expr(s"common * $CDen >= size(sha) * $CNum"))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("containment"))
+  }
+
   private val NumHashes = 32
   private val Bands = 8 // × 4 rows per band
   /** Hot-bucket guard for [[minhashLsh]]: buckets larger than this are
@@ -525,6 +598,7 @@ object Dedup extends QueryPack {
     "dedup_incremental"   -> incremental,
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_containment"   -> containment,
     "dedup_minhash_lsh"   -> minhashLsh,
     "dedup_simhash"       -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -606,6 +680,17 @@ object Dedup extends QueryPack {
          |SELECT doc_a, doc_b, common,
          |       CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
          |FROM p WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $dShingles AS s FROM documents),
+         |e AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh
+         |      WHERE len(s) > 0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+         |             any_value(a.n) AS na
+         |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common,
+         |       CAST(common AS DOUBLE) / na AS containment
+         |FROM p WHERE common * $CDen >= na * $CNum""".stripMargin,
     "dedup_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${VectorOps.duckDot("a.embedding", "b.embedding")} /

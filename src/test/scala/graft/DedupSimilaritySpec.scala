@@ -65,6 +65,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivfRecall >= 0.9, s"ivf recall $ivfRecall")
   }
 
+  test("containment: planted sub-document found both ways, equals brute force") {
+    val para = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
+    val page = para + " " + (13 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, para),                       // contained in 2 (C = 1.0)
+      (2L, page),                       // superset; C(2→1) is small
+      (3L, para + " w99"),              // 11 shingles, 10 shared → C ≈ 0.909
+      (4L, (50 to 90).map(i => s"w$i").mkString(" ")))  // unrelated
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentOf(
+        graft.operators.Dedup.hashedShinglesOf(docs))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over distinct string shingles
+    def shingles(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val m = docs.as[(Long, String)].collect().map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (a, sa) <- m; (b, sb) <- m
+      if a != b && sa.nonEmpty && (sa & sb).size * 10 >= sa.size * 9
+    } yield (a, b)).toSet
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)) &&
+      want.contains((3L, 1L)), s"fixture must plant asymmetric pairs: $want")
+    assert(!want.contains((2L, 1L)), "superset must not be 'contained'")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("PQ ANN: recall@5 >= 0.9 after exact rerank, and deterministic") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Long, Double)].collect().toSeq
