@@ -284,35 +284,24 @@ object Similarity extends QueryPack {
   private def pqBooksLit(books: Seq[Seq[(Int, Array[Double])]]): Column =
     typedlit(books.map(_.map { case (cid, v) => (cid, v.toSeq) }))
 
-  /** L2-nearest centroid id within one subspace's codebook — a map-side
-    * fold, no join/shuffle. Strict `<` keeps the lowest cid on ties;
-    * the inner zip_with/aggregate pair folds in fixed array order, so
-    * the distance is IEEE-deterministic. */
-  private def pqAssign(book: Column, subvec: Column): Column =
-    aggregate(book,
-      struct(lit(Double.MaxValue).as("best"), lit(-1).as("cid")),
-      (acc, cc) => {
-        val d = aggregate(zip_with(cc.getField("_2"), subvec,
-          (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y)
-        when(d < acc.getField("best"),
-          struct(d.as("best"), cc.getField("_1").as("cid"))).otherwise(acc)
-      }).getField("cid")
-
   /** Corpus with unit-normalized double vectors (`ne`): PQ codebooks are
     * trained on directions so that summed sub-space inner products
     * approximate cosine. Zero-norm vectors are excluded for the same
     * undefined-direction reason [[assignedCentId]] documents. */
-  private def pqCorpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCorpus(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir).filter(col("nrm") > 0)
       .withColumn("ne", expr("transform(embedding, x -> cast(x as double) / nrm)"))
 
   /** Per-subspace k-means codebooks, trained exactly like
     * [[lloydCentroids]] (deterministic every-20th-vector seeds, long
     * fixed-point sums, empty clusters keep their previous centroid) but
-    * over all 8 subspaces in ONE pass per round: the (s, subvec) explode
-    * is ×8 rows of 8 doubles each, and the (s, cid) aggregate collapses
-    * them map-side to 128 skinny rows. Codebooks live on the driver
-    * between rounds — 8×16×8 doubles of bookkeeping, not data. */
+    * over all 8 subspaces in ONE pass per round: each row's 8
+    * assignments come from one [[graft.functions.PqEncode]] codegen
+    * call (the interpreted HOF argmin this replaces was ~half the whole
+    * query), the (s, cid, subvec) explode is ×8 rows of 8 doubles each,
+    * and the (s, cid) aggregate collapses them map-side to 128 skinny
+    * rows. Codebooks live on the driver between rounds — 8×16×8 doubles
+    * of bookkeeping, not data. */
   private[graft] def pqCodebooks(spark: SparkSession, c: DataFrame,
       iters: Int): Seq[Seq[(Int, Array[Double])]] = {
     import spark.implicits._
@@ -325,11 +314,13 @@ object Similarity extends QueryPack {
         (cid, v.slice(s * PqSubDim, (s + 1) * PqSubDim)) })
     }
     for (_ <- 1 to iters) {
-      val lit3 = pqBooksLit(books)
-      val sub = c.select(posexplode(expr(
-          s"transform(sequence(0, ${PqM - 1}), s -> slice(ne, s * $PqSubDim + 1, $PqSubDim))")))
-        .select(col("pos").as("s"), col("col").as("subvec"))
-        .withColumn("cid", pqAssign(element_at(lit3, col("s") + 1), col("subvec")))
+      val sub = c
+        .withColumn("codes", graft.functions.PqEncode.codes(col("embedding"), books))
+        .select(posexplode(expr(
+          s"""transform(sequence(0, ${PqM - 1}), s -> struct(
+             |  element_at(codes, s + 1) as cid,
+             |  slice(ne, s * $PqSubDim + 1, $PqSubDim) as sv))""".stripMargin)))
+        .select(col("pos").as("s"), col("col.cid").as("cid"), col("col.sv").as("subvec"))
       val sums = (0 until PqSubDim).map(i =>
         sum(expr(s"cast(round(subvec[$i] * 1e6) as bigint)")).as(s"s$i"))
       val next = sub.groupBy(col("s"), col("cid"))
@@ -361,9 +352,7 @@ object Similarity extends QueryPack {
     val books = pqCodebooks(spark, c, PqIters)
     val lit3 = pqBooksLit(books)
     val codes = c.select(col("vec_id"),
-      transform(sequence(lit(0), lit(PqM - 1)), s =>
-        pqAssign(element_at(lit3, s + 1),
-          slice(col("ne"), s * lit(PqSubDim) + lit(1), lit(PqSubDim)))).as("codes"))
+      graft.functions.PqEncode.codes(col("embedding"), books).as("codes"))
     val q = c.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"),
         transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {

@@ -81,6 +81,54 @@ class CatalystAggSpec extends AnyFunSuite {
     assert(codegenOff == viaAgg, "nullSafeEval path diverges from MinHashAgg")
   }
 
+  test("PqEncode matches a plain-Scala argmin, with codegen ON and OFF") {
+    import graft.functions.PqEncode
+    // 2 subspaces x 3 centroids x 2 dims; vectors chosen to exercise
+    // ties (strict < keeps the lowest cid) and the short-array zero-pad
+    val books: Seq[Seq[(Int, Array[Double])]] = Seq(
+      Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)), (2, Array(-1.0, 0.0))),
+      Seq((0, Array(0.5, 0.5)), (1, Array(-0.5, -0.5)), (2, Array(0.0, 0.0))))
+    val vecs = Seq(
+      (1L, Seq(3f, 0f, 1f, 1f)),
+      (2L, Seq(0f, -2f, -1f, -1f)),
+      (3L, Seq(-1f, 0f, 0f, 0f)),   // subspace 2 all-zero: tie across cents
+      (4L, Seq(2f, 0f, 0f)))        // short array: dim 4 zero-padded
+    def reference(v: Seq[Float]): Seq[Int] = {
+      val nrm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      books.zipWithIndex.map { case (book, s) =>
+        // minBy keeps the FIRST minimum — book is cid-ascending, so ties
+        // resolve to the lowest cid, same as the expression's strict <
+        book.minBy { case (_, cent) =>
+          cent.indices.map { j =>
+            val idx = s * 2 + j
+            val x = if (idx < v.length) v(idx) / nrm else 0.0
+            val d = x - cent(j); d * d
+          }.sum
+        }._1
+      }
+    }
+    val df = vecs.toDF("id", "v")
+    def run(): Map[Long, Seq[Int]] = df
+      .select($"id", PqEncode.codes($"v", books).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val conf = spark.conf
+    val on = run()
+    val prevWs = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val off =
+      try {
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        run()
+      } finally {
+        conf.set("spark.sql.codegen.wholeStage", prevWs)
+        conf.set("spark.sql.codegen.factoryMode", prevFm)
+      }
+    val want = vecs.map { case (id, v) => id -> reference(v) }.toMap
+    assert(on == want, "doGenCode path diverges from the Scala argmin")
+    assert(off == want, "nullSafeEval path diverges from the Scala argmin")
+  }
+
   test("MinHashSig: empty shingle array yields the all-MaxValue signature") {
     import graft.functions.MinHashSig
     val sig = Seq((9L, Seq.empty[Long])).toDF("doc_id", "sh")
