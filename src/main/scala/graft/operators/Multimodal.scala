@@ -244,6 +244,85 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** 64-bit dHash perceptual hash per image: decode via the codec seam,
+    * average brightness over an 8×9 tile grid, one bit per horizontal
+    * gradient (`mean(r, c+1) > mean(r, c)`) — the standard
+    * difference-hash. Robust to re-encoding and brightness scaling,
+    * which byte digests ([[dedupPayload]]) are blind to. Pure
+    * per-partition map over the decoded pixels; integer tile sums, so
+    * the hash is deterministic for the correctness gates. */
+  private[graft] def phashOf(media: Dataset[MediaRow],
+      codec: MediaCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val px = codec.pixels(r.payload, r.width, r.height)
+      // 8 rows x 9 cols of integer-summed tile brightness
+      val m = Array.ofDim[Double](8, 9)
+      var tr = 0
+      while (tr < 8) {
+        var tc = 0
+        while (tc < 9) {
+          val y0 = r.height * tr / 8; val y1 = r.height * (tr + 1) / 8
+          val x0 = r.width * tc / 9; val x1 = r.width * (tc + 1) / 9
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += px(y * r.width + x) & 0xFF; x += 1 }
+            y += 1
+          }
+          val area = (y1 - y0).toLong * (x1 - x0)
+          m(tr)(tc) = if (area > 0) sum.toDouble / area else 0.0
+          tc += 1
+        }
+        tr += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        val row = b / 8; val c = b % 8
+        if (m(row)(c + 1) > m(row)(c)) hash |= 1L << b
+        b += 1
+      }
+      (r.media_id, hash)
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-dup image pairs at Hamming ≤ 3 via the same 4×16
+    * pigeonhole banding as `Dedup.simhashPairs` — lossless at that
+    * radius, no all-pairs join; the signature (8 bytes/image) is the
+    * only thing that shuffles, never pixels or payloads. The standard
+    * second tier after [[dedupPayload]]'s byte-exact pass: catches
+    * re-encoded/brightness-shifted copies. Rows-only (codec in the
+    * loop); MultimodalCatalystSpec pins hash invariance, perturbation
+    * tolerance, and the banded pair set == brute-force Hamming ≤ 3. */
+  def phashPairs(spark: SparkSession, dir: String,
+      codec: MediaCodec = FakeCodec): DataFrame =
+    phashPairsOf(mediaTable(spark, dir).filter(col("media_type") === "image"), codec)
+
+  private[graft] def phashPairsOf(media: Dataset[MediaRow],
+      codec: MediaCodec): DataFrame = {
+    val banded = phashOf(media, codec)
+      .select(col("media_id"), col("phash"), explode(expr(
+        (0 until 4).map(b =>
+          s"struct($b as band, shiftright(phash, ${b * 16}) & 65535 as bsig)")
+          .mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val a = banded.select(col("media_id").as("media_a"), col("phash").as("ha"),
+      col("band"), col("bsig"))
+    val b = banded.select(col("media_id").as("media_b"), col("phash").as("hb"),
+      col("band"), col("bsig"))
+    a.join(b, Seq("band", "bsig"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Exact multimodal dedup, blocking tier + digest tier in one report —
     * the media twin of `dedup_exact`: assets first BLOCK on the cheap
     * (media_type, n_bytes) metadata key (two assets can only be
@@ -274,6 +353,7 @@ object Multimodal extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_payload" -> dedupPayload,
+    "mm_phash_pairs" -> ((s: SparkSession, d: String) => phashPairs(s, d)),
     "mm_meta" -> meta,
     "mm_features" -> ((s: SparkSession, d: String) =>
       decodeFeatures(s, d).toDF()

@@ -84,6 +84,40 @@ class MultimodalCatalystSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("phash: invariant to exact copies, tolerant to a local edit, banded == brute") {
+    import Multimodal.MediaRow
+    // 18×16 images (tiles all non-empty): a base pattern, an exact copy,
+    // a copy with ONE pixel nudged (flips at most a couple of gradient
+    // bits around one tile), and an unrelated pattern
+    val w = 18; val h = 16
+    val base = Array.tabulate[Byte](w * h)(i => ((i * 7) % 251).toByte)
+    val copy = base.clone()
+    val nudged = base.clone(); nudged(5 * w + 5) = (nudged(5 * w + 5) + 120).toByte
+    val other = Array.tabulate[Byte](w * h)(i => (((i % w) * 200 / w) ^ (i / w * 13)).toByte)
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, base, "image", w, h, 1),
+      MediaRow(2L, copy, "image", w, h, 1),
+      MediaRow(3L, nudged, "image", w, h, 1),
+      MediaRow(4L, other, "image", w, h, 1)))
+    val hashes = Multimodal.phashOf(media, Multimodal.FakeCodec)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L), "exact copy must hash identically")
+    val dNudge = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    val dOther = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
+    assert(dNudge <= 3, s"single-pixel edit moved $dNudge bits")
+    assert(dOther > 3, s"unrelated image within radius ($dOther bits)")
+    // banded pair set equals the brute-force Hamming <= 3 set
+    val got = Multimodal.phashPairsOf(media, Multimodal.FakeCodec)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val ids = hashes.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)))
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("frame sampling: indices follow the stride, bytes within frame bounds") {
     val fs = Multimodal.frameSample(spark, TestSpark.Sf, 5).collect()
     assert(fs.nonEmpty)
