@@ -188,6 +188,47 @@ object Events extends QueryPack {
       .orderBy(col("level"))
   }
 
+  /** ClickHouse `windowFunnel(strict_order)` analogue: the funnel
+    * level when NO intervening event of any type is tolerated —
+    * anchored at each user's FIRST view, the chain advances only while
+    * the immediately-next events are exactly click then purchase
+    * (any other event, including a second view, freezes the level).
+    * [[funnelSteps]] is the loose mode; per user strict ≤ loose, so
+    * the ≥-level cumulative counts are dominated (EventsTextSpec pins
+    * both that and hand-computed fixtures).
+    *
+    * The adjacency requirement is what makes strict mode WINDOW-
+    * expressible (and hence oracle-paired, unlike a general DFA): the
+    * level is a function of the two LEAD types at the anchor row.
+    * One user-keyed window shuffle; the level-0 band is the distinct-
+    * user anti-join, same as the loose form. */
+  def funnelStrict(spark: SparkSession, dir: String): DataFrame =
+    funnelStrictOf(Tables.events(spark, dir))
+
+  private[graft] def funnelStrictOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withLead = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next1", lead(col("event_type"), 1).over(w))
+      .withColumn("next2", lead(col("event_type"), 2).over(w))
+    // anchor = the first view row per user (row_number over the
+    // view-filtered stream preserves the full-stream LEAD values)
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val anchors = withLead.filter(col("event_type") === "view")
+      .withColumn("vrn", row_number().over(wv))
+      .filter(col("vrn") === 1)
+      .select(col("user_id"),
+        (lit(1) +
+          when(col("next1") === "click",
+            lit(1) + when(col("next2") === "purchase", 1).otherwise(0))
+            .otherwise(0)).cast("long").as("level"))
+    ev.select(col("user_id")).distinct()
+      .join(anchors, Seq("user_id"), "left")
+      .select(coalesce(col("level"), lit(0L)).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   /** ClickHouse `sequenceMatch('(?1)(?2)...(?n)')` analogue
     * (`/root/reference/README.md:1-17` — the behavioral-analytics
     * family the reference's engine is the namesake of): for each user,
@@ -392,6 +433,7 @@ object Events extends QueryPack {
     "ev_sequence_count_greedy" -> sequenceCountGreedy,
     "ev_histogram"    -> valueHistogram,
     "ev_funnel_steps" -> funnelSteps,
+    "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "ev_retention"    -> retention,
     "ev_json_extract" -> jsonExtract,
@@ -475,6 +517,28 @@ object Events extends QueryPack {
         |       COUNT(*) AS n_users
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |       LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_funnel_strict" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next1,
+        |         LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next2,
+        |         CAST(ts AS TIMESTAMP) AS tss, event_id
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id,
+        |         1 + CASE WHEN next1 = 'click'
+        |                  THEN 1 + CASE WHEN next2 = 'purchase' THEN 1 ELSE 0 END
+        |                  ELSE 0 END AS level
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                    ORDER BY tss, event_id) AS vrn
+        |        FROM o WHERE event_type = 'view')
+        |  WHERE vrn = 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CAST(COALESCE(a.level, 0) AS BIGINT) AS level, COUNT(*) AS n_users
+        |FROM u LEFT JOIN a USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_sequence_match" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

@@ -131,6 +131,38 @@ class EventsTextSpec extends AnyFunSuite {
       }
   }
 
+  test("strict funnel is dominated by the loose funnel at every cumulative level") {
+    import graft.operators.Events
+    def cum(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val h = df.as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+      (0L to 3L).map(l => l -> (l to 3L).map(h).sum).toMap
+    }
+    val loose = cum(Events.funnelSteps(spark, TestSpark.Sf))
+    val strict = cum(Events.funnelStrict(spark, TestSpark.Sf))
+    assert(loose(0L) == strict(0L), "both partition the full user base")
+    (1L to 3L).foreach { l =>
+      assert(strict(l) <= loose(l), s"strict must be dominated at level >= $l")
+    }
+  }
+
+  test("strict funnel: adjacency enforced on hand-built sequences") {
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: view,click,purchase adjacent → level 3
+      (1L, t(0), 1L, "view"), (2L, t(1), 1L, "click"), (3L, t(2), 1L, "purchase"),
+      // user 2: view,OTHER,click → interruption freezes at level 1
+      (4L, t(0), 2L, "view"), (5L, t(1), 2L, "other"), (6L, t(2), 2L, "click"),
+      // user 3: click only → level 0
+      (7L, t(0), 3L, "click"),
+      // user 4: view,click then nothing → level 2
+      (8L, t(0), 4L, "view"), (9L, t(1), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.funnelStrictOf(ev).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
+
   test("sequenceCount: prefix formula equals stack simulation; greedy equals DFA") {
     import graft.operators.Events
     // ground truth from a direct per-user scan of the fixture stream
