@@ -408,6 +408,26 @@ object Events extends QueryPack {
       .select(col("user_id"), col("n_matches"))
       .orderBy(col("user_id"))
 
+  /** ClickHouse `uniqUpTo(25)` analogue at (day × type) grain: exact
+    * distinct users while ≤ 25, the sentinel 26 beyond — "has this key
+    * crossed the threshold" without carrying full distinct sets. The
+    * aggregate is [[graft.functions.UniqUpToAgg]], a bounded-state
+    * `TypedImperativeAggregate` whose per-group buffer is AT MOST 26
+    * longs regardless of group cardinality (the 100 TB point; exact
+    * countDistinct expands every group to its full distinct set first).
+    * Exact below the cap by definition, so it oracle-pairs against
+    * `LEAST(COUNT(DISTINCT …), 26)` — the approximate tier for
+    * unbounded cardinalities stays `ev_hll_daily`. */
+  def uniqUpTo(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(expr("cast(unix_date(to_date(ts)) as bigint)").as("day"),
+        col("event_type"))
+      .agg(graft.functions.UniqUpToAgg.uniqUpTo(col("user_id"), UniqCap)
+        .as("uniq_upto"))
+      .orderBy(col("day"), col("event_type"))
+
+  private val UniqCap = 25
+
   /** Fixed-width value histogram (ClickHouse-histogram-style report
     * with deterministic bins): 25-unit buckets, the last bucket open
     * at the top. The bucket id is one floor division per row — exact
@@ -432,6 +452,7 @@ object Events extends QueryPack {
     "ev_sequence_count" -> sequenceCount,
     "ev_sequence_count_greedy" -> sequenceCountGreedy,
     "ev_histogram"    -> valueHistogram,
+    "ev_uniq_upto"    -> uniqUpTo,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -568,6 +589,11 @@ object Events extends QueryPack {
         |                           THEN c.user_id END) AS retained_d7
         |FROM cohort c JOIN days d ON c.user_id = d.user_id
         |GROUP BY cohort_day ORDER BY 1""".stripMargin,
+    "ev_uniq_upto" ->
+      """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |       event_type,
+        |       LEAST(COUNT(DISTINCT user_id), 26) AS uniq_upto
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, user_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -137,6 +137,26 @@ class CatalystAggSpec extends AnyFunSuite {
     assert(sig == Seq.fill(n)(Long.MaxValue))
   }
 
+  test("UniqUpToAgg: exact below cap, sentinel above, nulls ignored") {
+    import graft.functions.UniqUpToAgg
+    // group A: 3 distinct (+dups +null) → exact 3; group B: 7 distinct
+    // under cap 5 → sentinel 6; group C: exactly the cap → exact 5
+    val rows =
+      Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L)).map(t => (t._1, Some(t._2))) ++
+      Seq(("a", None)) ++
+      (1L to 7L).map(v => ("b", Some(v))) ++
+      (1L to 5L).map(v => ("c", Some(v)))
+    val got = rows.toDF("g", "k")
+      .groupBy($"g").agg(UniqUpToAgg.uniqUpTo($"k", 5).as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 6L, "c" -> 5L), got.toString)
+    // repartitioned (forced partial+merge path) agrees — merge is capped
+    val merged = rows.toDF("g", "k").repartition(8)
+      .groupBy($"g").agg(UniqUpToAgg.uniqUpTo($"k", 5).as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == got)
+  }
+
   test("MinHashAgg estimates Jaccard (sketch property, loose bound)") {
     // two sets with true overlap 50/150 ≈ 0.33 under 64 hashes
     val a = (1L to 100L).map(h => (0L, h))

@@ -30,8 +30,16 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("dedup operators: empty and single-doc corpora yield no pairs, no errors") {
     for (docs <- Seq(emptyDocs, oneDoc)) {
       assert(Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(docs)).count() == 0)
+      assert(Dedup.containmentOf(Dedup.hashedShinglesOf(docs)).count() == 0)
       assert(Dedup.simhashOf(docs).count() == docs.count())
+      assert(Pipeline.ngramNoveltyOf(docs).count() == docs.count())
     }
+  }
+
+  test("containment and novelty on sub-shingle-width docs: empty, no errors") {
+    assert(Dedup.containmentOf(Dedup.hashedShinglesOf(shortDocs)).count() == 0)
+    // < 5 tokens ⇒ no 5-grams ⇒ excluded rather than divide-by-zero
+    assert(Pipeline.ngramNoveltyOf(shortDocs).count() == 0)
   }
 
   test("minhash LSH hot-bucket guard: 10k identical docs complete, buckets reported") {
