@@ -113,6 +113,32 @@ object Curation extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-document selection — keep-BEST instead of keep-first:
+    * per near-dup component, the highest-quality member (distinct_ratio
+    * desc, doc_id tie-break) among those passing the quality gate.
+    * [[curatedCorpus]] keeps the min-id representative only if IT
+    * passes quality, silently dropping clusters whose representative is
+    * the low-quality copy; production dedup selects the best surviving
+    * member instead. Same component labels (session-cached), one extra
+    * component-keyed window over one row per doc — no new heavy pass. */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("keep"), col("distinct_ratio"))
+    val comp = components(spark, dir)
+    val clusterSize = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("distinct_ratio").desc, col("doc_id"))
+    comp.join(q, "doc_id")
+      .filter(col("keep"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(clusterSize, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   private val PackBudget = 2048L
   private val PackShardSize = 1000L
 
@@ -262,6 +288,7 @@ object Curation extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_components" -> components,
     "cur_corpus"     -> curatedCorpus,
+    "cur_canonical"  -> canonicalDocs,
     "cur_pack_sequences" -> packSequences,
     "cur_hash_split" -> hashSplit,
     "cur_funnel"     -> funnel,
@@ -384,5 +411,27 @@ object Curation extends QueryPack {
          |FROM comp c JOIN csize s USING (component) JOIN toks t ON c.doc_id = t.doc_id
          |WHERE c.doc_id = c.component
          |  AND t.n_tokens BETWEEN 20 AND 500 AND t.dr > 0.3
-         |ORDER BY c.doc_id""".stripMargin)
+         |ORDER BY c.doc_id""".stripMargin,
+    "cur_canonical" ->
+      s"""$edgesSql,
+         |walk(doc_id, target) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.doc_id, s.doc_b FROM walk w JOIN sym s ON w.target = s.doc_a),
+         |comp AS (SELECT doc_id, MIN(target) AS component FROM walk GROUP BY 1),
+         |csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+         |toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |                  / len(string_split(text, ' ')) AS dr
+         |         FROM documents),
+         |ranked AS (
+         |  SELECT c.doc_id, c.component, t.dr,
+         |         ROW_NUMBER() OVER (PARTITION BY c.component
+         |                            ORDER BY t.dr DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN toks t ON c.doc_id = t.doc_id
+         |  WHERE t.n_tokens BETWEEN 20 AND 500 AND t.dr > 0.3)
+         |SELECT r.doc_id, r.component, s.cluster_size, r.dr AS distinct_ratio
+         |FROM ranked r JOIN csize s USING (component)
+         |WHERE r.rk = 1
+         |ORDER BY r.doc_id""".stripMargin)
 }

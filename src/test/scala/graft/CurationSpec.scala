@@ -47,6 +47,36 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.length < graft.sources.Tables.documents(spark, TestSpark.Sf).count())
   }
 
+  test("canonical selection: one best member per cluster, dominates keep-first") {
+    val canonical = Curation.canonicalDocs(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val corpus = Curation.curatedCorpus(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    // one row per component in both
+    assert(canonical.map(_._2).distinct.length == canonical.length)
+    // every cluster keep-first kept has a canonical pick too (keep-first
+    // requires the min-id member to pass quality; keep-best only needs
+    // ANY member to pass), and canonical's member really is in-cluster
+    val canonByComp = canonical.map(r => r._2 -> r._1).toMap
+    corpus.foreach { case (_, compId, _, _) =>
+      assert(canonByComp.contains(compId), s"component $compId lost by keep-best")
+    }
+    assert(canonical.length >= corpus.length)
+    // the canonical member maximizes distinct_ratio within its cluster
+    // among gate-passing members (re-derived from quality directly)
+    val q = graft.operators.TextAnalysis.quality(spark, TestSpark.Sf)
+      .select($"doc_id", $"keep", $"distinct_ratio")
+      .as[(Long, Boolean, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val comp = Curation.components(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().groupBy(_._2)
+    canonical.foreach { case (docId, compId, _, dr) =>
+      val members = comp(compId).map(_._1).filter(d => q(d)._1)
+      val bestDr = members.map(d => q(d)._2).max
+      assert(dr == bestDr, s"component $compId picked $docId with dr $dr < $bestDr")
+    }
+  }
+
   test("funnel: monotone stages that reconcile with the standalone queries") {
     val stages = Curation.funnel(spark, TestSpark.Sf)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
