@@ -183,10 +183,23 @@ object Dedup extends QueryPack {
     * [[graft.operators.Pipeline.decontaminateHashed]] applies (a
     * shingle in >cap docs is boilerplate, not containment evidence) —
     * not applied here so the oracle stays the uncapped truth. */
-  def containment(spark: SparkSession, dir: String): DataFrame =
-    containmentOf(hashedShingles(spark, dir))
+  /** Shingles in more than this many documents are boilerplate, not
+    * containment evidence — the same stance (and the same
+    * fixture-inert cap value) as `Pipeline.DfCap`: the fixture's max
+    * shingle df is 25, so the oracle-paired query is still the exact
+    * uncapped truth, while a boilerplate-degenerate corpus (where the
+    * uncapped index join is quadratic per hot shingle) stays bounded —
+    * EdgeCaseSpec completes a 2k-identical-doc corpus under it. The
+    * guard's price is one map-side-combining df count + broadcast
+    * anti-join (2.2 → 2.9 s warm at sf0.1) — bought insurance, same
+    * trade `minhashLsh`'s hot-bucket guard makes. */
+  private[graft] val ContainDfCap = 1000
 
-  private[graft] def containmentOf(sh: DataFrame): DataFrame = {
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(hashedShingles(spark, dir), ContainDfCap)
+
+  private[graft] def containmentOf(sh: DataFrame,
+      dfCap: Int = Int.MaxValue): DataFrame = {
     // Global order = hash order, map-side prefixes, as in
     // [[ngramJaccardOf]]. A (df ASC, hash) order was built and measured
     // too — its better pruning is real (join fanout 311k → 165k rows at
@@ -215,7 +228,18 @@ object Dedup extends QueryPack {
       .select(col("doc_id").as("doc_b"), size(col("sh")).as("nb"),
         posexplode(expr("array_sort(sh)")))
       .select(col("doc_b"), col("nb"), (col("pos") + 1).as("pb"), col("col").as("h"))
-    val cand = aPrefix.join(bFull, Seq("h"))
+    // boilerplate guard: shingles above the df cap leave the JOIN index
+    // on both sides (map-side broadcast anti-join — hot shingles are by
+    // definition few). Verification still runs on the full arrays, so
+    // every surviving pair's containment value is exact; only pairs
+    // whose sole shared-prefix evidence is boilerplate are dropped,
+    // the [[ContainDfCap]] semantics.
+    val hot = sh
+      .select(explode(expr("array_sort(sh)")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("h"))
+    val cand = aPrefix.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(bFull.join(broadcast(hot), Seq("h"), "left_anti"), Seq("h"))
       .filter(col("doc_a") =!= col("doc_b"))
       .filter(expr(s"nb * $CDen >= na * $CNum"))
       .filter(expr(s"least(na - pa, nb - pb) + 1 >= (na * $CNum + ${CDen - 1}) div $CDen"))

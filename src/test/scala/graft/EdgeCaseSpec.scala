@@ -42,6 +42,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Pipeline.ngramNoveltyOf(shortDocs).count() == 0)
   }
 
+  test("containment df cap: boilerplate-degenerate corpus bounded, healthy corpus no-op") {
+    import spark.implicits._
+    // 2000 docs sharing one boilerplate sentence (every shingle df=2000)
+    // plus a genuine sub-document pair with rare shingles: under the cap
+    // the quadratic boilerplate join never materializes but the real
+    // containment survives via its rare prefix shingles
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val rare = (1 to 12).map(i => s"rare$i").mkString(" ")
+    val docs = ((1L to 2000L).map(i => (i, boiler)) ++
+      Seq((3001L, rare), (3002L, rare + " trailing tail tokens here")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentOf(Dedup.hashedShinglesOf(docs), dfCap = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((3001L, 3002L)), s"rare containment lost: $got")
+    assert(got.forall { case (a, b) => a >= 3001L && b >= 3001L },
+      "boilerplate-only pairs must be dropped by the cap")
+    // healthy fixture: the production cap changes nothing
+    val sh = Dedup.hashedShinglesOf(
+      graft.sources.Tables.documents(spark, TestSpark.Sf))
+    val capped = Dedup.containmentOf(sh, Dedup.ContainDfCap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.containmentOf(sh)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped, "cap must be a no-op on the healthy corpus")
+  }
+
   test("minhash LSH hot-bucket guard: 10k identical docs complete, buckets reported") {
     // every doc has the same signature, so all 10k land in ONE bucket
     // per band — unguarded, the in-bucket expansion would build 8
