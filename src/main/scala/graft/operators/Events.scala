@@ -297,6 +297,25 @@ object Events extends QueryPack {
       .orderBy(col("cohort_epoch_day"))
   }
 
+  /** Full cohort-retention triangle generalizing [[retention]]'s
+    * d1/d7 columns: active-user counts at EVERY (cohort first-seen day
+    * × age-in-days) cell — the complete matrix product analytics heat-
+    * maps. Same linear shape as retention: one (user, day) distinct
+    * pass, a per-user min, one (cohort, age) aggregate; the output is
+    * bounded by days² cells, never user-sized. Age 0 equals the cohort
+    * size by construction and the d1/d7 columns of `ev_retention` are
+    * exactly the age-1/age-7 cells (EventsTextSpec pins both). */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    cohort.join(days, "user_id")
+      .groupBy(expr("cast(unix_date(cohort_day) as bigint)").as("cohort_epoch_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_epoch_day"), col("age_days"))
+  }
+
   /** Markov transition matrix of the event stream: counts of adjacent
     * (previous type → next type) steps inside each user's time-ordered
     * event sequence — the first-order behavioral model product
@@ -457,6 +476,7 @@ object Events extends QueryPack {
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "ev_retention"    -> retention,
+    "ev_cohort_matrix" -> cohortMatrix,
     "ev_json_extract" -> jsonExtract,
     "ev_props_map"    -> propsMapStats,
     "ev_daily_full_outer" -> dailyFullOuter,
@@ -594,6 +614,14 @@ object Events extends QueryPack {
         |       event_type,
         |       LEAST(COUNT(DISTINCT user_id), 26) AS uniq_upto
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_cohort_matrix" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT CAST(cohort_day - DATE '1970-01-01' AS BIGINT) AS cohort_epoch_day,
+        |       CAST(d.day - c.cohort_day AS BIGINT) AS age_days,
+        |       COUNT(DISTINCT c.user_id) AS n_active
+        |FROM cohort c JOIN days d ON c.user_id = d.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, user_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

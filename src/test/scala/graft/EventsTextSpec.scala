@@ -114,6 +114,23 @@ class EventsTextSpec extends AnyFunSuite {
       "cohorts partition the user base")
   }
 
+  test("cohort matrix: age-0 diagonal equals cohort sizes; d1/d7 cells equal retention") {
+    import graft.operators.Events
+    val matrix = Events.cohortMatrix(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, a, n) => (c, a) -> n }.toMap
+    val ret = Events.retention(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ret.nonEmpty && matrix.nonEmpty)
+    ret.foreach { case (cohort, nUsers, d1, d7) =>
+      assert(matrix((cohort, 0L)) == nUsers, s"age-0 of cohort $cohort")
+      assert(matrix.getOrElse((cohort, 1L), 0L) == d1, s"age-1 of cohort $cohort")
+      assert(matrix.getOrElse((cohort, 7L), 0L) == d7, s"age-7 of cohort $cohort")
+    }
+    // ages are non-negative and never exceed the observed day span
+    matrix.keys.foreach { case (_, age) => assert(age >= 0) }
+  }
+
   test("sequenceMatch on the funnel pattern equals funnel level 3 exactly") {
     import graft.operators.Events
     val matched = Events.sequenceMatch(spark, TestSpark.Sf)

@@ -80,6 +80,42 @@ class PropertySpec extends AnyFunSuite {
     assert(j.forall(x => x > 0.0 && x <= 1.0))
   }
 
+  test("containment losslessness: filters recover brute force on random corpora") {
+    // planted sub-documents: prefixes of longer docs (containment ≈ 1.0)
+    // plus prefix-with-one-edit variants straddling the 0.9 threshold
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "p", "q")
+    val corpusGen = for {
+      base <- Gen.listOfN(8, Gen.chooseNum(15, 50).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)).map(_.toVector)))
+      cuts <- Gen.listOfN(4, Gen.chooseNum(8, 14))
+      edits <- Gen.listOfN(4, Gen.chooseNum(0, 1))
+    } yield {
+      val subs = base.take(4).zip(cuts).zip(edits).map { case ((t, cut), k) =>
+        val prefix = t.take(math.min(cut, t.size))
+        (0 until math.min(k, prefix.size))
+          .foldLeft(prefix)((v, i) => v.updated(i, "z"))
+      }
+      (base ++ subs).zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+    }
+    forAll(corpusGen, n = 5) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val sh = Dedup.hashedShinglesOf(docs)
+      val got = Dedup.containmentOf(sh)
+        .select($"doc_a", $"doc_b", $"containment").as[(Long, Long, Double)]
+        .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+      val sets = sh.as[(Long, Array[Long])].collect()
+        .map { case (id, s) => id -> s.toSet }.sortBy(_._1)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a != b && sa.nonEmpty
+        common = (sa & sb).size
+        if common * 10 >= sa.size * 9
+      } yield (a, b) -> common.toDouble / sa.size).toMap
+      assert(got == want,
+        s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    }
+  }
+
   test("PPJoin losslessness: filters recover the brute-force pair set on random corpora") {
     // adversarial corpora: small shared vocabulary + planted near-dups
     // (copy with 0-2 token edits) so true pairs straddle the threshold;
