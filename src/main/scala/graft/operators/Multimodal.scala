@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryPack
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star surface): media as opaque
@@ -323,6 +324,52 @@ object Multimodal extends QueryPack {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  case class FrameMean(media_id: Long, frame_idx: Int, mean_byte: Double)
+
+  /** Scene-cut detection over the video assets: every frame's mean
+    * byte (per-partition typed map over the frame split — decode-side
+    * work behind the same seam as [[frameSample]]), then a per-media
+    * lag window flags frames whose mean jumps more than `threshold`
+    * from the previous frame — the shot-boundary heuristic frame-level
+    * curation samples keyframes from. Only (media, frame_idx, mean)
+    * triples reach the window: 16 bytes per frame, never frame bytes.
+    * Rows-only (codec-side arithmetic); MultimodalCatalystSpec pins a
+    * synthetic two-scene video to exactly one cut at the boundary. */
+  def sceneCuts(spark: SparkSession, dir: String,
+      threshold: Double = 16.0): DataFrame =
+    sceneCutsOf(mediaTable(spark, dir).filter(col("media_type") === "video"),
+      threshold)
+
+  private[graft] def sceneCutsOf(media: Dataset[MediaRow],
+      threshold: Double): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val means = media.flatMap { r =>
+      val frameLen = math.max(r.payload.length / math.max(r.n_frames, 1), 1)
+      (0 until r.n_frames).iterator
+        .filter(i => i * frameLen < r.payload.length)
+        .map { i =>
+          val from = i * frameLen
+          val until = math.min(from + frameLen, r.payload.length)
+          var s = 0L
+          var j = from
+          while (j < until) { s += r.payload(j) & 0xFF; j += 1 }
+          FrameMean(r.media_id, i,
+            if (until > from) s.toDouble / (until - from) else 0.0)
+        }
+    }
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    means.toDF()
+      .withColumn("prev", lag(col("mean_byte"), 1).over(w))
+      .withColumn("is_cut",
+        col("prev").isNotNull && abs(col("mean_byte") - col("prev")) > threshold)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames_scanned"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("is_cut"), col("frame_idx"))).cast("long").as("first_cut_idx"))
+      .orderBy(col("media_id"))
+  }
+
   /** Exact multimodal dedup, blocking tier + digest tier in one report —
     * the media twin of `dedup_exact`: assets first BLOCK on the cheap
     * (media_type, n_bytes) metadata key (two assets can only be
@@ -354,6 +401,7 @@ object Multimodal extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_payload" -> dedupPayload,
     "mm_phash_pairs" -> ((s: SparkSession, d: String) => phashPairs(s, d)),
+    "mm_scene_cuts" -> ((s: SparkSession, d: String) => sceneCuts(s, d)),
     "mm_meta" -> meta,
     "mm_features" -> ((s: SparkSession, d: String) =>
       decodeFeatures(s, d).toDF()

@@ -118,6 +118,22 @@ class MultimodalCatalystSpec extends AnyFunSuite {
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }
 
+  test("scene cuts: two-scene synthetic video yields exactly one boundary cut") {
+    import Multimodal.MediaRow
+    // 8 frames of 16 bytes: frames 0-3 constant 0x10, frames 4-7
+    // constant 0xF0 → one jump of 224 at frame 4; and a flat video
+    val twoScene = (Array.fill(64)(0x10.toByte) ++ Array.fill(64)(0xF0.toByte))
+    val flat = Array.fill(128)(0x40.toByte)
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, twoScene, "video", 0, 0, 8),
+      MediaRow(2L, flat, "video", 0, 0, 8)))
+    val got = Multimodal.sceneCutsOf(media, threshold = 16.0)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((8L, 1L, Some(4L))), got.toString)
+    assert(got(2L) == ((8L, 0L, None)), got.toString)
+  }
+
   test("frame sampling: indices follow the stride, bytes within frame bounds") {
     val fs = Multimodal.frameSample(spark, TestSpark.Sf, 5).collect()
     assert(fs.nonEmpty)
