@@ -314,6 +314,35 @@ object Warehouse extends QueryPack {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** dbt `source freshness` analogue: per source, the newest loaded
+    * record (epoch-day/µs integer, per the oracle-parity rule), the
+    * row count, and staleness in days against the corpus' own
+    * observation horizon (the max across sources — deterministic,
+    * where dbt uses wall-clock `now()`; a production deployment passes
+    * the run timestamp in). One metadata-cheap aggregate per source,
+    * unioned — the freshness gate every warehouse run starts with. */
+  def sourceFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Seq(
+      Tables.orders(spark, dir).agg(
+        lit("orders").as("source"),
+        max(expr("cast(unix_date(to_date(o_orderdate)) as bigint)")).as("max_epoch_day"),
+        count(lit(1)).as("n_rows")),
+      Tables.lineitem(spark, dir).agg(
+        lit("lineitem").as("source"),
+        max(expr("cast(unix_date(to_date(l_shipdate)) as bigint)")).as("max_epoch_day"),
+        count(lit(1)).as("n_rows")),
+      Tables.events(spark, dir).agg(
+        lit("events").as("source"),
+        max(expr("cast(unix_date(to_date(ts)) as bigint)")).as("max_epoch_day"),
+        count(lit(1)).as("n_rows"))
+    ).reduce(_ unionAll _)
+    val horizon = Window.partitionBy()
+    perSource
+      .withColumn("stale_days",
+        (max(col("max_epoch_day")).over(horizon) - col("max_epoch_day")))
+      .orderBy(col("source"))
+  }
+
   // -------------------------------------------------------- approx topK
 
   /** ClickHouse-`topK` analogue via Spark 4's ApproxTopK sketch —
@@ -340,9 +369,29 @@ object Warehouse extends QueryPack {
     "ev_daily_zscore"      -> dailyZscore,
     "ev_path_strings"      -> pathStrings,
     "dedup_name_er"        -> nameEr,
-    "x_approx_topk"        -> approxTopK)
+    "x_approx_topk"        -> approxTopK,
+    "x_source_freshness"   -> sourceFreshness)
 
   override val oracles: Map[String, String] = Map(
+    "x_source_freshness" ->
+      """WITH f AS (
+        |  SELECT 'orders' AS source,
+        |         MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS max_epoch_day,
+        |         COUNT(*) AS n_rows
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         MAX(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)),
+        |         COUNT(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events',
+        |         MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)),
+        |         COUNT(*)
+        |  FROM events)
+        |SELECT source, max_epoch_day, n_rows,
+        |       CAST(MAX(max_epoch_day) OVER () - max_epoch_day AS BIGINT) AS stale_days
+        |FROM f ORDER BY source""".stripMargin,
     "x_scd2_dim" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderpriority,
