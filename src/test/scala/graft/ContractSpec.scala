@@ -28,6 +28,26 @@ class ContractSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("representative outputs are bit-identical across shuffle-partition counts") {
+    // partitioning must never reach results: decimal-exact sums, total-order
+    // window ties, and fixed-order folds are the mechanisms; this pins them
+    // against the config axis the driver actually varies (cpus = partitions)
+    val names = Seq("ssb_yearly_revenue", "x_scd2_dim", "dedup_ngram_jaccard",
+      "ev_sequence_count", "dedup_containment", "text_ngram_novelty")
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, TestSpark.Sf)
+        .collect().map(_.toString).toSeq.sorted
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    val at32 = names.map(n => n -> run(n)).toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "5")
+      names.foreach { n =>
+        assert(run(n) == at32(n), s"$n output depends on partition count")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("oracle SQL contains no unresolved stripMargin pipes") {
     // a leading '|' that survived stripMargin means mangled SQL
     SparkEntry.oracleSql.foreach { case (name, sql) =>
