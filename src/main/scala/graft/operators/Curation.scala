@@ -113,6 +113,89 @@ object Curation extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val PrDamping = "0.85"
+  private val PrIters = 5
+
+  /** PageRank over the part co-purchase graph (parts sharing an order,
+    * via lineitem) — the iterative graph-analytics twin of
+    * [[components]], built on the same discipline: a fixed number of
+    * rounds, each ONE join + ONE aggregate, labels/ranks
+    * `localCheckpoint`ed per round (lineage, not cache), nothing
+    * driver-side but loop control.
+    *
+    * Determinism is the interesting part: float contributions summed
+    * across shuffle partitions are order-dependent, so ranks ride
+    * LONG fixed-point (×10¹²) end to end — integer division truncates
+    * deterministically and long SUM is order-independent, making the
+    * whole iteration bit-reproducible under any partitioning
+    * (CurationSpec runs it twice). The same determinism was first
+    * built on DECIMAL(38,18) and measured 26 s warm at sf0.1 — per-edge
+    * BigDecimal division off the codegen fast path; the long form is
+    * the [[graft.operators.Similarity.lloydCentroids]] trade and runs
+    * ~20× faster with ~1e-12 per-op precision. No overflow: ranks stay
+    * O(deg_max) ≈ 10³ → 10¹⁵ at the fixed point, and a contribution
+    * sum is bounded by N×avg_rank ≈ 10¹⁶·anything well under 2⁶³ for
+    * any realistic graph (a 10¹⁸-mass graph would shard the fixed
+    * point down).
+    * Per-order pair expansion is bounded by max items per order
+    * (TPC-H ≤ 7), so edge building is linear in lineitem at any SF.
+    * Isolated parts (no co-purchase) have no edges and are excluded,
+    * documented standard practice. Rows-only: 5 rounds of recursive
+    * fixed-point arithmetic has no portable SQL form; CurationSpec
+    * pins mass conservation, symmetry on a ring, hub dominance on a
+    * star, and run-to-run equality. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct()
+    val a = items.select(col("ok"), col("pid").as("src"))
+    val b = items.select(col("ok"), col("pid").as("dst"))
+    // multigraph on purpose: parts co-purchased in k orders contribute k
+    // parallel edges — rank flows proportional to co-occurrence
+    // strength, and skipping the edge-level distinct deletes the
+    // pipeline's largest shuffle (2.4M rows at sf0.1)
+    val edges = a.join(b, "ok").filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    pageRankOf(edges)
+      .select(col("id").as("p_partkey"), col("rank"))
+      .orderBy(col("rank").desc, col("p_partkey"))
+  }
+
+  private[graft] def pageRankOf(edges0: DataFrame): DataFrame = {
+    val Fp = 1000000000000L // fixed point: 1.0 == 10^12
+    val edges = edges0.localCheckpoint()
+    val degree = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // re-spread before checkpointing: AQE coalesces the 50 MB join
+    // output under one advisory partition, and the checkpointed RDD
+    // keeps that layout — every round would then scan all edges on ONE
+    // task (measured 9.7 → 4.3 s warm at sf0.1)
+    val withDeg = edges.join(degree, "src")
+      .repartition(col("src")).localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(Fp).as("rank"))
+    for (_ <- 1 to PrIters) {
+      // ranks is one (id, long) row per NODE — catalog-sized, broadcast.
+      // Without the hint a localCheckpoint'ed frame has no stats and the
+      // planner sort-merge-joins the full edge table EVERY round
+      // (measured: 15 s vs 4 s warm at sf0.1). At graphs whose node set
+      // outgrows broadcast, drop the hint and pre-partition edges and
+      // ranks on the same key instead — the join then reuses one
+      // exchange per side.
+      val contribs = withDeg
+        .join(broadcast(ranks), col("src") === col("id"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      // 0.15 + 0.85·s in pure long arithmetic: 85·s div 100 (s ≤ N·Fp —
+      // headroom: 85·10¹⁶ ≈ 8.5·10¹⁷ < 2⁶³ even at 10k× the fixture)
+      ranks = nodes.join(broadcast(contribs), Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * Fp / 100) +
+            expr(s"85 * coalesce(s, 0L) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"),
+      (col("rank").cast("double") / Fp.toDouble).as("rank"))
+  }
+
   /** Canonical-document selection — keep-BEST instead of keep-first:
     * per near-dup component, the highest-quality member (distinct_ratio
     * desc, doc_id tie-break) among those passing the quality gate.
@@ -289,6 +372,7 @@ object Curation extends QueryPack {
     "cur_components" -> components,
     "cur_corpus"     -> curatedCorpus,
     "cur_canonical"  -> canonicalDocs,
+    "cur_pagerank"   -> pageRank,
     "cur_pack_sequences" -> packSequences,
     "cur_hash_split" -> hashSplit,
     "cur_funnel"     -> funnel,

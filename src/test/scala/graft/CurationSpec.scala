@@ -77,6 +77,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: mass conserved, ring symmetric, hub dominates, bit-deterministic") {
+    // ring of 6: perfect symmetry → all ranks exactly equal
+    val ringEdges = (0L until 6L).flatMap(i =>
+      Seq((i, (i + 1) % 6), ((i + 1) % 6, i))).toDF("src", "dst")
+    val ring = Curation.pageRankOf(ringEdges).as[(Long, Double)].collect()
+    assert(ring.length == 6 && ring.map(_._2).distinct.length == 1,
+      s"ring must be rank-uniform: ${ring.toSeq}")
+    // star: center co-occurs with every leaf → center must dominate
+    val starEdges = (1L to 8L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val star = Curation.pageRankOf(starEdges).as[(Long, Double)].collect().toMap
+    assert((1L to 8L).forall(l => star(0L) > star(l)), s"hub must dominate: $star")
+    // fixture graph: mass ≈ node count (decimal rounding loss only),
+    // and a second full run reproduces every rank bit-exactly
+    val pr = Curation.pageRank(spark, TestSpark.Sf)
+      .as[(Long, Double)].collect()
+    assert(pr.nonEmpty)
+    val mass = pr.map(_._2).sum
+    assert(math.abs(mass - pr.length) < 1e-6 * pr.length,
+      s"mass $mass vs ${pr.length} nodes")
+    val again = Curation.pageRank(spark, TestSpark.Sf)
+      .as[(Long, Double)].collect()
+    assert(pr.toSeq == again.toSeq, "pagerank must be bit-deterministic")
+  }
+
   test("funnel: monotone stages that reconcile with the standalone queries") {
     val stages = Curation.funnel(spark, TestSpark.Sf)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
