@@ -70,6 +70,35 @@ object Relational extends QueryPack {
       .limit(10)
   }
 
+  /** TPC-H Q18 analogue (large-volume orders): orders whose total
+    * quantity exceeds 250 units, with their customer. The HAVING-then-
+    * join-back shape: the quantity rollup runs FIRST over lineitem
+    * alone (map-side partials on the order key), the > 250 filter
+    * collapses it to a tiny key set, and only THEN do orders/customer
+    * join — at 100 TB the enrichment joins see hundreds of rows, not
+    * the fact table. Threshold 250 (TPC-H's 300 keeps 46 rows at
+    * sf0.01; 250 keeps ~204 — a more meaningful hash surface at
+    * fixture scale, same plan shape). */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 250)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(unix_date(to_date(o_orderdate)) as bigint)").as("order_day"),
+        col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    qty.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("order_day"),
+        col("o_totalprice").cast("double").as("total_price"),
+        col("sum_qty_d").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+  }
+
   /** TPC-H Q5 analogue (local-supplier volume): the classic 6-way join —
     * region → nation → customer → orders → lineitem → supplier, with the
     * LOCAL constraint c_nationkey = s_nationkey closing the cycle, 1997
@@ -503,6 +532,7 @@ object Relational extends QueryPack {
     "ssb_q4_2_brand_profit" -> ssbQ4BrandProfit,
     "rel_pricing_summary"  -> pricingSummary,
     "rel_shipping_priority" -> shippingPriority,
+    "rel_big_orders"        -> bigOrders,
     "rel_local_volume"     -> localSupplierVolume,
     "rel_top_orders"       -> topOrders,
     "rel_brand_top3"       -> brandTop3,
@@ -540,6 +570,20 @@ object Relational extends QueryPack {
         |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "rel_big_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty_d
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |         AS order_day,
+        |       CAST(o.o_totalprice AS DOUBLE) AS total_price,
+        |       CAST(q.sum_qty_d AS DOUBLE) AS sum_qty
+        |FROM q
+        |JOIN orders o ON q.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_price DESC, o.o_orderkey""".stripMargin,
     "rel_local_volume" ->
       s"""SELECT n.n_name,
         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue,

@@ -174,6 +174,40 @@ object EventStream {
       }
   }
 
+  case class SeqCountState(st: Int, cnt: Long)
+  case class SeqCountOut(user_id: Long, n_matches: Long)
+
+  /** Streaming `sequenceCount` (greedy restart semantics): the
+    * incremental twin of
+    * [[graft.operators.Events.sequenceCountGreedy]]. The whole per-user
+    * state is the two-state DFA — ONE int (looking-for-view /
+    * looking-for-click) plus the match count — versus ClickHouse's
+    * buffered per-user event list; each micro-batch folds its events in
+    * event-time order through the same transition rules and emits the
+    * user's current count (Update mode). StreamingSpec pins the final
+    * counts equal to the batch fold's. Same late-data trade as
+    * [[funnelLevels]]: an out-of-order event arriving across
+    * micro-batch boundaries folds at arrival position. */
+  def sequenceCounts(spark: SparkSession, eventsDir: String): Dataset[SeqCountOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[SeqCountState, SeqCountOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SeqCountState]) =>
+          var SeqCountState(st, cnt) =
+            state.getOption.getOrElse(SeqCountState(0, 0L))
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            if (st == 0 && e.event_type == "view") st = 1
+            else if (st == 1 && e.event_type == "click") { st = 0; cnt += 1 }
+          }
+          state.update(SeqCountState(st, cnt))
+          SeqCountOut(user, cnt)
+      }
+  }
+
   /** Custom-state sessionization with `flatMapGroupsWithState`: emits a
     * session whenever a ≥30-min gap closes it; the trailing open session
     * per user is held in state and flushed by event-time timeout. */

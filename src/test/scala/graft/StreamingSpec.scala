@@ -52,6 +52,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.getOrElse(3L, 0L) > 0, "fixture must contain full conversions")
   }
 
+  test("streaming sequence counts equal the batch greedy DFA fold") {
+    val q = EventStream.sequenceCounts(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("seqcount_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("seqcount_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_matches").as("n_matches"))
+      .filter(org.apache.spark.sql.functions.col("n_matches") > 0)
+      .as[(Long, Long)].collect().toMap
+    val batch = Events.sequenceCountGreedy(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must contain view→click matches")
+  }
+
   test("stream-static enrichment matches the batch join, sinks via foreachBatch") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val q = EventStream.sinkToParquet(
