@@ -314,6 +314,36 @@ object Warehouse extends QueryPack {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Robust (MAD) twin of [[dailyZscore]]: the same per-(type, day)
+    * counts scored by the median/median-absolute-deviation instead of
+    * mean/stddev — the estimator that does NOT get dragged by the very
+    * outliers it is hunting (one bot-spike day inflates stddev and can
+    * mask a second spike; it barely moves the MAD). Two exact-`percentile`
+    * aggregates per type (DuckDB `quantile_cont` parity precedented by
+    * `x_quantity_median`), both joined back broadcast; the consistency
+    * constant 1.4826 (≈ 1/Φ⁻¹(3/4)) rescales MAD to σ-equivalent units
+    * so the 3.0 flag threshold matches the z-score convention. A
+    * constant series has MAD 0 → NULL score (nullif), flagged false. */
+  def dailyMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        ((col("n") - col("med")) / (lit(1.4826) * expr("nullif(mad, 0.0d)")))
+          .as("robust_z"))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) >= 3.0, lit(false)).cast("long"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** dbt `source freshness` analogue: per source, the newest loaded
     * record (epoch-day/µs integer, per the oracle-parity rule), the
     * row count, and staleness in days against the corpus' own
@@ -370,9 +400,28 @@ object Warehouse extends QueryPack {
     "ev_path_strings"      -> pathStrings,
     "dedup_name_er"        -> nameEr,
     "x_approx_topk"        -> approxTopK,
-    "x_source_freshness"   -> sourceFreshness)
+    "x_source_freshness"   -> sourceFreshness,
+    "ev_daily_mad"         -> dailyMad)
 
   override val oracles: Map[String, String] = Map(
+    "ev_daily_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS adev
+        |        FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type, dev.day, dev.n, dev.med, mad.mad,
+        |       (dev.n - dev.med) / (1.4826 * NULLIF(mad.mad, 0.0)) AS robust_z,
+        |       CAST(COALESCE(ABS((dev.n - dev.med) / (1.4826 * NULLIF(mad.mad, 0.0)))
+        |                     >= 3.0, FALSE) AS BIGINT) AS is_outlier
+        |FROM dev JOIN mad USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
     "x_source_freshness" ->
       """WITH f AS (
         |  SELECT 'orders' AS source,

@@ -75,6 +75,38 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD scores: medians recompute exactly, flags consistent, robust to spikes") {
+    val rows = Warehouse.dailyMad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      // recompute both medians in plain Scala (interpolated, like
+      // percentile/quantile_cont) from the emitted daily counts
+      def medianOf(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        val h = (s.length - 1) * 0.5
+        val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+        lo + (hi - lo) * (h - h.toInt)
+      }
+      val ns = rs.map(_.getAs[Long]("n").toDouble).toSeq
+      val med = medianOf(ns)
+      val mad = medianOf(ns.map(x => math.abs(x - med)))
+      rs.foreach { r =>
+        assert(r.getAs[Double]("med") == med, s"$t median")
+        assert(r.getAs[Double]("mad") == mad, s"$t mad")
+        val z = r.getAs[Double]("robust_z")
+        if (mad == 0.0) assert(r.isNullAt(r.fieldIndex("robust_z")))
+        else assert((math.abs(z) >= 3.0) == (r.getAs[Long]("is_outlier") == 1L))
+      }
+    }
+    // both anomaly views score the same (type, day, n) grid
+    import spark.implicits._
+    val zGrid = Warehouse.dailyZscore(spark, sf).select("event_type", "day", "n")
+      .as[(String, Long, Long)].collect().toSet
+    val mGrid = rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("day"), r.getAs[Long]("n"))).toSet
+    assert(zGrid == mGrid)
+  }
+
   test("paths: user conservation, at most 8 segments, known alphabet") {
     val rows = Warehouse.pathStrings(spark, sf).collect()
     val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
