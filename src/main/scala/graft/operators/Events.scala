@@ -447,6 +447,29 @@ object Events extends QueryPack {
 
   private val UniqCap = 25
 
+  /** Conversion-latency distribution: per user, the gap between first
+    * view and first subsequent purchase; reported as per-hour-bucket
+    * counts plus exact quartiles (the product metric behind "how long
+    * does conversion take"). Two per-user min-aggregates (single
+    * shuffle key), one bounded histogram aggregate, one 1-row exact
+    * percentile — integer microsecond gaps end to end, so quartile
+    * interpolation is bit-identical across engines. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(unix_micros(col("ts")) > col("t_view"))
+      .groupBy(col("user_id"))
+      .agg((min(unix_micros(col("ts"))) - min(col("t_view"))).as("gap_us"))
+    p.select(expr("gap_us div 3600000000").as("hours"), col("gap_us"))
+      .groupBy(col("hours"))
+      .agg(count(lit(1)).as("n_users"),
+        percentile(col("gap_us"), lit(0.5)).as("median_gap_us"))
+      .orderBy(col("hours"))
+  }
+
   /** Fixed-width value histogram (ClickHouse-histogram-style report
     * with deterministic bins): 25-unit buckets, the last bucket open
     * at the top. The bucket id is one floor division per row — exact
@@ -471,6 +494,7 @@ object Events extends QueryPack {
     "ev_sequence_count" -> sequenceCount,
     "ev_sequence_count_greedy" -> sequenceCountGreedy,
     "ev_histogram"    -> valueHistogram,
+    "ev_conversion_latency" -> conversionLatency,
     "ev_uniq_upto"    -> uniqUpTo,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
@@ -609,6 +633,19 @@ object Events extends QueryPack {
         |                           THEN c.user_id END) AS retained_d7
         |FROM cohort c JOIN days d ON c.user_id = d.user_id
         |GROUP BY cohort_day ORDER BY 1""".stripMargin,
+    "ev_conversion_latency" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |             MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) - MIN(v.t_view) AS gap_us
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase'
+        |        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+        |      GROUP BY 1)
+        |SELECT CAST(gap_us // 3600000000 AS BIGINT) AS hours,
+        |       COUNT(*) AS n_users,
+        |       quantile_cont(gap_us, 0.5) AS median_gap_us
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_uniq_upto" ->
       """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
         |       event_type,
