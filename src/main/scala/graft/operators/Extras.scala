@@ -153,6 +153,29 @@ object Extras extends QueryPack {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Correlated scalar subqueries through the SQL front end: each
+    * customer's order count and most recent order day, written as two
+    * correlated subqueries per row — the surface users migrate in from
+    * warehouse SQL. Catalyst decorrelates each into a left outer
+    * aggregate join (broadcast at fixture scale — verified in the
+    * executed plan), so nothing re-executes per row. Restricted to
+    * BUILDING-segment customers so the decorrelated join has a pushed
+    * filter to prune on. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT CAST(unix_date(to_date(MAX(o.o_orderdate))) AS BIGINT)
+        |        FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS last_order_day
+        |FROM customer c
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Whole-star parity: the full denormalized CTAS output hash-compared
     * column-for-column against the oracle join (O4/O5/O6 end-to-end). */
   def starFull(spark: SparkSession, dir: String): DataFrame =
@@ -395,6 +418,7 @@ object Extras extends QueryPack {
     "x_quantity_median"    -> quantityMedian,
     "x_value_stats"        -> valueStats,
     "x_sql_entry"          -> sqlEntry,
+    "x_scalar_subquery"    -> scalarSubquery,
     "x_star_materialized"  -> starMaterializedRollup,
     "x_star_bucketed"      -> ((s: SparkSession, d: String) =>
       graft.plans.Bucketed.orderRevenue(s, d)),
@@ -539,6 +563,17 @@ object Extras extends QueryPack {
         |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "x_scalar_subquery" ->
+      """SELECT c_custkey,
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT CAST(MAX(CAST(o.o_orderdate AS DATE)) - DATE '1970-01-01'
+        |               AS BIGINT)
+        |        FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS last_order_day
+        |FROM customer c
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
     "ssb_star_full" -> s"SELECT * FROM ${Star.sql}",
     "x_star_materialized" ->
       s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, c_mktsegment,
