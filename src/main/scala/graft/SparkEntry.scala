@@ -8,8 +8,8 @@ object SparkEntry {
 
   /** All operator packs; each contributes queries + DuckDB oracles. */
   def packs: Seq[QueryPack] =
-    Seq(Ssb, Relational, TextAnalysis, Dedup, Similarity, Events, Multimodal,
-      Extras, Curation, Pipeline, Warehouse, Analytics)
+    Seq(Ssb, Relational, Tpch, TextAnalysis, Dedup, Similarity, Events,
+      Multimodal, Extras, Curation, Pipeline, Warehouse, Analytics)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
