@@ -324,27 +324,33 @@ object Tpch extends QueryPack {
     * waited for" is re-expressed as: in orders served by ≥ 2 suppliers,
     * the UNIQUE supplier whose latest ship date is strictly after every
     * other supplier's (ties disqualify the order, mirroring Q21's
-    * exists/not-exists pair). Counted per supplier, top 10. All three
-    * aggregation layers group on (orderkey[, suppkey]) — partial
-    * aggregation collapses each before its exchange, and the window
-    * alternative is avoided on purpose: two grouped rollups + a
-    * broadcast-back beat a per-order sort window at fact scale. */
+    * exists/not-exists pair). Counted per supplier, top 10.
+    *
+    * Shape, iterated under measurement at sf0.1: ONE explicit orderkey
+    * repartition feeds both the (orderkey, suppkey) rollup (subset
+    * partitioning satisfies the grouping's ClusteredDistribution) and
+    * the per-order reduction — map-side combine is skipped because the
+    * rollup barely reduces (~1.2 line items per pair), so pre-shuffling
+    * the skinny 3-column projection once beats groupBy's 2-exchange
+    * default (1.3 s vs 2.2 s; a rollup+join-back form re-aggregating sm
+    * three times was the 2.2 s starting point, a window form tied at
+    * 1.3 s but adds a 500k-row SortExec this form avoids).
+    * "Strictly latest" without a sort: max(struct(ship, +suppkey)) vs
+    * max(struct(ship, −suppkey)) pick the highest and lowest suppkey at
+    * the max ship date — the winner is unique iff they coincide. */
   def lateSupplier(spark: SparkSession, dir: String): DataFrame = {
     val sm = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("last_ship"))
-    val om = sm.groupBy(col("l_orderkey").as("ok"))
-      .agg(max(col("last_ship")).as("mx"), count(lit(1)).as("nsupp"))
-    val atMax = sm.join(om, col("l_orderkey") === col("ok") &&
-        col("last_ship") === col("mx"))
-      .groupBy(col("l_orderkey").as("ok2"))
-      .agg(count(lit(1)).as("n_at_max"))
-    val winners = sm
-      .join(om, col("l_orderkey") === col("ok") &&
-        col("last_ship") === col("mx"))
-      .join(atMax, col("l_orderkey") === col("ok2"))
-      .filter(col("nsupp") >= 2 && col("n_at_max") === 1)
-      .select(col("l_suppkey"))
+    val per = sm.groupBy(col("l_orderkey")).agg(
+      max(struct(col("last_ship"), col("l_suppkey"))).as("hi"),
+      max(struct(col("last_ship"), (-col("l_suppkey")).as("neg"))).as("lo"),
+      count(lit(1)).as("nsupp"))
+    val winners = per
+      .filter(col("nsupp") >= 2 && col("hi.l_suppkey") === -col("lo.neg"))
+      .select(col("hi.l_suppkey").as("l_suppkey"))
     winners
       .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
