@@ -488,7 +488,47 @@ object Events extends QueryPack {
         col("n"), col("min_value"), col("max_value"))
       .orderBy(col("bucket"))
 
+  /** RFM segmentation (recency / frequency / monetary), the classic
+    * marketing-warehouse rollup: per purchasing user, days since last
+    * purchase relative to the corpus horizon, purchase count, and
+    * decimal-exact spend, each quartiled (1 = best) with a fully
+    * tie-broken NTILE so both engines assign identical scores;
+    * segment = r·100 + f·10 + m.
+    *
+    * Scale: the per-user rollup collapses the event stream first (one
+    * shuffle); the quartile windows then run over |purchasing users|
+    * rows. The unpartitioned NTILE is the exact-demo tier — at
+    * billions of users the scores come from a threshold join against
+    * approx-quantile boundaries (the `x_approx_quantiles` machinery)
+    * rather than a global rank; here exactness is what the oracle
+    * hash-checks. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        max(expr("cast(unix_date(to_date(ts)) as bigint)")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+          .as("monetary"))
+    val horizon = perUser.agg(max(col("last_day")).as("horizon_day"))
+    val rW = Window.orderBy(col("recency_days"), col("user_id"))
+    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mW = Window.orderBy(col("monetary").desc, col("user_id"))
+    perUser.join(broadcast(horizon))
+      .withColumn("recency_days", col("horizon_day") - col("last_day"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        ntile(4).over(rW).cast("long").as("r_score"),
+        ntile(4).over(fW).cast("long").as("f_score"),
+        ntile(4).over(mW).cast("long").as("m_score"))
+      .withColumn("rfm_segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("user_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm"          -> rfm,
     "ev_transitions"  -> transitions,
     "ev_sequence_pairs" -> sequencePairs,
     "ev_sequence_count" -> sequenceCount,
@@ -516,6 +556,35 @@ object Events extends QueryPack {
     oraclesBase + ("ev_session_manual" -> oraclesBase("ev_session"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "ev_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         CAST(value AS DECIMAL(38,6)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |agg AS (
+        |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
+        |         CAST(SUM(v) AS DOUBLE) AS monetary
+        |  FROM pu GROUP BY 1),
+        |r AS (
+        |  SELECT user_id,
+        |         (SELECT MAX(last_day) FROM agg) - last_day AS recency_days,
+        |         frequency, monetary
+        |  FROM agg)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |       CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+        |         AS r_score,
+        |       CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+        |         AS f_score,
+        |       CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+        |         AS m_score,
+        |       CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+        |         * 100
+        |       + CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+        |         * 10
+        |       + CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+        |         AS rfm_segment
+        |FROM r ORDER BY user_id""".stripMargin,
     "ev_transitions" ->
       """WITH o AS (
         |  SELECT user_id, event_type,

@@ -401,7 +401,64 @@ object Extras extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Weighted median (ClickHouse `quantileExactWeighted` analogue):
+    * the quantity-weighted median of extended price per return flag —
+    * cumulative-weight walk over a fully tie-broken in-group order,
+    * first row where 2·cumw ≥ total wins. Quantities are integer-valued
+    * doubles, so every cumulative sum is exact and the pick is
+    * deterministic in both engines. Scale: the window partitions on
+    * the 3-value flag — bounded-cardinality partitions of fact-table
+    * size, the documented exact-answer tier (the approx path for
+    * arbitrary groupings is `x_approx_quantiles`' sketch machinery). */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("cumw", sum(col("l_quantity")).over(ord))
+      .withColumn("total_w", sum(col("l_quantity")).over(whole))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cumw") * 2 >= col("total_w"), col("l_extendedprice")))
+          .as("weighted_median"),
+        max(col("total_w")).cast("long").as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Recursive-CTE reachability (SQL-surface parity item): parts within
+    * two co-purchase hops of part 1, with minimum hop count, via
+    * `WITH RECURSIVE` through the SQL front end (Spark 4's recursion —
+    * UNION ALL steps + the outer MIN collapse). The step is
+    * frontier-driven BFS: each iteration joins the CURRENT frontier
+    * against lineitem twice (partkey equi-join, then orderkey
+    * equi-join) — no global edge materialization, no O(E) distinct;
+    * path multiplicity is degree-bounded (~deg² rows at hop 2) and the
+    * depth bound is a literal. The identical SQL text is the DuckDB
+    * oracle. */
+  def reachableParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(ReachableSql)
+  }
+
+  private[operators] val ReachableSql: String =
+    """WITH RECURSIVE reach(part, hop) AS (
+      |  SELECT CAST(1 AS BIGINT) AS part, 0 AS hop
+      |  UNION ALL
+      |  SELECT b.l_partkey AS part, r.hop + 1 AS hop
+      |  FROM reach r
+      |  JOIN lineitem a ON a.l_partkey = r.part
+      |  JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+      |                 AND b.l_partkey <> r.part
+      |  WHERE r.hop < 2)
+      |SELECT part, CAST(MIN(hop) AS BIGINT) AS min_hop
+      |FROM reach GROUP BY 1 ORDER BY 2, 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_weighted_median"    -> weightedMedian,
+    "x_reachable_parts"    -> reachableParts,
     "x_salted_join"        -> saltedJoinQuery,
     "x_grouping_sets"      -> groupingSets,
     "x_range_join_bands"   -> rangeJoinBands,
@@ -432,6 +489,20 @@ object Extras extends QueryPack {
     oraclesBase + ("x_asof_custom_op" -> oraclesBase("x_asof_last_purchase"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "x_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice, l_quantity,
+        |         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS cumw,
+        |         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       MIN(CASE WHEN cumw * 2 >= total_w THEN l_extendedprice END)
+        |         AS weighted_median,
+        |       CAST(MAX(total_w) AS BIGINT) AS total_weight
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_reachable_parts" -> ReachableSql,
     "x_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lineitems,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
