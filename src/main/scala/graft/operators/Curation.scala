@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** End-to-end corpus curation — the composed LLM-data pipeline the
   * individual operators exist for: quality gating + near-dup clustering
@@ -340,6 +341,38 @@ object Curation extends QueryPack {
           sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
       .orderBy(col("lang"), col("source"))
 
+  /** Temperature-scaled source mixing (the T5/LLaMA data-mix step):
+    * sampling weights ∝ tokens^α with α = 0.5, i.e. upsample the small
+    * sources, downsample the big ones. sqrt is IEEE
+    * correctly-rounded, so the α-weights — and every derived share and
+    * epoch quota — are bit-identical across engines; the epoch quota
+    * floor-quantizes expected docs for a 100k-doc epoch. Everything
+    * after the one groupBy runs over #(lang, source) metadata rows;
+    * the window total is bounded by the source taxonomy, not the
+    * corpus. */
+  def alphaMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(cast(size(split(text, ' ')) as bigint))").as("n_tokens"))
+      .withColumn("alpha_w", sqrt(col("n_tokens").cast("double")))
+      .withColumn("natural_share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+      // the α-weight total is summed as DECIMAL(38,9): double addition
+      // is order-dependent and the window's row order is not — the
+      // decimal sum is exact, so the denominator is bit-stable in both
+      // engines
+      .withColumn("alpha_share",
+        col("alpha_w") /
+          sum(col("alpha_w").cast(DecimalType(38, 9)))
+            .over(Window.partitionBy()).cast("double"))
+      .withColumn("upsample_factor", col("alpha_share") / col("natural_share"))
+      .withColumn("epoch_quota",
+        floor(col("alpha_share") * 100000).cast("long"))
+      .drop("alpha_w")
+      .orderBy(col("lang"), col("source"))
+
   private val ChunkSize = 128
   private val ChunkStride = 96 // 32-token overlap between neighbors
 
@@ -377,7 +410,8 @@ object Curation extends QueryPack {
     "cur_hash_split" -> hashSplit,
     "cur_funnel"     -> funnel,
     "cur_token_mix"  -> tokenMix,
-    "cur_chunk_windows" -> chunkWindows)
+    "cur_chunk_windows" -> chunkWindows,
+    "cur_alpha_mix"  -> alphaMix)
 
   /** Components oracle: DuckDB recursive CTE computing min reachable id
     * over the same near-dup edges (same jaccard threshold/shingles). */
@@ -427,6 +461,27 @@ object Curation extends QueryPack {
          |            ELSE 'stratified' END AS stage_name,
          |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM f GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "cur_alpha_mix" ->
+      """WITH g AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+        |         AS natural_share,
+        |       sqrt(CAST(n_tokens AS DOUBLE))
+        |         / CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+        |                         AS DECIMAL(38,9))) OVER () AS DOUBLE)
+        |         AS alpha_share,
+        |       (sqrt(CAST(n_tokens AS DOUBLE))
+        |         / CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+        |                         AS DECIMAL(38,9))) OVER () AS DOUBLE))
+        |         / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+        |         AS upsample_factor,
+        |       CAST(FLOOR((sqrt(CAST(n_tokens AS DOUBLE))
+        |         / CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+        |                         AS DECIMAL(38,9))) OVER () AS DOUBLE)) * 100000)
+        |         AS BIGINT) AS epoch_quota
+        |FROM g ORDER BY lang, source""".stripMargin,
     "cur_token_mix" ->
       """WITH g AS (SELECT lang, source, COUNT(*) AS n_docs,
         |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

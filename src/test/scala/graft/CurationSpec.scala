@@ -147,6 +147,30 @@ class CurationSpec extends AnyFunSuite {
       "short docs produce one clipped window")
   }
 
+  test("alpha mix: shares sum to 1, temperature compresses the spread") {
+    val rows = graft.operators.Curation.alphaMix(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Double]("natural_share"),
+        r.getAs[Double]("alpha_share"),
+        r.getAs[Double]("upsample_factor"), r.getAs[Long]("epoch_quota")))
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    rows.foreach { case (nat, alpha, up, quota) =>
+      assert(math.abs(up - alpha / nat) < 1e-12)
+      assert(quota == math.floor(alpha * 100000).toLong)
+    }
+    // α = 0.5 compresses the spread: the factor is ∝ 1/√tokens, so it
+    // strictly decreases as natural share grows, and since the
+    // natural-weighted mean of the factors is exactly 1 the smallest
+    // source is upsampled and the largest downsampled.
+    val sorted = rows.sortBy(_._1)
+    val ups = sorted.map(_._3)
+    assert(ups.zip(ups.tail).forall { case (a, b) => a >= b },
+      "upsample factor monotone non-increasing in natural share")
+    assert(ups.head >= 1.0 && ups.last <= 1.0)
+    // Ordering preserved: a bigger corpus never gets a smaller share.
+    assert(sorted.map(_._2).sameElements(sorted.map(_._2).sorted))
+  }
+
   test("incremental dedup: matches cross the split and respect the threshold") {
     def bucket(id: Long) = (id * 2654435761L) % 4294967296L % 100
     val rows = graft.operators.Dedup.incremental(spark, TestSpark.Sf)
