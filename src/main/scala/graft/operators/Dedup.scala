@@ -229,17 +229,24 @@ object Dedup extends QueryPack {
         posexplode(expr("array_sort(sh)")))
       .select(col("doc_b"), col("nb"), (col("pos") + 1).as("pb"), col("col").as("h"))
     // boilerplate guard: shingles above the df cap leave the JOIN index
-    // on both sides (map-side broadcast anti-join — hot shingles are by
-    // definition few). Verification still runs on the full arrays, so
-    // every surviving pair's containment value is exact; only pairs
-    // whose sole shared-prefix evidence is boilerplate are dropped,
-    // the [[ContainDfCap]] semantics.
-    val hot = sh
-      .select(explode(expr("array_sort(sh)")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("h"))
-    val cand = aPrefix.join(broadcast(hot), Seq("h"), "left_anti")
-      .join(bFull.join(broadcast(hot), Seq("h"), "left_anti"), Seq("h"))
+    // BEFORE the pair expansion (that ordering is the whole guard — it
+    // is what stops a 2000-identical-doc corpus from exploding
+    // quadratically inside the join). The df count rides the b side's
+    // own join shuffle as a window over h: the SMJ must sort by h
+    // anyway, so the guard costs nothing — previously it was a third
+    // full explode + groupBy + two broadcast anti-joins (~0.7 s of the
+    // query at sf0.1). One-sided removal suffices: a candidate row
+    // needs the shingle on BOTH sides, so filtering the full-index side
+    // drops every hot-evidenced pair. Verification still runs on the
+    // full arrays, so every surviving pair's containment value is
+    // exact; only pairs whose sole shared-prefix evidence is
+    // boilerplate are dropped, the [[ContainDfCap]] semantics.
+    val bSafe = bFull
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= dfCap).drop("df")
+    val cand = aPrefix
+      .join(bSafe, Seq("h"))
       .filter(col("doc_a") =!= col("doc_b"))
       .filter(expr(s"nb * $CDen >= na * $CNum"))
       .filter(expr(s"least(na - pa, nb - pb) + 1 >= (na * $CNum + ${CDen - 1}) div $CDen"))
