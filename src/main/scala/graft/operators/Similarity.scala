@@ -366,9 +366,11 @@ object Similarity extends QueryPack {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val short = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-        (acc, s) => acc + element_at(col("qtab"),
-          s.cast("int") * lit(PqK) + element_at(col("codes"), s.cast("int") + 1) + 1)))
+      // native codegen ADC (graft_pq_adc) — the HOF fold this replaces
+      // ran interpreted per (query x vector) pair; same ascending-s
+      // accumulation, bit-identical scores (CatalystAggSpec)
+      .withColumn("adc",
+        graft.functions.PqAdc.adc(col("codes"), col("qtab"), PqK))
       .withColumn("arank", row_number().over(w))
       .filter(col("arank") <= PqShortlist)
       .select(col("query_id"), col("vec_id"))

@@ -129,6 +129,43 @@ class CatalystAggSpec extends AnyFunSuite {
     assert(off == want, "nullSafeEval path diverges from the Scala argmin")
   }
 
+  test("PqAdc matches the HOF fold, with codegen ON and OFF") {
+    import graft.functions.PqAdc
+    import org.apache.spark.sql.functions._
+    val k = 4
+    // 3 subspaces x 4 centroids; qtab values non-commutative-friendly
+    // doubles so an accumulation-order change would show
+    val rows = Seq(
+      (1L, Seq(0, 3, 1), (0 until 12).map(i => 1.0 / (i + 3))),
+      (2L, Seq(3, 0, 2), (0 until 12).map(i => math.Pi * (i - 5))),
+      (3L, Seq(1, 1, 1), (0 until 12).map(i => 1e15 + i * 0.1)))
+    val df = rows.toDF("id", "codes", "qtab")
+    def run(native: Boolean): Map[Long, Double] = df
+      .select($"id",
+        (if (native) PqAdc.adc($"codes", $"qtab", k)
+         else aggregate(sequence(lit(0), lit(2)), lit(0.0), (acc, s) =>
+           acc + element_at($"qtab",
+             s.cast("int") * lit(k) + element_at($"codes", s.cast("int") + 1) + 1)))
+          .as("adc"))
+      .as[(Long, Double)].collect().toMap
+    val conf = spark.conf
+    val hof = run(native = false)
+    val on = run(native = true)
+    val prevWs = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val off =
+      try {
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        run(native = true)
+      } finally {
+        conf.set("spark.sql.codegen.wholeStage", prevWs)
+        conf.set("spark.sql.codegen.factoryMode", prevFm)
+      }
+    assert(on == hof, "doGenCode path diverges from the HOF fold")
+    assert(off == hof, "nullSafeEval path diverges from the HOF fold")
+  }
+
   test("MinHashSig: empty shingle array yields the all-MaxValue signature") {
     import graft.functions.MinHashSig
     val sig = Seq((9L, Seq.empty[Long])).toDF("doc_id", "sh")
