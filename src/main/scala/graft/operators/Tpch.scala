@@ -7,8 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-/** The remaining TPC-H query *shapes* (Q4, Q7, Q8, Q9, Q11, Q13, Q14,
-  * Q15, Q17, Q19, Q21, Q22 analogues), adapted to the driver fixture
+/** The remaining TPC-H query *shapes* (Q2, Q4, Q7, Q8, Q9, Q10, Q11,
+  * Q12, Q13, Q14, Q15, Q16, Q17, Q19, Q20, Q21, Q22 analogues — with
+  * [[Relational]]'s Q1/Q3/Q5/Q18, all 22), adapted to the driver fixture
   * schema — no `partsupp`, no `l_commitdate`/`l_receiptdate`, so the
   * queries that depend on those columns substitute equivalent plan
   * shapes over the columns that exist (documented per query). Together
@@ -384,6 +385,167 @@ object Tpch extends QueryPack {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q2 analogue (minimum-cost supplier): the fixture has no
+    * partsupp, so the supplier catalog is derived from shipment history —
+    * per (part, supplier), cost = MIN observed unit price
+    * (l_extendedprice / l_quantity, one IEEE division per row, so both
+    * engines see bit-identical doubles). Among EUROPE suppliers, every
+    * supplier matching the per-part minimum cost is returned for
+    * STANDARD parts of size ≤ 10 — Q2's correlated-min semantics
+    * including ties.
+    *
+    * Scale: the (part,supp) rollup is the one big shuffle; the EUROPE
+    * supplier set and the filtered part keys are broadcast pruned BEFORE
+    * the per-part window (the min over eligible suppliers is unaffected
+    * by part attributes, so pruning early shrinks the windowed data
+    * ~30× without changing it), and the per-part min rides a window
+    * aggregate over the partkey exchange — no second rollup + join-back
+    * of the same data. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(min(col("unit")).as("cost"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+    val w = Window.partitionBy(col("p_partkey"))
+    ps.withColumn("mc", min(col("cost")).over(w))
+      .filter(col("cost") === col("mc"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("s_acctbal"), col("cost").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"), col("p_partkey"))
+  }
+
+  /** TPC-H Q10 analogue (returned-item reporting): top 20 customers by
+    * returned-line revenue for orders placed in 1997-Q4. The
+    * scale-defining choice: aggregate on the bare custkey FIRST, take
+    * the top 20 via TakeOrderedAndProject (no global sort
+    * materializes), and only THEN join the 20-row winner set against
+    * customer/nation for names — the enrichment join broadcasts 20
+    * rows, never shuffling the customer table against the rollup. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val top = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(money(discPrice, "revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(20)
+    top
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name")))
+        .join(Tables.customer(spark, dir),
+          col("c_nationkey") === col("n_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
+  /** TPC-H Q12 analogue (shipping-mode priority): the fixture has no
+    * l_shipmode, so the mode axis is re-expressed as a derived
+    * ship-delay class (≥ 60 days after order date = SLOW) — the same
+    * join + CASE-bucketed conditional-count shape. One orderkey
+    * exchange; the date filter prunes the lineitem scan; counts use
+    * COUNT(CASE WHEN … THEN 1 END) so both engines produce BIGINT. */
+  def shipDelayPriority(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_class",
+        when(col("l_shipdate") >=
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), "SLOW")
+          .otherwise("FAST"))
+      .groupBy(col("delay_class"))
+      .agg(count(when(hi, 1)).as("high_line_count"),
+        count(when(!hi, 1)).as("low_line_count"))
+      .orderBy(col("delay_class"))
+  }
+
+  /** TPC-H Q16 analogue (parts/supplier relationship): distinct supplier
+    * counts per (brand, type, size) over the shipment-derived
+    * part–supplier catalog, excluding one brand, one type, sizes outside
+    * a fixed list, and "complaint" suppliers (no comment column in the
+    * fixture, so the exclusion subquery keys on negative account
+    * balance — the same NOT-IN-subquery plan shape). The part filter
+    * and the exclusion list are both broadcast; the single exchange is
+    * the two-phase distinct aggregate, whose partial pass already
+    * dedups (suppkey, brand, type, size) map-side. */
+  def supplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 19, 23, 36, 45, 49, 50))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 analogue (excess-share suppliers): suppliers holding an
+    * outsized share of 1997 shipments of red-prefixed parts — per
+    * (part, supplier) quantity vs 30% of the part's total, the nested
+    * aggregate-vs-aggregate comparison at Q20's core (availqty
+    * re-expressed from shipment history). Quantities are integer-valued
+    * doubles (sums exact and order-independent under 2^53). The
+    * per-part total rides a window over the partkey exchange of the
+    * ALREADY-rolled-up (part,supp) rows — not a second scan; the final
+    * supplier/nation enrichment broadcasts the small qualifying set. */
+  def excessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val red = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+    val sq = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val w = Window.partitionBy(col("p_partkey"))
+    val excess = sq
+      .withColumn("total_qty", sum(col("supp_qty")).over(w))
+      .filter(col("supp_qty") > lit(0.3) * col("total_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"))
+    broadcast(excess)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_excess_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_priority_waiting"    -> priorityWaiting,
     "rel_volume_shipping"     -> volumeShipping,
@@ -396,7 +558,12 @@ object Tpch extends QueryPack {
     "rel_small_qty_revenue"   -> smallQtyRevenue,
     "rel_disjunctive_join"    -> disjunctiveJoin,
     "rel_late_supplier"       -> lateSupplier,
-    "rel_idle_customers"      -> idleCustomers)
+    "rel_idle_customers"      -> idleCustomers,
+    "rel_min_cost_supplier"   -> minCostSupplier,
+    "rel_returned_items"      -> returnedItems,
+    "rel_ship_delay_priority" -> shipDelayPriority,
+    "rel_supplier_cnt"        -> supplierCnt,
+    "rel_excess_suppliers"    -> excessSuppliers)
 
   private val discSql = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
@@ -549,5 +716,79 @@ object Tpch extends QueryPack {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_min_cost_supplier" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+        |  JOIN region r ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eps AS (
+        |  SELECT ps.l_partkey, ps.l_suppkey, ps.cost,
+        |         eu.s_name, eu.s_acctbal, eu.n_name
+        |  FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey),
+        |mn AS (SELECT l_partkey AS pk, MIN(cost) AS mc FROM eps GROUP BY 1)
+        |SELECT p.p_partkey, e.l_suppkey AS s_suppkey, e.s_name, e.n_name,
+        |       e.s_acctbal, e.cost AS supply_cost
+        |FROM eps e JOIN mn ON e.l_partkey = mn.pk AND e.cost = mn.mc
+        |JOIN part p ON e.l_partkey = p.p_partkey
+        |WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+        |ORDER BY e.s_acctbal DESC, s_suppkey, p.p_partkey""".stripMargin,
+    "rel_returned_items" ->
+      s"""WITH top AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM($discSql) AS DOUBLE) AS revenue,
+        |         COUNT(*) AS n_items
+        |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 20)
+        |SELECT c.c_custkey, c.c_name, n.n_name, t.revenue, t.n_items
+        |FROM top t
+        |JOIN customer c ON t.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY t.revenue DESC, c.c_custkey""".stripMargin,
+    "rel_ship_delay_priority" ->
+      """SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |            THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+        |       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                  THEN 1 END) AS high_line_count,
+        |       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                  THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 19, 23, 36, 45, 49, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "rel_excess_suppliers" ->
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+        |  FROM lineitem l JOIN part p ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tq AS (SELECT l_partkey AS pk, SUM(supp_qty) AS total_qty
+        |       FROM sq GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, COUNT(*) AS n_excess_parts
+        |FROM sq JOIN tq ON sq.l_partkey = tq.pk
+        |JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE sq.supp_qty > 0.3 * tq.total_qty
+        |GROUP BY 1, 2, 3
+        |ORDER BY s_suppkey""".stripMargin)
 }

@@ -160,6 +160,120 @@ class TpchSpec extends AnyFunSuite {
     assert(total.toInt == want)
   }
 
+  test("rel_min_cost_supplier: rows are exactly the per-part EUROPE minima") {
+    val got = Tpch.minCostSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // Manual recompute: per (part, supp) min unit price over EUROPE
+    // suppliers, then the per-part min with ties kept.
+    val eu = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val wantParts = Tables.part(spark, sf)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2) / r.getDouble(3)))
+      .filter(t => eu.contains(t._2))
+    val perPair = li.groupBy(t => (t._1, t._2))
+      .map { case (k, rs) => k -> rs.map(_._3).min }
+    val want = perPair.groupBy(_._1._1).flatMap { case (pk, m) =>
+      val mc = m.values.min
+      m.filter(_._2 == mc).map { case ((_, sk), c) => (pk, sk, c) }
+    }.filter(t => wantParts.contains(t._1)).toSet
+    assert(got.toSet == want)
+    assert(got.nonEmpty, "some STANDARD small parts have EUROPE suppliers")
+    // Output order is the Q2 contract: acctbal desc, suppkey, partkey.
+    val bal = Tpch.minCostSupplier(spark, sf).collect()
+      .map(r => (-r.getDouble(4), r.getLong(1), r.getLong(0))).toSeq
+    assert(bal == bal.sorted, "total order by acctbal desc, suppkey, partkey")
+  }
+
+  test("rel_returned_items: top-20 equals manual rollup, enrichment loses no rows") {
+    val got = Tpch.returnedItems(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getLong(4)))
+    val ordQ4 = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .flatMap { r =>
+        ordQ4.get(r.getLong(0)).map(ck =>
+          ck -> BigDecimal(r.getDouble(1)) * (1 - BigDecimal(r.getDouble(2))))
+      }
+    val want = li.groupBy(_._1)
+      .map { case (ck, rs) => (ck, rs.map(_._2).sum.toDouble, rs.length.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("rel_ship_delay_priority: class counts partition the joined rows") {
+    val rows = Tpch.shipDelayPriority(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet.subsetOf(Set("FAST", "SLOW")))
+    val total = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(rows.values.map(t => t._1 + t._2).sum == total,
+      "every joined line item lands in exactly one (class, priority) cell")
+  }
+
+  test("rel_supplier_cnt: counts equal manual recompute with exclusions") {
+    // sf0.001 may have zero negative-balance suppliers — the recompute
+    // covers both the empty and non-empty exclusion cases (sf0.01, where
+    // the exclusion set IS non-empty, is covered by the oracle gate).
+    val bad = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val pt = Tables.part(spark, sf)
+      .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 19, 23, 36, 45, 49, 50))
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3)))
+      .toMap
+    val want = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => pt.contains(t._1) && !bad.contains(t._2))
+      .groupBy(t => pt(t._1))
+      .map { case (k, rs) => k -> rs.map(_._2).toSet.size.toLong }
+    val got = Tpch.supplierCnt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("rel_excess_suppliers: every reported supplier holds >30% of some part") {
+    val got = Tpch.excessSuppliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val red = Tables.part(spark, sf)
+      .filter(col("p_name").startsWith("red"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => red.contains(t._1))
+    val perPair = li.groupBy(t => (t._1, t._2))
+      .map { case (k, rs) => k -> rs.map(_._3).sum }
+    val perPart = perPair.groupBy(_._1._1)
+      .map { case (pk, m) => pk -> m.values.sum }
+    val want = perPair.filter { case ((pk, _), q) => q > 0.3 * perPart(pk) }
+      .keys.groupBy(_._2).map { case (sk, ps) => sk -> ps.size.toLong }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("rel_small_qty_revenue: decorrelated subquery matches manual threshold") {
     val r = Tpch.smallQtyRevenue(spark, sf).collect().head
     val li = Tables.lineitem(spark, sf)
