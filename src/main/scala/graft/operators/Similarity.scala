@@ -62,6 +62,34 @@ object Similarity extends QueryPack {
     rankedTopK(pairs)
   }
 
+  private val RangeTau = 0.2
+
+  /** Radius (range) search: every corpus vector within cosine ≥ 0.2 of
+    * each query — the fixed-threshold twin of [[topKBruteForce]] (ANN
+    * benchmarks' "range query"; the retrieval mode semantic dedup and
+    * near-dup mining actually run, where the similarity BAR, not the
+    * neighbor COUNT, is the contract). Plan: broadcast the 10 queries,
+    * one corpus scan, codegen dot product, filter — NO window and no
+    * shuffle at all beyond the final presentation sort, so unlike the
+    * top-k forms this is embarrassingly parallel at 100 TB: map-only
+    * over the corpus with a per-row bounded candidate emit. A
+    * production-scale corpus would put the LSH banding of [[topKLsh]]
+    * in front as a prefilter; the threshold form keeps exact semantics
+    * here because cosine ≥ τ survives the oracle hash gate bit-exactly
+    * while a recall-bounded prefilter could not. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VectorOps.dot("qe", "embedding") / (col("qn") * col("nrm")))
+      .filter(col("cosine") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes in [-1, 1] from a fixed LCG
     * (Numerical Recipes constants) — reproducible across runs/JVMs. */
   private[operators] def hyperplanes(n: Int, dim: Int,
@@ -405,6 +433,7 @@ object Similarity extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> topKBruteForce,
+    "sim_range_search"    -> rangeSearch,
     "sim_topk_codegen"    -> topKCodegen,
     "sim_topk_lsh"        -> topKLsh,
     "sim_topk_ivf"        -> topKIvf,
@@ -427,6 +456,17 @@ object Similarity extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteForceOracle,
+    "sim_range_search" ->
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |             ${VectorOps.duckNorm("embedding")} AS nrm
+         |           FROM embeddings)
+         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |       ${VectorOps.duckDot("q.embedding", "c.embedding")}
+         |         / (q.nrm * c.nrm) AS cosine
+         |FROM c q JOIN c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |WHERE ${VectorOps.duckDot("q.embedding", "c.embedding")}
+         |        / (q.nrm * c.nrm) >= $RangeTau
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin,
     "sim_topk_codegen"    -> bruteForceOracle,
     "sim_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim, COUNT(*) AS n,

@@ -157,6 +157,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       ((sizes.length.toLong, sizes.sum, rank(1, 2), rank(99, 100), sizes.last)))
   }
 
+  test("range search: threshold respected, consistent with brute-force top-k") {
+    val range = Similarity.rangeSearch(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(range.values.forall(_ >= 0.2), "every returned cosine meets the bar")
+    // Agreement on the overlap: any top-k pair at or above the threshold
+    // must appear in the range result with the IDENTICAL cosine (same
+    // fold contract), and any top-k pair below it must be absent.
+    val topk = Similarity.topKBruteForce(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+    topk.foreach { case (k, cos) =>
+      if (cos >= 0.2) assert(range(k) == cos)
+      else assert(!range.contains(k))
+    }
+  }
+
   test("brute-force top-k ranks are 1..5 per query, cosine non-increasing") {
     val rows = Similarity.topKBruteForce(spark, TestSpark.Sf)
       .select("query_id", "rank", "cosine").as[(Long, Long, Double)]
