@@ -63,6 +63,24 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"))
 
+  /** Streaming daily approx-distinct users: a DataSketches HLL sketch
+    * per day maintained incrementally in the state store — the
+    * streaming twin of [[graft.operators.Pipeline.hllDaily]]'s per-day
+    * tier. The interesting property (pinned by StreamingSpec): the
+    * streamed estimates EQUAL the batch estimates exactly, because HLL
+    * state is a register-max lattice — update order and micro-batch
+    * partial/merge boundaries cannot change the converged sketch, the
+    * same order-independence that makes the batch form deterministic
+    * under any shuffle partitioning. At 100 TB the same query shape
+    * holds: per-key sketch state is ~KB regardless of cardinality, and
+    * the sink reads estimates without ever re-scanning raw events. */
+  def dailyApproxUsers(spark: SparkSession, eventsDir: String): DataFrame =
+    readEvents(spark, eventsDir)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("est_users"))
+      .select(to_date(col("window.start")).as("day"), col("est_users"))
+
   /** Stream-static enrichment: the event stream joined to a static
     * dimension (broadcast per micro-batch; the static side may be
     * refreshed between batches). Spark plans this with no stream-side

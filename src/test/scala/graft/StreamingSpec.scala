@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.Events
+import graft.operators.{Events, Pipeline}
 import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Stream↔batch parity: the fixture parquet is replayed as a one-batch
@@ -214,6 +215,26 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(streamed.toSet == batchKeys)
     assert(streamed.length == batchKeys.size, "each key emitted exactly once")
+  }
+
+  test("streaming HLL daily estimates equal the batch sketches exactly") {
+    // Register-max lattice: micro-batch boundaries can't change the
+    // converged sketch, so streamed == batch to the last bit of the
+    // estimate — not just within rsd. Complete mode: no watermark
+    // needed, every day's current estimate is re-emitted.
+    val q = EventStream.dailyApproxUsers(spark, eventsDir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("hll_out")
+      .select(col("day").cast("string"), col("est_users"))
+      .as[(String, Double)].collect().toMap
+    val batch = Pipeline.hllDaily(spark, TestSpark.Sf)
+      .filter(col("day").isNotNull) // drop the union'd month-total row
+      .select(col("day").cast("string"), col("est_users"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("Trigger.AvailableNow drains the backlog then self-terminates (batch catch-up)") {
