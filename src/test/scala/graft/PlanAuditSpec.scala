@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_above_avg"           -> (1, "scalar attach: global average"),
     "rel_idle_customers"      -> (1, "scalar attach: global balance threshold"),
     "rel_value_concentration" -> (1, "scalar attach: total/count row"),
+    "sim_range_search"        -> (1, "deliberate: brute-force oracle tier"),
     "sim_topk_bruteforce"     -> (1, "deliberate: brute-force oracle tier"),
     "sim_topk_codegen"        -> (1, "deliberate: brute-force codegen tier"),
     "sim_topk_ivf"            -> (1, "bounded: queries x 25-centroid table"),
