@@ -32,17 +32,22 @@ def main(src, dst, n=10):
         'events':   [('event_id', E), ('user_id', C)],
     }
     for t, cols in shifts.items():
-        schema = [r[0] for r in con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')").fetchall()]
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')").fetchall()
+        schema = [r[0] for r in desc]
+        types = {r[0]: r[1] for r in desc}
         sel = []
         for i in range(n):
             # events.ts is stored as parquet timestamp[ns]; the Spark
             # loader reads it nanos-as-long, so the scaled copy must keep
             # an int64 nanos column, not DuckDB's default µs TIMESTAMP.
+            # (When rescaling an already-scaled copy, ts is int64 already
+            # and passes through.)
             exprs = ", ".join(
                 f"{c} + {dict(cols)[c]}*{i} AS {c}" if c in dict(cols)
-                else (f"epoch_ns({c}) AS {c}" if (t, c) == ('events', 'ts')
-                      else c)
+                else (f"epoch_ns({c}) AS {c}"
+                      if (t, c) == ('events', 'ts')
+                      and 'TIMESTAMP' in types[c].upper() else c)
                 for c in schema)
             sel.append(f"SELECT {exprs} FROM read_parquet('{src}/{t}.parquet')")
         q = " UNION ALL ".join(sel)
