@@ -26,6 +26,17 @@ def main(sf_dir, out_dir):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            if t == "events":
+                # scaled copies (tools/make_sfx.py) store ts as int64
+                # nanos; rebuild the timestamp view DuckDB oracles expect
+                # (same µs truncation the Spark loader applies).
+                ty = con.execute("DESCRIBE events").fetchall()
+                if dict((r[0], r[1]) for r in ty).get("ts") == "BIGINT":
+                    con.execute("DROP VIEW events")
+                    con.execute(
+                        "CREATE VIEW events AS SELECT event_id, "
+                        "make_timestamp(ts // 1000) AS ts, user_id, "
+                        f"event_type, value, props FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
     for d in sorted(glob.glob(f"{out_dir}/*/")):
