@@ -236,7 +236,100 @@ object TextAnalysis extends QueryPack {
       .limit(20)
   }
 
+  /** Gopher-style document quality rules (the word-level gates of the
+    * published rule table), adapted to the fixture's lowercase
+    * single-line text: word count in [50, 100k], mean word length in
+    * [3, 10], ≥80% of words containing an alphabetic character, ≥2
+    * distinct stopwords present, symbol-to-word ratio ('#' chars and
+    * '...' runs) below 0.1, and the conjunctive keep decision. The
+    * repetition gates of the same rule family are [[Pipeline.repetition]]
+    * (text_repetition); line-level gates (bullet/ellipsis line starts)
+    * need line structure the fixture lacks. All counts are exact
+    * integers, each ratio one IEEE division (engine-identical), and the
+    * whole operator is map-side — zero shuffles at any corpus size. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"cast(size($toks) as bigint) as n_words",
+      s"cast(length(replace(text, ' ', '')) as double) / size($toks) as mean_word_len",
+      s"cast(size(filter($toks, x -> x rlike '[a-z]')) as double) / size($toks) as alpha_frac",
+      s"cast(size(array_intersect(array_distinct($toks), array('the','a','of','and','is'))) as bigint) as n_stop",
+      // '#' chars count 1 each; each '...' run of 3 chars counts 1
+      s"""cast((length(text) - length(replace(text, '#', '')))
+         |   + (length(text) - length(replace(text, '...', ''))) div 3
+         |   as double) / size($toks) as symbol_ratio""".stripMargin)
+      .selectExpr("doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "n_stop", "symbol_ratio",
+        """n_words between 50 and 100000
+          | and mean_word_len between 3.0 and 10.0
+          | and alpha_frac >= 0.8
+          | and n_stop >= 2
+          | and symbol_ratio < 0.1 as keep""".stripMargin)
+
+  /** Bigram-LM cross-entropy scoring — the perplexity-filter shape every
+    * curation pipeline runs — integer-quantized for engine-exactness.
+    * The corpus trains an add-one-smoothed bigram model over itself
+    * (bigrams below a count floor of 5 are treated as unseen → n_oov),
+    * and each document pays floor(log2((c_w1 + V) / (c_bigram + 1)))
+    * bits per bigram: within 1 bit of the true surprisal, and computed
+    * EXACTLY in integer arithmetic (binary-length difference + one
+    * shift-compare), so per-doc totals are integer sums — deterministic
+    * under any aggregation order and hash-exact against the oracle.
+    * Same determinism policy that chose lift over PMI in [[bigramLift]]:
+    * transcendental log() may drift a ulp across engines; floor-of-log2
+    * on integer ratios cannot. LmQualitySpec pins the quantization
+    * bound (true_bits - n < total_bits <= true_bits) and exact values.
+    *
+    * Scale posture: the LM is a floor-truncated (Zipf ⇒ small) count
+    * table keyed by bigram; the doc-bigram stream equi-joins it on that
+    * key (broadcastable under the floor) and collapses map-side into
+    * per-doc integer partials. No double sums, no windows, no driver
+    * state — linear in corpus size. */
+  def lmBits(spark: SparkSession, dir: String): DataFrame =
+    lmBitsOf(Tables.documents(spark, dir))
+
+  private[graft] def lmBitsOf(docs: DataFrame): DataFrame = {
+    val uni = docs.selectExpr(s"explode($toks) as tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_x"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigrams = docs
+      .withColumn("t", expr(toks))
+      .filter(size(col("t")) >= 2)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))) as bg"""
+          .stripMargin)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    bigrams
+      .join(uni.withColumnRenamed("tok", "w1"), "w1")
+      .join(lm, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vocab))
+      .selectExpr("doc_id",
+        "c_xy is null as oov",
+        "c_x + v as a",
+        "coalesce(c_xy, cast(0 as bigint)) + 1 as b")
+      // floor(log2(a/b)) exactly: d = bitlen(a) - bitlen(b) overshoots by
+      // at most 1; b·2^d ≤ a decides (a > b always: c_bigram ≤ c_w1 < a)
+      .selectExpr("doc_id", "oov",
+        "length(bin(a)) - length(bin(b)) as d", "a", "b")
+      .selectExpr("doc_id", "oov",
+        "if(shiftleft(b, d) <= a, d, d - 1) as bits")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("bits_per_bigram",
+        col("total_bits").cast("double") / col("n_bigrams"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules"  -> gopherRules,
+    "text_lm_bits"       -> lmBits,
     "text_vocab_coverage" -> vocabCoverage,
     "text_bigram_lift"   -> bigramLift,
     "text_token_stats"   -> tokenStats,
@@ -256,6 +349,56 @@ object TextAnalysis extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      s"""SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+         |       symbol_ratio,
+         |       n_words BETWEEN 50 AND 100000
+         |         AND mean_word_len BETWEEN 3.0 AND 10.0
+         |         AND alpha_frac >= 0.8
+         |         AND n_stop >= 2
+         |         AND symbol_ratio < 0.1 AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    len($dToks) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($dToks)
+         |      AS mean_word_len,
+         |    CAST(len(list_filter($dToks, x -> regexp_matches(x, '[a-z]')))
+         |      AS DOUBLE) / len($dToks) AS alpha_frac,
+         |    len(list_intersect(list_distinct($dToks),
+         |        ['the','a','of','and','is'])) AS n_stop,
+         |    CAST((length(text) - length(replace(text, '#', '')))
+         |       + (length(text) - length(replace(text, '...', ''))) // 3
+         |       AS DOUBLE) / len($dToks) AS symbol_ratio
+         |  FROM documents)""".stripMargin,
+    "text_lm_bits" ->
+      s"""WITH d AS (SELECT doc_id, $dToks AS t FROM documents
+         |           WHERE len($dToks) >= 2),
+         |idx AS (SELECT doc_id, t,
+         |               unnest(generate_series(1, len(t) - 1)) AS i FROM d),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+         |uni AS (SELECT unnest($dToks) AS tok FROM documents),
+         |uc AS (SELECT tok, COUNT(*) AS c_x FROM uni GROUP BY 1),
+         |vv AS (SELECT COUNT(*) AS v FROM uc),
+         |lm AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |sc AS (SELECT bg.doc_id, lm.c_xy IS NULL AS oov,
+         |              uc.c_x + vv.v AS a,
+         |              COALESCE(lm.c_xy, 0) + 1 AS b
+         |       FROM bg JOIN uc ON bg.w1 = uc.tok
+         |               LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+         |               CROSS JOIN vv),
+         |bits AS (SELECT doc_id, oov,
+         |                CASE WHEN (b << (length(bin(a)) - length(bin(b)))) <= a
+         |                     THEN length(bin(a)) - length(bin(b))
+         |                     ELSE length(bin(a)) - length(bin(b)) - 1
+         |                END AS bits
+         |         FROM sc)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(bits) AS BIGINT) AS total_bits,
+         |       CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_bigram
+         |FROM bits GROUP BY 1""".stripMargin,
     "text_vocab_coverage" ->
       s"""WITH tc AS (SELECT unnest($dToks) AS tok FROM documents),
          |counts AS (SELECT tok, COUNT(*) AS c FROM tc GROUP BY 1),
