@@ -327,7 +327,58 @@ object TextAnalysis extends QueryPack {
         col("total_bits").cast("double") / col("n_bigrams"))
   }
 
+  // ---- PII detection / redaction --------------------------------------
+
+  // Character-class-only regexes (no backslash escapes) so the IDENTICAL
+  // pattern text runs under both Java regex (Spark) and RE2 (DuckDB).
+  private val EmailPat = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+  private val IpPat =
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val PhonePat = "[0-9]{3}-[0-9]{4}"
+
+  /** Count + redact email / IPv4 / phone patterns in `textCol` — the
+    * standard PII-scrub stage every LLM training pipeline runs before
+    * release. Pure map-side (regexp_count + a 3-deep regexp_replace
+    * chain, all codegen'd builtins): zero shuffles at any corpus size.
+    * Replacement order (email → ip → phone) is fixed and identical on
+    * both engines; the patterns cannot overlap each other's matches
+    * (emails carry letters around '@', IPs need 4 dot-separated runs,
+    * phones need a dash), so the chain is order-insensitive in practice
+    * but pinned anyway. */
+  private[graft] def piiOf(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailPat)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(IpPat)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(col(textCol), lit(PhonePat)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailPat, "<EMAIL>"), IpPat, "<IP>"), PhonePat, "<PHONE>"))
+
+  /** `text_pii_redact`: the fixture word-soup contains no organic PII, so
+    * the query first PLANTS deterministic PII derived from fixture
+    * columns (doc_id % 4 selects email / IP / phone / none), built by the
+    * same expression in the DuckDB oracle — the regex count/redact
+    * machinery is the surface under test, and the %4==3 branch keeps
+    * zero-count rows in the gate. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiOf(
+      Tables.documents(spark, dir).selectExpr("doc_id",
+        """concat(text, CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN concat(' reach me at user', CAST(doc_id AS STRING),
+          |                     '@mail.com today')
+          |  WHEN 1 THEN concat(' server 10.', CAST(doc_id % 256 AS STRING),
+          |                     '.0.', CAST((doc_id * 7) % 256 AS STRING),
+          |                     ' responded')
+          |  WHEN 2 THEN concat(' call 555-',
+          |                     lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+          |                     ' now')
+          |  ELSE '' END) as aug""".stripMargin), "aug")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("redacted"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact"    -> piiRedact,
     "text_gopher_rules"  -> gopherRules,
     "text_lm_bits"       -> lmBits,
     "text_vocab_coverage" -> vocabCoverage,
@@ -349,6 +400,28 @@ object TextAnalysis extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, concat(text, CASE CAST(doc_id % 4 AS INT)
+         |    WHEN 0 THEN concat(' reach me at user', CAST(doc_id AS VARCHAR),
+         |                       '@mail.com today')
+         |    WHEN 1 THEN concat(' server 10.', CAST(doc_id % 256 AS VARCHAR),
+         |                       '.0.', CAST((doc_id * 7) % 256 AS VARCHAR),
+         |                       ' responded')
+         |    WHEN 2 THEN concat(' call 555-',
+         |                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+         |                       ' now')
+         |    ELSE '' END) AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(aug, '$EmailPat')) AS n_emails,
+         |  len(regexp_extract_all(aug, '$IpPat')) AS n_ips,
+         |  len(regexp_extract_all(aug, '$PhonePat')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$EmailPat', '<EMAIL>', 'g'),
+         |    '$IpPat', '<IP>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g') AS redacted
+         |FROM a""".stripMargin,
     "text_gopher_rules" ->
       s"""SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
          |       symbol_ratio,

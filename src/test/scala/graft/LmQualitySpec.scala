@@ -98,4 +98,43 @@ class LmQualitySpec extends AnyFunSuite {
     assert(g.keySet == q.keySet)
     g.foreach { case (id, n) => assert(n == q(id), s"doc $id token count") }
   }
+
+  test("pii redaction: counts and redacted text on hand-built docs") {
+    val docs = Seq(
+      (1L, "write to alice.b1@example.org or bob@test.com for access"),
+      (2L, "hosts 10.0.0.1 and 192.168.255.254 are up, 1.2.3.4 is down"),
+      (3L, "call 555-0199 then 020-1234 twice"),
+      (4L, "no pii here at all"),
+      (5L, "mixed: eve9@mail.com from 172.16.0.9 dials 555-7000")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiOf(docs, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L, 0L,
+      "write to <EMAIL> or <EMAIL> for access")))
+    assert(out(2L) == ((2L, 0L, 3L, 0L,
+      "hosts <IP> and <IP> are up, <IP> is down")))
+    assert(out(3L) == ((3L, 0L, 0L, 2L,
+      "call <PHONE> then <PHONE> twice")))
+    assert(out(4L) == ((4L, 0L, 0L, 0L, "no pii here at all")))
+    assert(out(5L) == ((5L, 1L, 1L, 1L,
+      "mixed: <EMAIL> from <IP> dials <PHONE>")))
+  }
+
+  test("pii redaction query: planted PII type follows doc_id % 4, fixture clean") {
+    val out = TextAnalysis.piiRedact(spark, TestSpark.Sf)
+      .select("doc_id", "n_emails", "n_ips", "n_phones")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, e, ip, ph) =>
+      val expect = (id % 4) match {
+        case 0 => (1L, 0L, 0L)
+        case 1 => (0L, 1L, 0L)
+        case 2 => (0L, 0L, 1L)
+        case _ => (0L, 0L, 0L)
+      }
+      assert((e, ip, ph) == expect, s"doc $id planted-PII counts")
+    }
+  }
 }

@@ -39,6 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_pq"             -> (1, "bounded: queries x 25-centroid table"),
     "text_bigram_lift"        -> (2, "scalar attach: corpus token total (x2)"),
     "text_doc_keywords"       -> (1, "scalar attach: corpus doc count"),
+    "text_lm_bits"            -> (1, "scalar attach: vocab-size row"),
     "text_tfidf_counts"       -> (1, "scalar attach: corpus doc count"),
     "text_top_terms"          -> (1, "scalar attach: corpus token total"),
     "x_gap_fill_locf"         -> (1, "scalar attach: calendar bounds row"),
