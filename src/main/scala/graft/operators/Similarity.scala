@@ -363,6 +363,19 @@ object Similarity extends QueryPack {
     books
   }
 
+  /** Per-query 128-entry ADC table (subspace × centroid inner products
+    * against the query's unit vector `ne`), flattened to one
+    * `array<double>` so scoring is pure array lookups. */
+  private def pqQueryTab(lit3: Column): Column =
+    transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {
+      val s = floor(i / lit(PqK)).cast("int")
+      val cent = element_at(element_at(lit3, s + 1),
+        pmod(i, lit(PqK)).cast("int") + 1).getField("_2")
+      aggregate(zip_with(cent,
+        slice(col("ne"), s * lit(PqSubDim) + lit(1), lit(PqSubDim)),
+        (a, b) => a * b), lit(0.0), (x, y) => x + y)
+    })
+
   /** Product-quantization ANN — the 100 TB shape: after training, every
     * corpus vector is represented by an 8-int code (conceptually 8
     * BYTES — 4 bits/subspace; int array here for expression simplicity)
@@ -382,15 +395,7 @@ object Similarity extends QueryPack {
     val codes = c.select(col("vec_id"),
       graft.functions.PqEncode.codes(col("embedding"), books).as("codes"))
     val q = c.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"),
-        transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {
-          val s = floor(i / lit(PqK)).cast("int")
-          val cent = element_at(element_at(lit3, s + 1),
-            pmod(i, lit(PqK)).cast("int") + 1).getField("_2")
-          aggregate(zip_with(cent,
-            slice(col("ne"), s * lit(PqSubDim) + lit(1), lit(PqSubDim)),
-            (a, b) => a * b), lit(0.0), (x, y) => x + y)
-        }).as("qtab"))
+      .select(col("vec_id").as("query_id"), pqQueryTab(lit3).as("qtab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val short = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -404,6 +409,79 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("vec_id"))
     val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val pairs = corpus(spark, dir)
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (VectorOps.dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cosine"))
+    rankedTopK(pairs)
+  }
+
+  // IVF-PQ prunes twice: the cell list is the only UNRECOVERABLE cut
+  // (exact rerank repairs ADC rank errors inside probed cells, never a
+  // missed cell), so the probe count stays at IVF's measured 17/25 and
+  // the shortlist at PQ's measured 150 — each parameter keeps the
+  // recall its own spec test pinned, and DedupSimilaritySpec holds the
+  // composition to the same ≥ 0.9 floor. Random-direction vectors are
+  // the adversarial regime, per the class scaladoc.
+  private val IvfPqShortlist = PqShortlist
+
+  /** IVF-PQ ANN — the two quantizers composed, the canonical
+    * billion-scale serving layout (FAISS "IVFADC"; here the
+    * `by_residual=false` inner-product variant, since [[PqEncode]]
+    * codes unit DIRECTIONS and cosine is the metric — residual coding
+    * buys little over 25 wide cells while requiring a second encoder):
+    * the IVF coarse quantizer prunes the corpus to the [[NProbes]]
+    * probed cells per query, PQ codes give 8-lookup asymmetric-distance
+    * scores WITHIN those cells, and only the per-query ADC shortlist is
+    * reranked with exact cosine.
+    *
+    * Scale posture — what each stage ships at 100 TB: corpus cell
+    * assignment and PQ encoding are both map-side codegen against
+    * broadcast-sized tables (25 centroids / 8×16 codebooks), so after
+    * one training read the corpus is represented by (vec_id, cent_id,
+    * 8 ints) — the float vectors never shuffle; the probe join is an
+    * equi-join on cent_id against a broadcast (query × probed-cell)
+    * table, touching ~NProbes/NCentroids of the codes; the exact rerank
+    * reads [[IvfPqShortlist]] full vectors per query. Plain PQ scans
+    * ALL codes per query; plain IVF reranks ALL probed vectors exactly
+    * — the composition is the only variant where both the scan and the
+    * rerank are sub-corpus. Rows-only; DedupSimilaritySpec pins
+    * recall@5 ≥ 0.9 vs [[topKBruteForce]] and run-to-run determinism. */
+  def topKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = pqCorpus(spark, dir)
+    val cents = lloydCentroids(spark, c, LloydIters)
+    val books = pqCodebooks(spark, c, PqIters)
+    val lit3 = pqBooksLit(books)
+    val codes = c.select(col("vec_id"),
+      assignedCentId(cents, "embedding", "nrm").as("cent_id"),
+      graft.functions.PqEncode.codes(col("embedding"), books).as("codes"))
+    val centsDf = cents.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce"), VectorOps.norm("ce").as("cn"))
+    val qbase = c.filter(col("vec_id") < NQueries)
+    val qtab = qbase.select(col("vec_id").as("query_id"),
+      pqQueryTab(lit3).as("qtab"))
+    val probes = nearest(
+      qbase.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")),
+      centsDf, NProbes, "query_id", "qe", "qn")
+      .select(col("query_id"), col("cent_id"))
+    // 10 queries × 17 probed cells, each row carrying the 128-double
+    // table — broadcast-sized by construction
+    val q = probes.join(qtab, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val short = codes.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.functions.PqAdc.adc(col("codes"), col("qtab"), PqK))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= IvfPqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
     val pairs = corpus(spark, dir)
       .join(broadcast(short), Seq("vec_id"))
       .join(broadcast(qVecs), Seq("query_id"))
@@ -438,6 +516,7 @@ object Similarity extends QueryPack {
     "sim_topk_lsh"        -> topKLsh,
     "sim_topk_ivf"        -> topKIvf,
     "sim_topk_pq"         -> topKPq,
+    "sim_topk_ivfpq"      -> topKIvfPq,
     "sim_label_centroids" -> labelCentroids)
 
   private val bruteForceOracle: String =

@@ -110,6 +110,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       exact.get((qid, nid)).foreach(e => assert(e == cos)) }
   }
 
+  test("IVF-PQ ANN: recall@5 >= 0.9 after exact rerank, and deterministic") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSeq
+    val gt = Similarity.topKBruteForce(spark, TestSpark.Sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val a = rows(Similarity.topKIvfPq(spark, TestSpark.Sf))
+    val got = a.map(r => (r._1, r._2)).toSet
+    val recall = (got & gt).size.toDouble / gt.size
+    assert(recall >= 0.9, s"ivfpq recall $recall")
+    // both quantizers are seed-fixed: a second full run (fresh Lloyd +
+    // fresh codebooks) must reproduce the rows bit-exactly
+    assert(a == rows(Similarity.topKIvfPq(spark, TestSpark.Sf)))
+    // reranked cosines bit-match brute force on the shared pairs
+    val exact = Similarity.topKBruteForce(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    a.foreach { case (qid, nid, _, cos) =>
+      exact.get((qid, nid)).foreach(e => assert(e == cos)) }
+  }
+
   test("cosine LSH dedup recovers the exact pair set with a bucketed plan") {
     val exact = Dedup.cosinePairs(spark, TestSpark.Sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

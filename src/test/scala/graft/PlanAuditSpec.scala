@@ -36,6 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_bruteforce"     -> (1, "deliberate: brute-force oracle tier"),
     "sim_topk_codegen"        -> (1, "deliberate: brute-force codegen tier"),
     "sim_topk_ivf"            -> (1, "bounded: queries x 25-centroid table"),
+    "sim_topk_ivfpq"          -> (1, "bounded: queries x 25-centroid table"),
     "sim_topk_pq"             -> (1, "bounded: queries x 25-centroid table"),
     "text_bigram_lift"        -> (2, "scalar attach: corpus token total (x2)"),
     "text_doc_keywords"       -> (1, "scalar attach: corpus doc count"),
