@@ -327,6 +327,55 @@ object TextAnalysis extends QueryPack {
         col("total_bits").cast("double") / col("n_bigrams"))
   }
 
+  // ---- Vocabulary growth (Heaps' law) ---------------------------------
+
+  private val GrowthBuckets = 20
+
+  /** `text_vocab_growth`: the vocabulary-growth curve — cumulative
+    * distinct token types vs cumulative token count over a 20-bucket
+    * doc_id-ordered sweep of the corpus. The Heaps'-law health
+    * telemetry a corpus build watches: types ≈ K·tokens^β, and a kink
+    * (vocab growth stalling while tokens grow) is the classic symptom
+    * of duplicated or template-generated ingest.
+    *
+    * Shape chosen for scale: bucketing is ARITHMETIC on doc_id against
+    * one broadcast id-range row — not ntile, whose global sort would
+    * funnel the corpus through one window task. A token's first-seen
+    * bucket is min(bucket) over its occurrences (buckets are monotone
+    * in doc_id, so min(bucket) is the bucket of the first occurrence —
+    * no per-token ordering needed), one map-side-combined groupBy; the
+    * cumulative sums run over the bounded 20-row bucket grid. All
+    * counts are exact integers — hash-exact on both engines. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val range = docs.agg(max(col("doc_id")).as("mx"))
+    // integer division (`div`/`//`) on both engines: DuckDB ROUNDS a
+    // double→int cast where Spark truncates, so float division + cast
+    // would flake on exact bucket boundaries
+    val bExpr = s"1 + (doc_id * $GrowthBuckets div (mx + 1))"
+    val withB = docs.crossJoin(broadcast(range))
+    val perBucket = withB
+      .selectExpr(s"$bExpr as bucket", s"cast(size($toks) as bigint) as n")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    // generator input stays the inline split expression, never a bare
+    // attribute — the InferFiltersFromGenerate serialization trap the
+    // dedup_containment scaladoc documents
+    val firstSeen = withB
+      .selectExpr(s"$bExpr as bucket", s"explode($toks) as tok")
+      .groupBy(col("tok")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("new_types"),
+        sum(col("n_docs")).over(w).as("docs_cum"),
+        sum(col("n_tokens")).over(w).as("tokens_cum"),
+        sum(col("new_types")).over(w).as("vocab_cum"))
+      .orderBy(col("bucket"))
+  }
+
   // ---- PII detection / redaction --------------------------------------
 
   // Character-class-only regexes (no backslash escapes) so the IDENTICAL
@@ -378,6 +427,7 @@ object TextAnalysis extends QueryPack {
         col("redacted"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth"  -> vocabGrowth,
     "text_pii_redact"    -> piiRedact,
     "text_gopher_rules"  -> gopherRules,
     "text_lm_bits"       -> lmBits,
@@ -400,6 +450,31 @@ object TextAnalysis extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    "text_vocab_growth" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         1 + (doc_id * $GrowthBuckets //
+         |               ((SELECT MAX(doc_id) + 1 FROM documents))) AS bucket,
+         |         $dToks AS t
+         |  FROM documents),
+         |pb AS (SELECT bucket, COUNT(*) AS n_docs,
+         |              CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+         |       FROM b GROUP BY 1),
+         |fs AS (SELECT fb AS bucket, COUNT(*) AS new_types FROM (
+         |         SELECT tok, MIN(bucket) AS fb
+         |         FROM (SELECT bucket, unnest(t) AS tok FROM b)
+         |         GROUP BY 1)
+         |       GROUP BY 1)
+         |SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+         |       COALESCE(fs.new_types, 0) AS new_types,
+         |       CAST(SUM(pb.n_docs) OVER wc AS BIGINT) AS docs_cum,
+         |       CAST(SUM(pb.n_tokens) OVER wc AS BIGINT) AS tokens_cum,
+         |       CAST(SUM(COALESCE(fs.new_types, 0)) OVER wc AS BIGINT)
+         |         AS vocab_cum
+         |FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
+         |WINDOW wc AS (ORDER BY pb.bucket
+         |              ROWS UNBOUNDED PRECEDING)
+         |ORDER BY pb.bucket""".stripMargin,
     "text_pii_redact" ->
       s"""WITH a AS (
          |  SELECT doc_id, concat(text, CASE CAST(doc_id % 4 AS INT)

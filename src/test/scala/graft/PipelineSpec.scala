@@ -192,4 +192,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ok.getDouble(1) == 2.0)
     assert(!ok.getDouble(3).isNaN && !ok.getDouble(4).isNaN)
   }
+
+  test("vocab growth: cumulative curve reconciles with corpus totals") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("doc_id", "split(text, ' ') as t")
+      .as[(Long, Seq[String])].collect()
+    val rows = graft.operators.TextAnalysis.vocabGrowth(spark, TestSpark.Sf)
+      .select("bucket", "n_docs", "n_tokens", "new_types",
+        "docs_cum", "tokens_cum", "vocab_cum")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // per-bucket columns sum to the independent corpus totals
+    assert(rows.map(_._2).sum == docs.length)
+    assert(rows.map(_._3).sum == docs.map(_._2.size.toLong).sum)
+    assert(rows.map(_._4).sum == docs.flatMap(_._2).distinct.size.toLong)
+    // cumulative columns are running sums of the per-bucket columns
+    var (dc, tc, vc) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      dc += r._2; tc += r._3; vc += r._4
+      assert((r._5, r._6, r._7) == ((dc, tc, vc)), s"bucket ${r._1} cumsum")
+    }
+    // the final point is the whole corpus
+    assert(rows.last._7 == docs.flatMap(_._2).distinct.size.toLong)
+  }
 }

@@ -42,6 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_doc_keywords"       -> (1, "scalar attach: corpus doc count"),
     "text_lm_bits"            -> (1, "scalar attach: vocab-size row"),
     "text_tfidf_counts"       -> (1, "scalar attach: corpus doc count"),
+    "text_vocab_growth"       -> (2, "scalar attach: id-range row (x2 branches)"),
     "text_top_terms"          -> (1, "scalar attach: corpus token total"),
     "x_gap_fill_locf"         -> (1, "scalar attach: calendar bounds row"),
     "x_range_join_bands"      -> (1, "deliberate: corpus x fixed band table"))
