@@ -197,6 +197,100 @@ object Curation extends QueryPack {
       (col("rank").cast("double") / Fp.toDouble).as("rank"))
   }
 
+  /** `cur_triangles`: triangle census of the part co-purchase graph —
+    * node/edge/wedge/triangle counts and the global clustering
+    * coefficient 3T/W, the structural summary that distinguishes
+    * genuinely clustered co-occurrence (communities) from hub-dominated
+    * star shapes at one glance.
+    *
+    * Algorithm is the degree-oriented "compact-forward" enumeration —
+    * the distributed-triangle-counting standard: orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher, so each triangle is emitted exactly once (at its
+    * lowest-degree vertex) and, decisively for 100 TB, the out-degree
+    * of every node is O(√E) — the wedge self-join that a naive
+    * id-ordered enumeration lets explode on hub nodes (a part in k
+    * orders would wedge k² ways) stays bounded regardless of skew.
+    * Three equi-join shuffles total: wedges on src, closure on the
+    * oriented (src, dst) key, plus the edge-distinct. The oracle uses
+    * the naive id-ordered SQL form — same count, fixture-sized. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct()
+    val e = items.select(col("ok"), col("pid").as("u"))
+      .join(items.select(col("ok"), col("pid").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    trianglesOf(e)
+  }
+
+  /** Core census over a simple undirected edge list (u < v, distinct). */
+  private[graft] def trianglesOf(e0: DataFrame): DataFrame = {
+    val e = e0.localCheckpoint()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = smaller endpoint in that order
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+           (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+           (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst"),
+      greatest(col("du"), col("dv")).as("ddeg"))
+      .localCheckpoint()
+    // wedges at the low vertex: pairs of out-neighbors, ordered by
+    // (deg, id) so the closing edge is oriented v -> w by construction.
+    // EXPLICIT partition count on the self-join inputs: the edge table
+    // is small (~30 MB at sf0.1) so AQE would coalesce the exchange to
+    // ~1 post-shuffle partition — but the join OUTPUT is ~34x its
+    // input, and the wedge generation would run serial on one task
+    // (the pageRank re-spread lesson; AQE sizes by input, not output)
+    val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
+    val x = oriented.repartition(nPart, col("src"))
+      .select(col("src"), col("dst").as("v"), col("ddeg").as("vd"))
+    // broadcast the probe side too (it IS the broadcast-sized edge
+    // table): a hash multi-match per x row beats the sort-merge
+    // alternative, whose duplicate-key group buffering pays per EMITTED
+    // wedge row, not per input row
+    val y = oriented
+      .select(col("src"), col("dst").as("w"), col("ddeg").as("wd"))
+    val wedges = x.join(broadcast(y), Seq("src"))
+      .filter(col("vd") < col("wd") ||
+        (col("vd") === col("wd") && col("v") < col("w")))
+      .selectExpr("shiftleft(v, 32) | w as pk")
+    // close wedges against a BROADCAST edge set: wedges outnumber edges
+    // ~(avg oriented out-degree)× by construction (34× measured at
+    // sf0.1: 41M wedges vs 1.2M edges), so shuffling them for a
+    // partitioned semi join is the wrong side — broadcast keeps wedge
+    // enumeration, membership test, and count partials all map-side.
+    // The (src, dst) pair is packed into ONE long so the broadcast
+    // builds Spark's LongHashedRelation (dense long-keyed map) instead
+    // of a generic row map — the whole chain (partitioned SMJ semi →
+    // broadcast BHJs + packed key + explicit re-spread) measured
+    // 35 s → ~6 s warm at sf0.1, with the remaining cost split between
+    // the edge-build distinct and the 41M-row wedge stream (ProfTri).
+    // Node ids must fit 32 bits —
+    // true of any catalog-keyed graph; a wider id space would pack into
+    // two longs. On a graph whose EDGE set outgrows executor memory,
+    // drop the hint: same plan, one wedge shuffle.
+    val nTri = wedges.join(
+        broadcast(oriented.selectExpr("shiftleft(src, 32) | dst as pk")),
+        Seq("pk"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sums = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    sums.crossJoin(nE).crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        ((col("n_triangles") * 3).cast("double") /
+          col("n_wedges").cast("double")).as("global_cc"))
+  }
+
   /** Canonical-document selection — keep-BEST instead of keep-first:
     * per near-dup component, the highest-quality member (distinct_ratio
     * desc, doc_id tie-break) among those passing the quality gate.
@@ -406,6 +500,7 @@ object Curation extends QueryPack {
     "cur_corpus"     -> curatedCorpus,
     "cur_canonical"  -> canonicalDocs,
     "cur_pagerank"   -> pageRank,
+    "cur_triangles"  -> triangles,
     "cur_pack_sequences" -> packSequences,
     "cur_hash_split" -> hashSplit,
     "cur_funnel"     -> funnel,
@@ -433,6 +528,26 @@ object Curation extends QueryPack {
        |        UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pid AS u, b.pid AS v
+        |      FROM it a JOIN it b ON a.ok = b.ok AND a.pid < b.pid),
+        |d AS (SELECT id, COUNT(*) AS deg FROM (
+        |        SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |      GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_tri
+        |      FROM e e1
+        |      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+        |         AS n_wedges,
+        |       (SELECT n_tri FROM t) AS n_triangles,
+        |       CAST(3 * (SELECT n_tri FROM t) AS DOUBLE) /
+        |         CAST((SELECT SUM(deg * (deg - 1) // 2) FROM d) AS DOUBLE)
+        |         AS global_cc""".stripMargin,
     "cur_funnel" ->
       s"""$edgesSql,
          |walk(doc_id, target) AS (

@@ -171,6 +171,39 @@ class CurationSpec extends AnyFunSuite {
     assert(sorted.map(_._2).sameElements(sorted.map(_._2).sorted))
   }
 
+  test("triangle census: known graphs exact, fixture matches brute force") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]) =
+      graft.operators.Curation.trianglesOf(edges.toDF("u", "v"))
+        .as[(Long, Long, Long, Long, Double)].collect().head
+    // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, cc = 1
+    val k4 = census(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+    assert(k4 == ((4L, 6L, 12L, 4L, 1.0)))
+    // C4 (square): 4 wedges, no triangles
+    val c4 = census(Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L)))
+    assert(c4 == ((4L, 4L, 4L, 0L, 0.0)))
+    // triangle + pendant tail: hub degree 3 -> 3 wedges + 2 = 5, 1 triangle
+    val tail = census(Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L)))
+    assert(tail._4 == 1L && tail._3 == 5L)
+    // fixture: brute-force recomputation over the co-purchase edge set
+    val items: Vector[(Long, Long)] =
+      graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+        .select("l_orderkey", "l_partkey")
+        .as[(Long, Long)].collect().toVector.distinct
+    val adj: Set[(Long, Long)] = items.groupBy(_._1).valuesIterator
+      .flatMap { g =>
+        for { a <- g; b <- g if a._2 < b._2 } yield (a._2, b._2)
+      }.toSet
+    val nbrs = adj.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val bruteTri = adj.toSeq.map { case (u, v) =>
+      (nbrs.getOrElse(u, Set.empty) & nbrs.getOrElse(v, Set.empty)).size.toLong
+    }.sum
+    val got = graft.operators.Curation.triangles(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._2 == adj.size.toLong, "edge count")
+    assert(got._4 == bruteTri, s"triangles got ${got._4} want $bruteTri")
+  }
+
   test("incremental dedup: matches cross the split and respect the threshold") {
     def bucket(id: Long) = (id * 2654435761L) % 4294967296L % 100
     val rows = graft.operators.Dedup.incremental(spark, TestSpark.Sf)
