@@ -291,6 +291,72 @@ object Curation extends QueryPack {
           col("n_wedges").cast("double")).as("global_cc"))
   }
 
+  private val AssocMinSupport = 2
+  private val AssocTopK = 100
+
+  /** `cur_assoc_rules`: market-basket association rules over the order
+    * baskets — the top-[[AssocTopK]] directional rules (antecedent →
+    * consequent) by lift, with support / confidence / lift, at pair
+    * support ≥ [[AssocMinSupport]]. The classic co-occurrence-mining
+    * workload (a-priori's 2-itemset tier, which in practice is the tier
+    * retail and recommender pipelines actually serve).
+    *
+    * Scale shape: basket distinct → per-order self-join (the same
+    * co-purchase pair stream the triangle census and pageRank read) →
+    * one map-side-combined pair aggregate; item supports are a
+    * catalog-sized table attached by broadcast; the min-support filter
+    * lands BEFORE the join fan-out of the rule expansion, and the
+    * final ordering is a TakeOrdered top-k, never a global sort. All
+    * measures derive from exact integer counts; lift's single double
+    * division is engine-identical (products stay < 2^53).
+    *
+    * Determinism: ordering is (lift desc, antecedent, consequent) —
+    * unique because the id pair is unique per direction. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct())
+
+  /** Core rule mining over a distinct (ok, pid) basket-membership df. */
+  private[graft] def assocRulesOf(items0: DataFrame): DataFrame = {
+    // four consumers (order count, supports, both self-join sides):
+    // materialize the basket distinct once
+    val items = items0.localCheckpoint()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val sup = items.groupBy(col("pid")).agg(count(lit(1)).as("sup"))
+    // explicit re-spread on the self-join inputs: the basket table is
+    // ~10 MB at sf0.1 so AQE would coalesce the join to ~1 task while
+    // the pair fan-out is ~2.4x the input (the triangle-census lesson)
+    val nPart = items.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = items.repartition(nPart, col("ok"))
+      .select(col("ok"), col("pid").as("a"))
+      .join(items.repartition(nPart, col("ok"))
+        .select(col("ok"), col("pid").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_sup"))
+      .filter(col("pair_sup") >= AssocMinSupport)
+    // both rule directions from the one undirected pair row
+    val rules = pairs.select(
+        explode(array(
+          struct(col("a").as("antecedent"), col("b").as("consequent"),
+            col("pair_sup")),
+          struct(col("b").as("antecedent"), col("a").as("consequent"),
+            col("pair_sup")))).as("r"))
+      .select(col("r.antecedent"), col("r.consequent"), col("r.pair_sup"))
+      .join(broadcast(sup.select(col("pid").as("antecedent"),
+        col("sup").as("sup_a"))), "antecedent")
+      .join(broadcast(sup.select(col("pid").as("consequent"),
+        col("sup").as("sup_c"))), "consequent")
+      .crossJoin(broadcast(nOrders))
+    rules.select(col("antecedent"), col("consequent"), col("pair_sup"),
+        col("sup_a"), col("sup_c"), col("n_orders"),
+        (col("pair_sup").cast("double") / col("sup_a")).as("confidence"),
+        ((col("pair_sup") * col("n_orders")).cast("double") /
+          (col("sup_a") * col("sup_c")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(AssocTopK)
+  }
+
   /** Canonical-document selection — keep-BEST instead of keep-first:
     * per near-dup component, the highest-quality member (distinct_ratio
     * desc, doc_id tie-break) among those passing the quality gate.
@@ -501,6 +567,7 @@ object Curation extends QueryPack {
     "cur_canonical"  -> canonicalDocs,
     "cur_pagerank"   -> pageRank,
     "cur_triangles"  -> triangles,
+    "cur_assoc_rules" -> assocRules,
     "cur_pack_sequences" -> packSequences,
     "cur_hash_split" -> hashSplit,
     "cur_funnel"     -> funnel,
@@ -528,6 +595,28 @@ object Curation extends QueryPack {
        |        UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_assoc_rules" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid
+        |            FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM it),
+        |s AS (SELECT pid, COUNT(*) AS sup FROM it GROUP BY 1),
+        |p AS (SELECT a.pid AS a, b.pid AS b, COUNT(*) AS pair_sup
+        |      FROM it a JOIN it b ON a.ok = b.ok AND a.pid < b.pid
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= $AssocMinSupport),
+        |r AS (SELECT a AS antecedent, b AS consequent, pair_sup FROM p
+        |      UNION ALL
+        |      SELECT b, a, pair_sup FROM p)
+        |SELECT r.antecedent, r.consequent, r.pair_sup,
+        |       sa.sup AS sup_a, sc.sup AS sup_c, n.n_orders,
+        |       CAST(r.pair_sup AS DOUBLE) / sa.sup AS confidence,
+        |       CAST(r.pair_sup * n.n_orders AS DOUBLE) /
+        |         CAST(sa.sup * sc.sup AS DOUBLE) AS lift
+        |FROM r
+        |JOIN s sa ON sa.pid = r.antecedent
+        |JOIN s sc ON sc.pid = r.consequent
+        |CROSS JOIN n
+        |ORDER BY lift DESC, r.antecedent, r.consequent
+        |LIMIT $AssocTopK""".stripMargin,
     "cur_triangles" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid
         |            FROM lineitem),

@@ -204,6 +204,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got._4 == bruteTri, s"triangles got ${got._4} want $bruteTri")
   }
 
+  test("association rules: hand-computed support/confidence/lift, both directions") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L), (4L, 4L),
+      (5L, 1L)).toDF("ok", "pid")
+    val rules = graft.operators.Curation.assocRulesOf(items)
+      .select("antecedent", "consequent", "pair_sup", "sup_a", "sup_c",
+        "n_orders", "confidence", "lift")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // only the (1,2) pair reaches support 2; both directions emitted
+    assert(rules.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (2L, 1L)))
+    val r12 = rules.find(r => (r._1, r._2) == ((1L, 2L))).get
+    assert(r12 == ((1L, 2L, 3L, 4L, 3L, 5L, 0.75, 1.25)))
+    val r21 = rules.find(r => (r._1, r._2) == ((2L, 1L))).get
+    assert(r21 == ((2L, 1L, 3L, 3L, 4L, 5L, 1.0, 1.25)))
+    // fixture run: confidence bounded by 1, lift positive, ordered by lift
+    val fx = graft.operators.Curation.assocRules(spark, TestSpark.Sf)
+      .select("confidence", "lift").as[(Double, Double)].collect()
+    assert(fx.nonEmpty)
+    assert(fx.forall { case (c, l) => c > 0 && c <= 1.0 && l > 0 })
+    assert(fx.map(_._2).toSeq == fx.map(_._2).sortBy(-(_: Double)).toSeq)
+  }
+
   test("incremental dedup: matches cross the split and respect the threshold") {
     def bucket(id: Long) = (id * 2654435761L) % 4294967296L % 100
     val rows = graft.operators.Dedup.incremental(spark, TestSpark.Sf)
