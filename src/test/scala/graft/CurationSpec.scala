@@ -231,6 +231,43 @@ class CurationSpec extends AnyFunSuite {
     assert(fx.map(_._2).toSeq == fx.map(_._2).sortBy(-(_: Double)).toSeq)
   }
 
+  test("k-core: hand graphs exact, fixture equals an independent sequential peel") {
+    import spark.implicits._
+    // K6 clique + pendant tail: k = 0.6 x median degree = 3; the tail
+    // (degree 1) peels away, the clique survives intact
+    val k6 = (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)) :+ ((6L, 7L))
+    val gotK6 = graft.operators.Curation.kcoreOf(k6.toDF("u", "v"))
+      .select("id", "core_deg", "k").as[(Long, Long, Long)].collect()
+    assert(gotK6.map(_._1).toSet == (1L to 6L).toSet, s"clique must survive: ${gotK6.toSeq}")
+    assert(gotK6.forall(_._2 == 5L), "within-core degree is the clique degree")
+    // fixture: exact equality with a sequential peel at the same k
+    val items: Vector[(Long, Long)] =
+      graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+        .select("l_orderkey", "l_partkey")
+        .as[(Long, Long)].collect().toVector.distinct
+    val adj0: Map[Long, Set[Long]] = items.groupBy(_._1).valuesIterator
+      .flatMap { g =>
+        for { a <- g; b <- g if a._2 != b._2 } yield (a._2, b._2)
+      }.toVector.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val got = graft.operators.Curation.kcore(spark, TestSpark.Sf)
+      .select("id", "core_deg", "k").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty, "fixture core must be nonempty")
+    val k = got.head._3
+    // sequential peel
+    var adj = adj0
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (u, ns) if ns.size < k => u }.toSet
+      changed = drop.nonEmpty
+      if (changed)
+        adj = (adj -- drop).map { case (u, ns) => u -> (ns -- drop) }
+          .filter(_._2.nonEmpty)
+    }
+    val want = adj.map { case (u, ns) => u -> ns.size.toLong }
+    assert(got.map(r => r._1 -> r._2).toMap == want,
+      s"spark core size ${got.length} vs sequential ${want.size}")
+  }
+
   test("incremental dedup: matches cross the split and respect the threshold") {
     def bucket(id: Long) = (id * 2654435761L) % 4294967296L % 100
     val rows = graft.operators.Dedup.incremental(spark, TestSpark.Sf)
