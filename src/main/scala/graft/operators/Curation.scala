@@ -569,6 +569,33 @@ object Curation extends QueryPack {
       .orderBy(col("stage"))
   }
 
+  /** Sample size per stratum for [[sampleBottomK]]. */
+  val SampleK = 16
+
+  /** `cur_sample_bottomk`: deterministic fixed-size sample — the k
+    * docs with the smallest salted-md5 priority per language stratum —
+    * via the bounded-state [[graft.functions.BottomKAgg]] sketch. The
+    * textbook formulation (`row_number() OVER (PARTITION BY lang ORDER
+    * BY priority) <= k`, which the DuckDB oracle runs) shuffles and
+    * SORTS every stratum in full — the classic skew trap when one
+    * language is 40% of a 100 TB corpus. The sketch replaces it with
+    * one ordinary aggregate: per-task state is k (key, id) pairs per
+    * stratum regardless of stratum size, partials merge map-side, and
+    * only #langs × k longs ever cross the wire. Priorities are a
+    * salted md5 prefix (15 hex chars = 60 bits, numeric in Spark /
+    * lexicographic hex in DuckDB — same order), doc_id tie-broken, so
+    * membership is engine-independent and re-runnable. */
+  def sampleBottomK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("lang", "doc_id",
+        """cast(conv(substr(md5(cast(concat('samp', cast(doc_id as string)) as binary)),
+          |  1, 15), 16, 10) as bigint) as pk""".stripMargin)
+      .groupBy(col("lang"))
+      .agg(graft.functions.BottomKAgg.bottomK(col("pk"), col("doc_id"), SampleK).as("ids"))
+      .select(col("lang"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"), col("doc_id"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   /** Corpus composition report — the training-mix table: documents,
     * tokens, and token share per (lang, source). The share is one IEEE
     * division of exact integer sums; the full-result window runs over
@@ -656,7 +683,8 @@ object Curation extends QueryPack {
     "cur_funnel"     -> funnel,
     "cur_token_mix"  -> tokenMix,
     "cur_chunk_windows" -> chunkWindows,
-    "cur_alpha_mix"  -> alphaMix)
+    "cur_alpha_mix"  -> alphaMix,
+    "cur_sample_bottomk" -> sampleBottomK)
 
   /** Components oracle: DuckDB recursive CTE computing min reachable id
     * over the same near-dup edges (same jaccard threshold/shingles). */
@@ -678,6 +706,18 @@ object Curation extends QueryPack {
        |        UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_sample_bottomk" ->
+      s"""WITH keyed AS (
+        |  SELECT lang, doc_id,
+        |         substr(md5(concat('samp', CAST(doc_id AS VARCHAR))), 1, 15) AS pk
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |                                ORDER BY pk, doc_id) AS sample_rank
+        |      FROM keyed)
+        |SELECT lang, sample_rank, doc_id FROM r
+        |WHERE sample_rank <= $SampleK
+        |ORDER BY lang, sample_rank""".stripMargin,
     "cur_assoc_rules" ->
       s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid
         |            FROM lineitem),

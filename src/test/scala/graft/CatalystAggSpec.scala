@@ -194,6 +194,38 @@ class CatalystAggSpec extends AnyFunSuite {
     assert(merged == got)
   }
 
+  test("BottomKAgg equals the window row_number formulation") {
+    import graft.functions.BottomKAgg
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 500L).map(i => (i % 3, i * 2654435761L, i))
+    val df = rows.toDF("g", "k", "id")
+    val sketch = df.repartition(11).groupBy($"g")
+      .agg(BottomKAgg.bottomK($"k", $"id", 7).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val w = Window.partitionBy($"g").orderBy($"k", $"id")
+    val window = df.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 7).groupBy($"g")
+      .agg(sort_array(collect_list(struct($"rk", $"id"))).as("s"))
+      .select($"g", expr("transform(s, x -> x.id)").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sketch == window, s"sketch=$sketch window=$window")
+  }
+
+  test("BottomKAgg: duplicate pairs once, short groups, merge-invariant") {
+    import graft.functions.BottomKAgg
+    // group a: dup (key,id) pair + a null key; group b: 2 rows under k
+    val rows = Seq(
+      ("a", Some(5L), 100L), ("a", Some(5L), 100L), ("a", Some(1L), 200L),
+      ("a", None, 999L), ("a", Some(3L), 50L),
+      ("b", Some(9L), 1L), ("b", Some(2L), 2L))
+    val run = (parts: Int) => rows.toDF("g", "k", "id").repartition(parts)
+      .groupBy($"g").agg(BottomKAgg.bottomK($"k", $"id", 3).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    val one = run(1)
+    assert(one == Map("a" -> Seq(200L, 50L, 100L), "b" -> Seq(2L, 1L)), one.toString)
+    assert(run(9) == one)
+  }
+
   test("MinHashAgg estimates Jaccard (sketch property, loose bound)") {
     // two sets with true overlap 50/150 ≈ 0.33 under 64 hashes
     val a = (1L to 100L).map(h => (0L, h))
