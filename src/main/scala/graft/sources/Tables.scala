@@ -29,13 +29,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
-  /** `events.ts` is physical TIMESTAMP(NANOS), which Spark 4's vectorized
-    * reader refuses; read it as raw nanos (legacy conf) and rebuild a
-    * µs-precision TimestampType column (fixture nanos are always 0). */
+  /** `events.ts` has shipped as two physical types across fixture
+    * generations: TIMESTAMP(NANOS) — which Spark 4's vectorized reader
+    * refuses, so it is read as raw nanos (legacy conf) and rebuilt —
+    * and plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives
+    * as TIMESTAMP_NTZ. Both are normalized to the µs-precision
+    * session-TZ `TimestampType` every downstream window/`unix_micros`
+    * consumer (and the UTC-pinned DuckDB oracle) expects; the branch is
+    * on the READ schema, so either fixture generation loads
+    * identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = read(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => expr("cast(ts as timestamp)")
+    }
+    raw.withColumn("ts", ts)
   }
   /** The fixture parquet files are a single row group each, so Spark
     * schedules ONE scan task no matter the core count — and the corpus

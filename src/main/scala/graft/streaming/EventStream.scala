@@ -48,9 +48,14 @@ object EventStream {
     * new micro-batches — the production shape). */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw: StructType = spark.read.parquet(eventsDir).schema // nanos-as-long shape
-    spark.readStream.schema(raw).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw: StructType = spark.read.parquet(eventsDir).schema
+    // same two-generation ts normalization as Tables.events: raw int64
+    // nanos (legacy TIMESTAMP(NANOS) fixtures) vs TIMESTAMP_NTZ µs
+    val ts =
+      if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else expr("cast(ts as timestamp)")
+    spark.readStream.schema(raw).parquet(eventsDir).withColumn("ts", ts)
   }
 
   /** Streaming 6-hour tumbling windows per event type with a 1-day
