@@ -447,6 +447,76 @@ object Events extends QueryPack {
 
   private val UniqCap = 25
 
+  /** ClickHouse `uniqTheta`-style distinct-set ALGEBRA across event
+    * types via KMV (k-minimum-values) sketches: per type keep the
+    * [[KmvK]] smallest `xxhash64(user_id)` values ([[graft.functions
+    * .BottomKAgg]] with key = payload — bounded state, ≤ k longs per
+    * group regardless of user cardinality), then derive per-pair
+    * distinct counts, union and overlap from the sketches ALONE. The
+    * union sketch is the k smallest of the merged arrays; the overlap
+    * counts union-sketch members present in both sides (the
+    * DataSketches intersection estimator c/k · n̂_∪). Sizing policy is
+    * [[uniqUpTo]]'s exact-below-cap contract: while a sketch holds
+    * fewer than k values it IS the distinct hash set, every figure is
+    * exact, and the query oracle-pairs against plain COUNT(DISTINCT)
+    * set algebra (fixtures: ≤ 1,500 users/type and ≤ 3,000 per union
+    * vs k = 4,096); past the cap the SAME plan degrades to the
+    * ±1/√k KMV estimator with no shape change (estimator branch
+    * exercised by EventsTextSpec on an above-cap synthetic corpus).
+    *
+    * The 100 TB point: set intersection does not distribute over
+    * partial aggregation — exact pairwise overlap of 10^9-user types
+    * needs a user_id-keyed shuffle of every (type, user) pair, while
+    * the sketch answer crosses the wire in 5 × 32 KB. The final
+    * type-pair frame is 5×5 rows, so its BroadcastNestedLoopJoin is a
+    * bounded product over sketch rows, never events (allowlisted in
+    * PlanAuditSpec). */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapOf(
+      Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+      KmvK)
+
+  private val KmvK = 4096
+
+  /** Dataset seam for [[kmvOverlap]]: `typedUsers` is (event_type,
+    * user_id); `k` the sketch capacity (tests shrink it to force the
+    * estimator branch). */
+  private[graft] def kmvOverlapOf(typedUsers: DataFrame, k: Int): DataFrame = {
+    import graft.functions.BottomKAgg
+    val sk = typedUsers
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(BottomKAgg.bottomK(col("h"), col("h"), k).as("sk"))
+    // KMV cardinality estimate from a FULL sketch: θ = k-th smallest
+    // hash; n̂ = (k-1) / rank(θ) with rank normalized over the unsigned
+    // 64-bit space. Double math — only ever evaluated above the cap,
+    // where answers are estimates by definition.
+    def estimate(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(s) < k, size(s).cast("long")).otherwise(
+        floor(lit((k - 1).toDouble * 1.8446744073709552e19) /
+          (element_at(s, k).cast("double") + lit(9.223372036854775808e18)))
+          .cast("long"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("c",
+        size(array_intersect(array_intersect(col("u"), col("sk_a")),
+          col("sk_b"))))
+      .select(col("type_a"), col("type_b"),
+        estimate(col("sk_a")).as("users_a"),
+        estimate(col("sk_b")).as("users_b"),
+        estimate(col("u")).as("n_union"),
+        when(size(col("u")) < k, col("c").cast("long"))
+          .otherwise(floor(col("c").cast("double") *
+            (lit((k - 1).toDouble * 1.8446744073709552e19) /
+              (element_at(col("u"), k).cast("double") +
+                lit(9.223372036854775808e18))) / k).cast("long"))
+          .as("n_overlap"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Conversion-latency distribution: per user, the gap between first
     * view and first subsequent purchase; reported as per-hour-bucket
     * counts plus exact quartiles (the product metric behind "how long
@@ -536,6 +606,7 @@ object Events extends QueryPack {
     "ev_histogram"    -> valueHistogram,
     "ev_conversion_latency" -> conversionLatency,
     "ev_uniq_upto"    -> uniqUpTo,
+    "ev_kmv_overlap"  -> kmvOverlap,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -720,6 +791,21 @@ object Events extends QueryPack {
         |       event_type,
         |       LEAST(COUNT(DISTINCT user_id), 26) AS uniq_upto
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_kmv_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1),
+        |ov AS (SELECT sa.event_type AS ta, sb.event_type AS tb,
+        |              COUNT(*) AS n_ov
+        |       FROM s sa JOIN s sb
+        |         ON sa.user_id = sb.user_id AND sa.event_type < sb.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |       ca.n AS users_a, cb.n AS users_b,
+        |       ca.n + cb.n - COALESCE(n_ov, 0) AS n_union,
+        |       COALESCE(n_ov, 0) AS n_overlap
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN ov ON ta = ca.event_type AND tb = cb.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "ev_cohort_matrix" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)

@@ -233,4 +233,42 @@ class EventsTextSpec extends AnyFunSuite {
       .select("user_id").as[Long].collect().toSeq
     assert(got == Seq(1L), s"expected only user 1, got $got")
   }
+
+  test("kmvOverlap: exact below cap, equal to direct set algebra, partition-invariant") {
+    val tu = Seq.tabulate(5000)(i => (s"t${i % 3}", (i % 700).toLong))
+      .toDF("event_type", "user_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.kmvOverlapOf(df, 4096)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val kmv = run(tu)
+    assert(kmv.length == 3) // 3 types -> 3 unordered pairs
+    val sets = (0 until 3).map(t => s"t$t" ->
+      (0 until 5000).filter(_ % 3 == t).map(i => (i % 700).toLong).toSet).toMap
+    kmv.foreach { case (a, b, na, nb, nu, nov) =>
+      assert(na == sets(a).size && nb == sets(b).size, s"sizes $a/$b")
+      assert(nu == (sets(a) | sets(b)).size, s"union $a/$b")
+      assert(nov == (sets(a) & sets(b)).size, s"overlap $a/$b")
+    }
+    assert(run(tu.repartition(13)) == kmv, "partition-count dependence")
+  }
+
+  test("kmvOverlap: above the cap the estimator lands within KMV error bounds") {
+    val n = 20000
+    // two types sharing exactly half their users: |a|=|b|=n, |a∪b|=1.5n
+    val tu = ((0 until n).map(i => ("a", i.toLong)) ++
+      (0 until n).map(i => ("b", (i + n / 2).toLong)))
+      .toDF("event_type", "user_id")
+    val k = 256
+    val Array((_, _, na, nb, nu, nov)) = Events.kmvOverlapOf(tu, k)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // KMV rsd = 1/sqrt(k-2) ≈ 6.3%; 5σ bound (deterministic hash — the
+    // draw is fixed, the bound just documents the estimator's regime)
+    val tol = 5.0 / math.sqrt(k - 2.0)
+    assert(math.abs(na - n) <= n * tol, s"users_a $na vs $n")
+    assert(math.abs(nb - n) <= n * tol, s"users_b $nb vs $n")
+    assert(math.abs(nu - 1.5 * n) <= 1.5 * n * tol, s"union $nu vs ${1.5 * n}")
+    // the intersection estimator compounds binomial c-noise with the
+    // union estimate; allow the combined band
+    assert(math.abs(nov - n / 2) <= n / 2 * 6 * tol, s"overlap $nov vs ${n / 2}")
+  }
 }

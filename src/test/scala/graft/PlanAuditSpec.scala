@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "cur_triangles"           -> (2, "scalar attach: census rows (x2)"),
     "dedup_cosine_pairs"      -> (1, "scalar attach: corpus-size row for the df cap"),
     "ev_hll_daily"            -> (1, "scalar attach: horizon row"),
+    "ev_kmv_overlap"          -> (1, "bounded: 5x5 type-pair sketch frame"),
     "ev_rfm"                  -> (1, "scalar attach: horizon day"),
     "rel_above_avg"           -> (1, "scalar attach: global average"),
     "rel_idle_customers"      -> (1, "scalar attach: global balance threshold"),
