@@ -426,7 +426,95 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
         col("redacted"))
 
+  /** BPE (byte-pair-encoding) merge-table TRAINER — the learning half
+    * of the tokenizer every LLM corpus pipeline ships, as a distributed
+    * job: greedily, `rounds` times, find the adjacent symbol pair with
+    * the highest corpus frequency and fuse it into a new symbol. Output
+    * is the ranked merge table (rank, left, right, merged, pair_count),
+    * the artifact a tokenizer loads.
+    *
+    * Shape (the production trainer's — mirrors HF `tokenizers`): the
+    * CORPUS is scanned exactly once, into a (word, freq) vocab table;
+    * every iteration then runs over the VOCAB only, which Heaps' law
+    * keeps ~√corpus-sized. Per round: adjacent-pair explode + one
+    * partial-aggregated count, a 1-row argmax collected as driver
+    * bookkeeping (the k-means-centroid precedent — bounded: one
+    * (pair, count) row per round), and a map-side fold that rewrites
+    * each word's symbol array (left-to-right, non-overlapping — the
+    * standard BPE application order). `localCheckpoint` truncates the
+    * per-round lineage.
+    *
+    * Pair counts weight each occurrence POSITION by word frequency
+    * (overlapping occurrences each count — "aaa" holds (a,a) twice),
+    * ties break (count desc, left asc, right asc); all integer, so the
+    * table is deterministic under any partitioning. Not SQL-expressible
+    * (iterative argmax-rewrite) → rows-only key; BpeSpec pins the full
+    * table against an independent sequential trainer. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(spark, Tables.documents(spark, dir), BpeRounds)
+
+  private val BpeRounds = 12
+
+  /** Dataset seam for [[bpeMerges]]: `docs` needs a `text` column. */
+  private[graft] def bpeMergesOf(spark: SparkSession, docs: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    // one corpus pass: word -> total occurrences
+    var vocab = docs
+      .select(explode(expr(s"filter($toks, t -> t <> '')")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(word, ''), s -> s <> '')").as("syms"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(syms[i - 1] AS l, syms[i] AS r))""".stripMargin))
+          .as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      top.headOption match {
+        case None => done = true // no adjacent pairs left anywhere
+        case Some((l, rr, cnt)) =>
+          merges += ((r + 1L, l, rr, l + rr, cnt))
+          val lC = lit(l)
+          val rC = lit(rr)
+          val init = struct(
+            array().cast("array<string>").as("out"),
+            lit(null).cast("string").as("held"))
+          // left-to-right fold: `held` is the symbol not yet flushed;
+          // (held, next) = (l, r) fuses, anything else flushes held
+          val folded = aggregate(col("syms"), init,
+            (acc, s) =>
+              when(acc("held").isNull,
+                struct(acc("out").as("out"), s.as("held")))
+              .when(acc("held") === lC && s === rC,
+                struct(array_append(acc("out"), concat(lC, rC)).as("out"),
+                  lit(null).cast("string").as("held")))
+              .otherwise(
+                struct(array_append(acc("out"), acc("held")).as("out"),
+                  s.as("held"))),
+            acc => when(acc("held").isNull, acc("out"))
+              .otherwise(array_append(acc("out"), acc("held"))))
+          vocab = vocab.select(folded.as("syms"), col("freq"))
+            .localCheckpoint()
+      }
+      r += 1
+    }
+    merges.result()
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges"    -> bpeMerges,
     "text_vocab_growth"  -> vocabGrowth,
     "text_pii_redact"    -> piiRedact,
     "text_gopher_rules"  -> gopherRules,
