@@ -513,6 +513,52 @@ object Extras extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** Bloom-filter SEMI-JOIN REDUCTION — the runtime-filter shape Spark
+    * injects for selective joins, built explicitly from the engine's
+    * own sketch expressions: aggregate the filtered dimension's keys
+    * into a Bloom filter ([[org.apache.spark.sql.catalyst.expressions
+    * .aggregate.BloomFilterAggregate]], one compact bitmap, mergeable
+    * map-side), broadcast the ONE-row bitmap, and drop fact rows whose
+    * key `might_contain` rejects BEFORE the fact side reaches the join
+    * exchange. The Bloom filter admits false positives only, and the
+    * exact equi-join still follows, so the result is IDENTICAL to the
+    * plain join — the oracle pairs against straight SQL.
+    *
+    * The 100 TB economics: when the dimension is too big to broadcast
+    * as a hash relation, the shuffle join moves the ENTIRE fact table;
+    * an 8 Mbit bitmap broadcast prunes the fact rows at the scan (here:
+    * 1/5 of customers survive the segment filter, so ~4/5 of orders
+    * never enter the exchange at ~1% false-positive cost). BloomSpec
+    * asserts the might_contain filter sits below the join and the
+    * result equals the unfiltered plan's. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloomAgg = GraftBridge.column(
+      BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("c_custkey"))),
+        Literal(1000000L), Literal(8L * 1024 * 1024), 0, 0)
+        .toAggregateExpression())
+    val bf = cust.agg(bloomAgg.as("bf"))
+    // the 1-row bitmap rides as a scalar subquery — might_contain's
+    // required shape, and exactly how InjectRuntimeFilter plants it
+    val mightContain = GraftBridge.column(
+      BloomFilterMightContain(
+        ScalarSubquery(GraftBridge.planOf(bf)),
+        GraftBridge.expression(xxhash64(col("o_custkey")))))
+    Tables.orders(spark, dir)
+      .where(mightContain)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** The same 32-term interleave for the DuckDB oracle, generated from
     * one formula so Spark and SQL cannot drift. */
   private def zorderTermsSql: String =
@@ -522,6 +568,7 @@ object Extras extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_zorder_layout"      -> zorderLayout,
+    "x_bloom_join"         -> bloomJoin,
     "x_weighted_median"    -> weightedMedian,
     "x_reachable_parts"    -> reachableParts,
     "x_salted_join"        -> saltedJoinQuery,
@@ -575,6 +622,13 @@ object Extras extends QueryPack {
         |       MIN(d) AS min_day, MAX(d) AS max_day,
         |       MIN(ck) AS min_cust, MAX(ck) AS max_cust
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_weighted_median" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_extendedprice, l_quantity,
