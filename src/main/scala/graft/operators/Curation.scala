@@ -670,7 +670,67 @@ object Curation extends QueryPack {
         expr("md5(cast(array_join(col, ' ') as binary))").as("chunk_fp"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  private val LpaRounds = 10
+
+  /** `cur_communities`: community detection on the co-purchase graph
+    * by SYNCHRONOUS label propagation (the GraphFrames/Pregel LPA
+    * shape), made fully deterministic: every node starts as its own
+    * label; each round every node adopts the most frequent label among
+    * its neighbors, ties broken toward the smallest label; fixed
+    * [[LpaRounds]] rounds (synchronous LPA can oscillate on bipartite
+    * structures — a bounded round count is the standard cap, and
+    * determinism holds regardless of convergence). Unlike
+    * [[components]] (pure reachability) LPA is density-driven: two
+    * cliques joined by one bridge edge stay separate communities
+    * because the bridge endpoint is outvoted by its own clique
+    * (CommunitySpec pins exactly that, plus full equality with an
+    * independent sequential simulation of the same rule).
+    *
+    * Scale shape: one labels frame of |V| rows, per round one
+    * edge-keyed join + one (node, label)-keyed count + one
+    * node-partitioned top-1 window — all partitioned operators, no
+    * driver data, lineage cut per round ([[components]] precedent).
+    * Output is the bounded community-size table, not per-node labels.
+    * Iterative argmax ⇒ not SQL-expressible: rows-only key, pinned by
+    * CommunitySpec. */
+  def communities(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct()
+    val e = items.select(col("ok"), col("pid").as("u"))
+      .join(items.select(col("ok"), col("pid").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    communitiesOf(e)
+  }
+
+  /** LPA over a simple undirected edge list (u < v, distinct);
+    * returns (community, n_nodes) with community = the shared label. */
+  private[graft] def communitiesOf(e0: DataFrame): DataFrame = {
+    val und = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var r = 0
+    while (r < LpaRounds) {
+      val neigh = und
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val top = Window.partitionBy(col("src"))
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      labels = neigh.withColumn("rn", row_number().over(top))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("lbl"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("community"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_communities" -> communities,
     "cur_components" -> components,
     "cur_corpus"     -> curatedCorpus,
     "cur_canonical"  -> canonicalDocs,
