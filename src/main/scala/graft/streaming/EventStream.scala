@@ -273,4 +273,20 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming EXACT dedup — the incremental twin of `dedup_exact`'s
+    * id tier: `dropDuplicatesWithinWatermark` keeps one state row per
+    * event id and EVICTS it once the watermark passes, so the dedup
+    * state is bounded by the (delay × arrival-rate) window instead of
+    * growing with the stream — the production shape for at-least-once
+    * ingestion (replayed files, retried producers) where duplicates
+    * cluster near each other in event time. Downstream the deduped
+    * stream feeds an ordinary per-type count; StreamingSpec replays
+    * the fixture TWICE into the landing zone and pins the result equal
+    * to the single-copy batch counts. */
+  def dedupedTypeCounts(spark: SparkSession, eventsDir: String): DataFrame =
+    readEvents(spark, eventsDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 }

@@ -294,4 +294,26 @@ class StreamingSpec extends AnyFunSuite {
       s"extra: ${(streamed -- batch.toSet).take(3)}")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup: a twice-replayed landing zone counts each event once") {
+    // stage the fixture TWICE — every event arrives as a duplicate
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    Seq("a", "b").foreach { tag =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.Sf}/events.parquet"),
+        d.resolve(s"events_$tag.parquet"))
+    }
+    val q = EventStream.dedupedTypeCounts(spark, d.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("dedup_out")
+      .as[(String, Long)].collect().toMap
+    val batch = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy(col("event_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch,
+      s"dedup diverged: $streamed vs $batch")
+    assert(batch.values.sum > 0)
+  }
 }
