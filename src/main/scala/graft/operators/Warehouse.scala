@@ -391,7 +391,33 @@ object Warehouse extends QueryPack {
       .select(col("s.item").as("item"), col("s.count").cast("long").as("est"))
       .orderBy(col("est").desc, col("item"))
 
+  /** ClickHouse `topKWeighted` analogue: top brands by revenue via the
+    * bounded-state weighted Misra-Gries summary
+    * ([[graft.functions.MisraGriesAgg]] — m = 64 counters per task,
+    * map-side-mergeable, never a brand-keyed shuffle of the fact
+    * table). The 25-brand domain sits far inside the counter budget,
+    * so every estimate is exact and the query oracle-pairs against
+    * plain SUM-GROUP BY (the x_approx_topk policy); the same plan over
+    * a billion-key domain degrades to the ε = 1/(m+1) frequent-items
+    * contract, which CatalystAggSpec exercises above the cap. Revenue
+    * rides as exact integer cents (DECIMAL round), so weights are
+    * hash-stable across engines. */
+  def topKWeightedBrands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("cast(round(cast(l_extendedprice as decimal(38,6)) * 100) as bigint)")
+          .as("cents"))
+    val brands = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .agg(graft.functions.MisraGriesAgg
+        .topKWeighted(col("p_brand"), col("cents"), 64, 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("brand"), col("e.est").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("brand"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_topk_weighted"      -> topKWeightedBrands,
     "x_scd2_dim"           -> scd2Dim,
     "x_referential_tests"  -> referentialTests,
     "ev_trailing_distinct" -> trailingDistinct,
@@ -573,5 +599,11 @@ object Warehouse extends QueryPack {
         |ORDER BY name_a, name_b""".stripMargin,
     "x_approx_topk" ->
       """SELECT event_type AS item, COUNT(*) AS est
-        |FROM events GROUP BY 1 ORDER BY est DESC, item""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY est DESC, item""".stripMargin,
+    "x_topk_weighted" ->
+      """SELECT p_brand AS brand,
+        |       CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(38,6)) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin)
 }

@@ -237,4 +237,40 @@ class CatalystAggSpec extends AnyFunSuite {
     val truth = 50.0 / 150.0
     assert(math.abs(est - truth) < 0.2, s"est $est vs $truth")
   }
+
+  test("MisraGriesAgg: exact below the counter budget, partition-invariant") {
+    import graft.functions.MisraGriesAgg
+    val rows = (1 to 2000).map(i => (s"item${i % 20}", (i % 7 + 1).toLong))
+    def run(parts: Int) = rows.toDF("item", "w").repartition(parts)
+      .agg(MisraGriesAgg.topKWeighted($"item", $"w", 64, 30).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.est").as[(String, Long)].collect().toSeq
+    val got = run(1)
+    val truth = rows.groupMapReduce(_._1)(_._2)(_ + _)
+    val want = truth.toSeq.sortBy { case (i, c) => (-c, i) }
+    assert(got == want, s"\ngot  $got\nwant $want")
+    assert(run(13) == got, "partition-count dependence")
+  }
+
+  test("MisraGriesAgg above the cap: never overcounts, bounded undercount, heavy hitters kept") {
+    import graft.functions.MisraGriesAgg
+    val m = 8
+    // zipf-ish: item j has weight total ~ 4000/j for j = 1..100
+    val rows = (1 to 100).flatMap(j =>
+      Seq.tabulate(40)(t => (s"i$j", (100L / j) + (t % 3))))
+    val truth = rows.groupMapReduce(_._1)(_._2)(_ + _)
+    val w = truth.values.sum
+    val got = rows.toDF("item", "w").repartition(7)
+      .agg(MisraGriesAgg.topKWeighted($"item", $"w", m, m).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.est").as[(String, Long)].collect().toMap
+    val eps = w / (m + 1)
+    got.foreach { case (i, est) =>
+      assert(est <= truth(i), s"$i overcounted: $est > ${truth(i)}")
+      assert(est >= truth(i) - eps, s"$i undercount beyond W/(m+1): $est vs ${truth(i)}")
+    }
+    // every item with true weight > W/(m+1) must be retained
+    truth.filter(_._2 > eps).keys.foreach(i =>
+      assert(got.contains(i), s"heavy hitter $i evicted"))
+  }
 }
