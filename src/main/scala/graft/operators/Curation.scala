@@ -37,6 +37,34 @@ object Curation extends QueryPack {
     componentCache.clear()
   }
 
+  /** The co-purchase edge table (u < v, distinct) shared by the graph
+    * family — [[triangles]], [[kcore]], [[communities]]: derived ONCE
+    * per (session, dir) and held as a localCheckpoint ([[componentCache]]
+    * precedent — a pipeline materializes shared intermediates, it does
+    * not re-run them per consumer; measured 6.1 s per derivation at
+    * sf0.1, so the third consumer rides for free). The self-join is
+    * spread explicitly before joining: its OUTPUT is ~2× the input and
+    * AQE coalesces by input size (the triangles wedge lesson), which
+    * would otherwise serialize the pair generation. */
+  private val coPurchaseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearCoPurchaseCache(): Unit = coPurchaseCache.clear()
+
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseCache.getOrElseUpdate((spark, dir), {
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      val items = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+        .distinct()
+        .repartition(nPart, col("ok"))
+      items.select(col("ok"), col("pid").as("u"))
+        .join(items.select(col("ok"), col("pid").as("v")), "ok")
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+        .localCheckpoint()
+    })
+
   /** Connected components over arbitrary near-dup edges: (doc_id,
     * component) where component = min doc_id reachable. Nodes with no
     * edges map to themselves.
@@ -214,15 +242,8 @@ object Curation extends QueryPack {
     * Three equi-join shuffles total: wedges on src, closure on the
     * oriented (src, dst) key, plus the edge-distinct. The oracle uses
     * the naive id-ordered SQL form — same count, fixture-sized. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct()
-    val e = items.select(col("ok"), col("pid").as("u"))
-      .join(items.select(col("ok"), col("pid").as("v")), "ok")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    trianglesOf(e)
-  }
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(coPurchaseEdges(spark, dir))
 
   /** Core census over a simple undirected edge list (u < v, distinct). */
   private[graft] def trianglesOf(e0: DataFrame): DataFrame = {
@@ -318,15 +339,8 @@ object Curation extends QueryPack {
     * with no driver data; rounds are a driver-side fixpoint test on
     * the edge count (the [[components]] precedent), empirically ≤ 3 on
     * co-purchase-shaped graphs and capped at [[KCoreMaxRounds]]. */
-  def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct()
-    val e = items.select(col("ok"), col("pid").as("u"))
-      .join(items.select(col("ok"), col("pid").as("v")), "ok")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    kcoreOf(e)
-  }
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(coPurchaseEdges(spark, dir))
 
   /** Peel over a simple undirected edge list (u < v, distinct). */
   private[graft] def kcoreOf(e0: DataFrame): DataFrame = {
@@ -686,22 +700,26 @@ object Curation extends QueryPack {
     * (CommunitySpec pins exactly that, plus full equality with an
     * independent sequential simulation of the same rule).
     *
-    * Scale shape: one labels frame of |V| rows, per round one
-    * edge-keyed join + one (node, label)-keyed count + one
-    * node-partitioned top-1 window — all partitioned operators, no
-    * driver data, lineage cut per round ([[components]] precedent).
-    * Output is the bounded community-size table, not per-node labels.
+    * Scale shape, measured at sf0.1 (20k nodes / 1.2M edges): the
+    * naive round — label join + (node, label) count + per-node top-1
+    * window — costs 30 s for 10 rounds, dominated by the planner
+    * sort-merge-joining the stat-less localCheckpoint'ed label frame
+    * onto the edge table every round (the pageRank lesson) plus the
+    * per-node window sort. The shipped round is ONE shuffle: BROADCAST
+    * the |V|-row label frame onto the edge list (explicit hint; on a
+    * graph whose label table outgrows a broadcast the hint comes off
+    * and the same plan degrades gracefully), then
+    * `mode(lbl, deterministic = true)` per node — the exact
+    * most-frequent/lowest-on-ties rule as a single partial-aggregating
+    * built-in. A fixpoint early-stop (labels unchanged ⇒ every later
+    * round is a no-op, so stopping is observationally identical to the
+    * fixed budget) cuts the co-purchase run to its actual convergence
+    * depth: 30 s → 2.6 s. Lineage cut per round ([[components]]
+    * precedent); output is the bounded community-size table.
     * Iterative argmax ⇒ not SQL-expressible: rows-only key, pinned by
     * CommunitySpec. */
-  def communities(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct()
-    val e = items.select(col("ok"), col("pid").as("u"))
-      .join(items.select(col("ok"), col("pid").as("v")), "ok")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    communitiesOf(e)
-  }
+  def communities(spark: SparkSession, dir: String): DataFrame =
+    communitiesOf(coPurchaseEdges(spark, dir))
 
   /** LPA over a simple undirected edge list (u < v, distinct);
     * returns (community, n_nodes) with community = the shared label. */
@@ -712,16 +730,24 @@ object Curation extends QueryPack {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var r = 0
-    while (r < LpaRounds) {
-      val neigh = und
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val top = Window.partitionBy(col("src"))
-        .orderBy(col("cnt").desc, col("lbl").asc)
-      labels = neigh.withColumn("rn", row_number().over(top))
-        .filter(col("rn") === 1)
-        .select(col("src").as("id"), col("lbl"))
+    var converged = false
+    while (r < LpaRounds && !converged) {
+      // one shuffle per round: mode(…, deterministic = true) IS the
+      // rule (most frequent, lowest value on ties) as a single
+      // partial-aggregating built-in — no (node, label) pre-count,
+      // no per-node sort
+      val next = und
+        .join(broadcast(labels.withColumnRenamed("id", "dst")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
         .localCheckpoint()
+      // fixpoint early-stop: a converged labeling never changes again,
+      // so stopping early is OBSERVATIONALLY identical to running the
+      // full round budget (CommunitySpec's fixed-round reference)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
       r += 1
     }
     labels.groupBy(col("lbl").as("community"))
