@@ -459,10 +459,16 @@ object Events extends QueryPack {
     * [[uniqUpTo]]'s exact-below-cap contract: while a sketch holds
     * fewer than k values it IS the distinct hash set, every figure is
     * exact, and the query oracle-pairs against plain COUNT(DISTINCT)
-    * set algebra (fixtures: ≤ 1,500 users/type and ≤ 3,000 per union
-    * vs k = 4,096); past the cap the SAME plan degrades to the
-    * ±1/√k KMV estimator with no shape change (estimator branch
-    * exercised by EventsTextSpec on an above-cap synthetic corpus).
+    * set algebra; past the cap the SAME plan degrades to the ±1/√k
+    * KMV estimator with no shape change (estimator branch exercised
+    * by EventsTextSpec on an above-cap synthetic corpus). k = 32,768
+    * keeps every figure exact through the ×10 scaled gate (15k
+    * users/type, 30k per union) — a gate tier past that crosses into
+    * the estimator regime and this key becomes rows-only there by
+    * design, exactly as an unbounded production cardinality would.
+    * Below the cap the buffer cost stays flat: duplicate hashes are
+    * O(log k) no-op probes, and only the ≤ k true insertions pay the
+    * sorted-array shift.
     *
     * The 100 TB point: set intersection does not distribute over
     * partial aggregation — exact pairwise overlap of 10^9-user types
@@ -476,7 +482,7 @@ object Events extends QueryPack {
       Tables.events(spark, dir).select(col("event_type"), col("user_id")),
       KmvK)
 
-  private val KmvK = 4096
+  private val KmvK = 32768
 
   /** Dataset seam for [[kmvOverlap]]: `typedUsers` is (event_type,
     * user_id); `k` the sketch capacity (tests shrink it to force the

@@ -386,7 +386,38 @@ object Pipeline extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus DATASET CARD — the one-row datasheet a curated training
+    * corpus ships with ("Datasheets for Datasets"): scale (docs,
+    * tokens, chars), diversity (languages, sources, vocabulary),
+    * duplication (exact-digest groups and surplus copies), and the
+    * quality-gate keep count, in one audit artifact. Three independent
+    * single-row aggregates (corpus scan, vocab count off the token
+    * explode, digest-group scan) crossed into one row — the two
+    * no-condition joins are 1-row×1-row scalar attaches (allowlisted).
+    * All-integer output ⇒ hash-exact against the composed SQL oracle.
+    * At 100 TB each leg is one partial-aggregated pass; nothing ever
+    * sits on one task but three 1-row frames. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      expr(s"sum(cast(size($toks) as bigint))").as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val vocab = d.select(explode(expr(s"array_distinct($toks)")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab_size"))
+    val dups = d.groupBy(md5(col("text").cast("binary")).as("dg"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("dup_surplus"))
+    val kept = TextAnalysis.quality(spark, dir)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"))
+    base.join(vocab).join(dups).join(kept)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_dataset_card"      -> datasetCard,
     "text_line_dedup"       -> lineDedup,
     "text_decontaminate"    -> decontaminate,
     "text_ngram_novelty"    -> ngramNovelty,
@@ -406,6 +437,28 @@ object Pipeline extends QueryPack {
        |  i -> array_to_string(list_slice($dToks, i, i + ${n - 1}), ' '))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_dataset_card" ->
+      s"""WITH base AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len($dToks)) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |         COUNT(DISTINCT lang) AS n_langs,
+        |         COUNT(DISTINCT source) AS n_sources
+        |  FROM documents),
+        |v AS (SELECT COUNT(DISTINCT w) AS vocab_size
+        |      FROM (SELECT unnest(list_distinct($dToks)) AS w FROM documents)),
+        |dg AS (SELECT md5(text) AS g, COUNT(*) AS n FROM documents GROUP BY 1),
+        |du AS (SELECT CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS dup_groups,
+        |              CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |                AS dup_surplus
+        |       FROM dg),
+        |k AS (SELECT CAST(SUM(CASE WHEN (len($dToks) BETWEEN 20 AND 500)
+        |                    AND (CAST(len(list_distinct($dToks)) AS DOUBLE)
+        |                           / len($dToks) > 0.3)
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+        |      FROM documents)
+        |SELECT * FROM base, v, du, k""".stripMargin,
     "text_line_dedup" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
          |l0 AS (SELECT doc_id, toks,
