@@ -15,6 +15,7 @@ object ProfLpa {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("kcore")) { profKcore(spark, dir); spark.stop(); return }
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
@@ -58,5 +59,57 @@ object ProfLpa {
       labels = next
     }
     spark.stop()
+  }
+
+  /** Phase profile of the kcore peel (mirrors Curation.kcoreOf). */
+  private def profKcore(spark: SparkSession, dir: String): Unit = {
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+    }
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")).distinct()
+    val e = items.select(col("ok"), col("pid").as("u"))
+      .join(items.select(col("ok"), col("pid").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val und = t("edges") {
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint()
+    }
+    val hist = t("degree histogram") {
+      und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("deg")).collect()
+    }
+    val total = hist.map(_.getLong(1)).sum
+    var cum = 0L; var median = 0L; var i = 0; var found = false
+    while (i < hist.length && !found) {
+      cum += hist(i).getLong(1)
+      if (cum * 2L >= total) { median = hist(i).getLong(0); found = true }
+      i += 1
+    }
+    val k = median * 3L / 5L
+    println(s"median=$median k=$k")
+    var core = und
+    var nEdges = core.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      val next = t(s"round $rounds peel") {
+        val keep = core.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("id"))
+        core.join(broadcast(keep.select(col("id").as("src"))), Seq("src"), "left_semi")
+          .join(broadcast(keep.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+          .localCheckpoint()
+      }
+      val n = t(s"round $rounds count")(next.count())
+      println(s"round $rounds edges=$n")
+      converged = n == nEdges
+      nEdges = n
+      core = next
+      rounds += 1
+    }
   }
 }
