@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Pipeline}
+import graft.operators.{Curation, Dedup, Events, Pipeline, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -139,5 +139,41 @@ class EdgeCaseSpec extends AnyFunSuite {
       "isolated nodes label themselves")
     val emptyNodes = Seq.empty[Long].toDF("doc_id")
     assert(Curation.componentsOf(emptyNodes, noEdges).count() == 0)
+  }
+
+  test("LPA communities: empty graph, single edge, self-loop-free ring") {
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Curation.communitiesOf(none).count() == 0)
+    val one = Curation.communitiesOf(Seq((1L, 2L)).toDF("u", "v"))
+      .as[(Long, Long)].collect().toSeq
+    // one edge: the classic synchronous-LPA oscillation (labels swap
+    // every round, never converge) — the even round budget lands each
+    // node back on its own label, two singleton communities. The cap
+    // makes this BOUNDED, and determinism holds throughout.
+    assert(one == Seq((1L, 1L), (2L, 1L)), s"got $one")
+  }
+
+  test("kcore: empty graph and single edge complete without error") {
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Curation.kcoreOf(none).count() == 0)
+    // k = floor(median(1) * 3/5) = 0: the whole (trivial) graph survives
+    val two = Curation.kcoreOf(Seq((1L, 2L)).toDF("u", "v")).count()
+    assert(two == 2)
+  }
+
+  test("KMV overlap: empty input and single-type input yield no pairs") {
+    val none = Seq.empty[(String, Long)].toDF("event_type", "user_id")
+    assert(Events.kmvOverlapOf(none, 64).count() == 0)
+    val solo = Seq.tabulate(50)(i => ("only", i.toLong))
+      .toDF("event_type", "user_id")
+    assert(Events.kmvOverlapOf(solo, 64).count() == 0, "no unordered pairs")
+  }
+
+  test("BPE trainer: empty corpus and single-char vocab stop cleanly") {
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMergesOf(spark, none, 5).count() == 0)
+    // only 1-char words: no adjacent pairs anywhere -> zero merges
+    val chars = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMergesOf(spark, chars, 5).count() == 0)
   }
 }
