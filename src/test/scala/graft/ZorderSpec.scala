@@ -77,6 +77,23 @@ class ZorderSpec extends AnyFunSuite {
     assert(zDate > ckDate, s"z ($zDate) should beat custkey-sorted ($ckDate)")
   }
 
+  test("distributed range-partitioned writer prunes like the ntile form") {
+    val dist = Extras.zorderLayoutDistributed(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .map(t => B(t._1, t._2, t._3, t._4, t._5, t._6))
+    assert(dist.map(_.n).sum ==
+      graft.sources.Tables.orders(spark, TestSpark.Sf).count())
+    val dLo = zBuckets.map(_.minD).min
+    val dHi = zBuckets.map(_.maxD).max
+    val d0 = dLo + (dHi - dLo) / 2
+    val ntileFrac = prunedFrac(zBuckets, d0, d0 + 90, _.minD, _.maxD)
+    val distFrac = prunedFrac(dist, d0, d0 + 90, _.minD, _.maxD)
+    // sampled range boundaries vs exact ntile: same layout power
+    // (allow a 15-point band for sampling wobble)
+    assert(distFrac >= ntileFrac - 0.15,
+      s"distributed $distFrac vs ntile $ntileFrac")
+  }
+
   test("bucket counts partition the orders table") {
     val total = graft.sources.Tables.orders(spark, TestSpark.Sf).count()
     assert(zBuckets.map(_.n).sum == total)
