@@ -523,6 +523,56 @@ object Events extends QueryPack {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** A/B experiment readout — the product-analytics operator a
+    * behavioral engine ships next to funnels and retention: users are
+    * assigned to arms by a SALTED HASH (md5 first hex digit < '8' ⇒ A
+    * — deterministic, engine-independent, no RNG; the same
+    * assignment device as `cur_hash_split`), each arm's conversion is
+    * the EARLY-ACTIVATION rate — the share of users whose first
+    * purchase lands within 24 h of their first event (plain "ever
+    * purchased" is 100% on the fixtures: zero pooled variance, no
+    * experiment) — and the two-proportion pooled z-score quantifies
+    * the difference. One user-keyed aggregate, one single-row
+    * conditional aggregate; the float tail (rates, z) is a FIXED
+    * chain of IEEE ops written identically in both engines over exact
+    * integer counts (the alphaMix determinism policy — division and
+    * sqrt are correctly-rounded, so hash-exact). A degenerate pooled
+    * rate (0 or 1) yields NULL z in both engines rather than a
+    * divide-by-zero. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("first_purchase_us"))
+      .withColumn("converted",
+        when(col("first_purchase_us") <
+          col("first_us") + lit(86400000000L), 1L).otherwise(0L))
+      .withColumn("arm",
+        when(expr(
+          "substr(md5(cast(concat('ab', cast(user_id as string)) as binary)), 1, 1) < '8'"),
+          "A").otherwise("B"))
+    perUser.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("users_b"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a",
+        col("conv_a").cast("double") / col("users_a").cast("double"))
+      .withColumn("rate_b",
+        col("conv_b").cast("double") / col("users_b").cast("double"))
+      .withColumn("z",
+        when(col("conv_a") + col("conv_b") > 0 &&
+             col("conv_a") + col("conv_b") < col("users_a") + col("users_b"),
+          (col("rate_a") - col("rate_b")) /
+            sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+              (col("users_a") + col("users_b")).cast("double")) *
+              (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                (col("users_a") + col("users_b")).cast("double")) *
+              (lit(1.0) / col("users_a").cast("double") +
+                lit(1.0) / col("users_b").cast("double")))))
+  }
+
   /** Conversion-latency distribution: per user, the gap between first
     * view and first subsequent purchase; reported as per-hour-bucket
     * counts plus exact quartiles (the product metric behind "how long
@@ -613,6 +663,7 @@ object Events extends QueryPack {
     "ev_conversion_latency" -> conversionLatency,
     "ev_uniq_upto"    -> uniqUpTo,
     "ev_kmv_overlap"  -> kmvOverlap,
+    "ev_ab_test"      -> abTest,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -797,6 +848,41 @@ object Events extends QueryPack {
         |       event_type,
         |       LEAST(COUNT(DISTINCT user_id), 26) AS uniq_upto
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+        |                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |                   < MIN(epoch_us(CAST(ts AS TIMESTAMP))) + 86400000000
+        |              THEN 1 ELSE 0 END AS converted,
+        |         CASE WHEN substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 1, 1)
+        |                   < '8' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS users_a,
+        |         CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+        |           AS conv_a,
+        |         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS users_b,
+        |         CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+        |           AS conv_b
+        |  FROM pu)
+        |SELECT users_a, conv_a, users_b, conv_b,
+        |       CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) AS rate_a,
+        |       CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) AS rate_b,
+        |       CASE WHEN conv_a + conv_b > 0
+        |             AND conv_a + conv_b < users_a + users_b THEN
+        |         (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
+        |            - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE))
+        |           / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |                     / CAST(users_a + users_b AS DOUBLE))
+        |                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |                             / CAST(users_a + users_b AS DOUBLE))
+        |                  * (1.0 / CAST(users_a AS DOUBLE)
+        |                       + 1.0 / CAST(users_b AS DOUBLE)))
+        |       END AS z
+        |FROM c""".stripMargin,
     "ev_kmv_overlap" ->
       """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
         |c AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1),
