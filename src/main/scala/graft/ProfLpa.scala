@@ -10,6 +10,8 @@ object ProfLpa {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -44,20 +46,60 @@ object ProfLpa {
       und.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")).localCheckpoint()
     }
-    (1 to 10).foreach { r =>
-      val next = t(s"round $r mode+checkpoint") {
-        und.join(broadcast(labels.withColumnRenamed("id", "dst")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(mode(col("lbl"), deterministic = true).as("lbl"))
-          .localCheckpoint()
+    val nNodes = labels.count()
+    var frontier: Option[(org.apache.spark.sql.DataFrame, Long)] = None
+    var done = false
+    (1 to 10).foreach { r => if (!done) {
+      val full = frontier.forall(_._2 * 2 > nNodes)
+      val scoreEdges = t(s"round $r score-edges (full=$full)") {
+        if (full) und
+        else {
+          val (f, _) = frontier.get
+          val aff = und
+            .join(broadcast(f.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+            .select(col("src")).distinct().localCheckpoint()
+          und.join(broadcast(aff), Seq("src"), "left_semi")
+        }
       }
-      val changed = t(s"round $r fixpoint check") {
-        next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
+      val voted = scoreEdges
+        .join(broadcast(labels.withColumnRenamed("id", "dst")), "dst")
+        .repartition(32, col("src"))
+        .groupBy(col("src").as("id"))
+        .agg(mode(col("lbl"), deterministic = true).as("nlbl"))
+      if (full) {
+        val next = t(s"round $r voted ckpt") {
+          voted.select(col("id"), col("nlbl").as("lbl")).localCheckpoint()
+        }
+        val changedIds = t(s"round $r diff ckpt") {
+          next.hint("shuffle_hash")
+            .join(labels.withColumnRenamed("lbl", "olbl"), "id")
+            .filter(col("lbl") =!= col("olbl"))
+            .select(col("id")).localCheckpoint()
+        }
+        val nChanged = changedIds.count()
+        println(s"round $r changed=$nChanged")
+        labels = next
+        if (nChanged == 0) done = true
+        else frontier = Some((changedIds, nChanged))
+      } else {
+        val changed = t(s"round $r changed ckpt") {
+          voted.hint("shuffle_hash").join(labels, "id")
+            .filter(col("nlbl") =!= col("lbl"))
+            .select(col("id"), col("nlbl")).localCheckpoint()
+        }
+        val nChanged = changed.count()
+        println(s"round $r changed=$nChanged")
+        if (nChanged == 0) done = true
+        else {
+          labels = t(s"round $r labels update") {
+            labels.join(broadcast(changed), Seq("id"), "left")
+              .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+              .localCheckpoint()
+          }
+          frontier = Some((changed.select(col("id")), nChanged))
+        }
       }
-      println(s"round $r changed=$changed")
-      labels = next
-    }
+    } }
     spark.stop()
   }
 

@@ -49,7 +49,17 @@ object Curation extends QueryPack {
   private val coPurchaseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def clearCoPurchaseCache(): Unit = coPurchaseCache.clear()
+  /** Drops every cached graph intermediate ([[coPurchaseCache]] and
+    * [[multiEdgeCache]]), unpersisting the checkpointed RDDs before
+    * forgetting the handles — the [[clearComponentCache]] contract.
+    * Callers that mutate the underlying files must call this (and
+    * [[clearComponentCache]]) or graph results are silently stale. */
+  def clearCoPurchaseCache(): Unit = {
+    coPurchaseCache.values.foreach(_.unpersist())
+    coPurchaseCache.clear()
+    multiEdgeCache.values.foreach(_.unpersist())
+    multiEdgeCache.clear()
+  }
 
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     coPurchaseCache.getOrElseUpdate((spark, dir), {
@@ -145,6 +155,18 @@ object Curation extends QueryPack {
   private val PrDamping = "0.85"
   private val PrIters = 5
 
+  /** Per-round iterative-loop state (ranks, labels, survivor /
+    * frontier node sets — id-width rows, |V|-bounded) rides as a
+    * BROADCAST hash relation at or below this row count (~30 MB of
+    * longs at the cap — executor-safe) and falls back to a
+    * SHUFFLE-HASH join above it: the state then crosses the wire
+    * partitioned, never resident whole in any executor, and the
+    * stat-less checkpointed big frame still avoids the per-round
+    * sort-merge the planner would otherwise pick. The fixture graphs
+    * sit far below the gate; tests force it to 0 to pin the
+    * giant-graph path. */
+  private[graft] val StateBroadcastMaxRows = 2000000L
+
   /** PageRank over the part co-purchase graph (parts sharing an order,
     * via lineitem) — the iterative graph-analytics twin of
     * [[components]], built on the same discipline: a fixed number of
@@ -176,7 +198,8 @@ object Curation extends QueryPack {
   /** The co-purchase MULTIGRAPH (parallel edges per co-occurring
     * order) for [[pageRank]], cached per (session, dir) like
     * [[coPurchaseEdges]] — the derivation re-ran per bench rep
-    * otherwise. Multigraph on purpose: parts co-purchased in k orders
+    * otherwise; invalidated (with unpersist) by
+    * [[clearCoPurchaseCache]]. Multigraph on purpose: parts co-purchased in k orders
     * contribute k parallel edges — rank flows proportional to
     * co-occurrence strength, and skipping the edge-level distinct
     * deletes the pipeline's largest shuffle (2.4M rows at sf0.1). */
@@ -198,7 +221,8 @@ object Curation extends QueryPack {
       .select(col("id").as("p_partkey"), col("rank"))
       .orderBy(col("rank").desc, col("p_partkey"))
 
-  private[graft] def pageRankOf(edges0: DataFrame): DataFrame = {
+  private[graft] def pageRankOf(edges0: DataFrame,
+      stateBroadcastMaxRows: Long = StateBroadcastMaxRows): DataFrame = {
     val Fp = 1000000000000L // fixed point: 1.0 == 10^12
     val edges = edges0.localCheckpoint()
     val degree = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -209,22 +233,26 @@ object Curation extends QueryPack {
     val withDeg = edges.join(degree, "src")
       .repartition(col("src")).localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val nNodes = nodes.count()
+    // ranks/contribs are one (id, long) row per NODE. Below the gate
+    // they broadcast; above it they ride a SHUFFLE-HASH join — the
+    // checkpointed frames (withDeg partitioned on src, nodes on id from
+    // its distinct) keep their layout, so only the |V|-row state side
+    // exchanges per round. Either way the planner never falls into the
+    // per-round sort-merge a stat-less checkpoint would otherwise get
+    // (measured: 15 s SMJ vs 4 s hinted, warm at sf0.1).
+    def gatedState(s: DataFrame): DataFrame =
+      if (nNodes <= stateBroadcastMaxRows) broadcast(s)
+      else s.hint("shuffle_hash")
     var ranks = nodes.select(col("id"), lit(Fp).as("rank"))
     for (_ <- 1 to PrIters) {
-      // ranks is one (id, long) row per NODE — catalog-sized, broadcast.
-      // Without the hint a localCheckpoint'ed frame has no stats and the
-      // planner sort-merge-joins the full edge table EVERY round
-      // (measured: 15 s vs 4 s warm at sf0.1). At graphs whose node set
-      // outgrows broadcast, drop the hint and pre-partition edges and
-      // ranks on the same key instead — the join then reuses one
-      // exchange per side.
       val contribs = withDeg
-        .join(broadcast(ranks), col("src") === col("id"))
+        .join(gatedState(ranks), col("src") === col("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       // 0.15 + 0.85·s in pure long arithmetic: 85·s div 100 (s ≤ N·Fp —
       // headroom: 85·10¹⁶ ≈ 8.5·10¹⁷ < 2⁶³ even at 10k× the fixture)
-      ranks = nodes.join(broadcast(contribs), Seq("id"), "left")
+      ranks = nodes.join(gatedState(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit(15L * Fp / 100) +
             expr(s"85 * coalesce(s, 0L) div 100")).as("rank"))
@@ -344,10 +372,11 @@ object Curation extends QueryPack {
     * HISTOGRAM (bounded by max degree, never |V| rows — the
     * dedup_bucket_stats pattern) folded on the driver as bounded
     * bookkeeping. Each peel round is one endpoint-explode degree
-    * aggregate + two BROADCAST semi joins against the |V|-bounded
-    * survivor set (the checkpointed edge frame has no stats — without
-    * the hint the planner sorts the full edge table twice per round,
-    * the pageRank lesson), all over the HALVED u<v edge list rather
+    * aggregate + two semi joins against the |V|-bounded survivor set,
+    * broadcast below [[StateBroadcastMaxRows]] and shuffle-hash above
+    * it (the checkpointed edge frame has no stats — without a hint the
+    * planner sorts the full edge table twice per round, the pageRank
+    * lesson), all over the HALVED u<v edge list rather
     * than a doubled directed copy; rounds are a driver-side fixpoint
     * test on the edge count (the [[components]] precedent), measured 5
     * on the co-purchase graph and capped at [[KCoreMaxRounds]].
@@ -355,8 +384,13 @@ object Curation extends QueryPack {
   def kcore(spark: SparkSession, dir: String): DataFrame =
     kcoreOf(coPurchaseEdges(spark, dir))
 
-  /** Peel over a simple undirected edge list (u < v, distinct). */
-  private[graft] def kcoreOf(e0: DataFrame): DataFrame = {
+  /** Peel over a simple undirected edge list (u < v, distinct).
+    * Survivor semi-joins are broadcast below [[StateBroadcastMaxRows]]
+    * nodes (the histogram total IS |V|, already on the driver) and
+    * shuffled above it — same giant-graph contract as
+    * [[pageRankOf]]/[[communitiesOf]]. */
+  private[graft] def kcoreOf(e0: DataFrame,
+      stateBroadcastMaxRows: Long = StateBroadcastMaxRows): DataFrame = {
     def degrees(edges: DataFrame): DataFrame = edges
       .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -379,14 +413,19 @@ object Curation extends QueryPack {
       ans
     }
     val k = median * 3L / 5L
+    // survivor sets are ≤ |V| (= the histogram total) and shrink
+    // monotonically; gate the per-round semi-join build side on that
+    def gatedKeep(s: DataFrame): DataFrame =
+      if (total <= stateBroadcastMaxRows) broadcast(s)
+      else s.hint("shuffle_hash")
     var nEdges = core.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < KCoreMaxRounds) {
       val keep = degrees(core).filter(col("deg") >= k).select(col("id"))
       val next = core
-        .join(broadcast(keep.select(col("id").as("u"))), Seq("u"), "left_semi")
-        .join(broadcast(keep.select(col("id").as("v"))), Seq("v"), "left_semi")
+        .join(gatedKeep(keep.select(col("id").as("u"))), Seq("u"), "left_semi")
+        .join(gatedKeep(keep.select(col("id").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint()
       val n = next.count()
       converged = n == nEdges
@@ -712,54 +751,130 @@ object Curation extends QueryPack {
     * (CommunitySpec pins exactly that, plus full equality with an
     * independent sequential simulation of the same rule).
     *
-    * Scale shape, measured at sf0.1 (20k nodes / 1.2M edges): the
-    * naive round — label join + (node, label) count + per-node top-1
-    * window — costs 30 s for 10 rounds, dominated by the planner
-    * sort-merge-joining the stat-less localCheckpoint'ed label frame
-    * onto the edge table every round (the pageRank lesson) plus the
-    * per-node window sort. The shipped round is ONE shuffle: BROADCAST
-    * the |V|-row label frame onto the edge list (explicit hint; on a
-    * graph whose label table outgrows a broadcast the hint comes off
-    * and the same plan degrades gracefully), then
-    * `mode(lbl, deterministic = true)` per node — the exact
+    * Scale shape — FRONTIER-ONLY propagation behind a state-size
+    * gate: a node's vote multiset is its neighbors' round-(r−1)
+    * labels, so if no neighbor changed last round the multiset is
+    * unchanged and the node provably keeps its label; each round
+    * therefore recomputes ONLY the nodes with a changed neighbor. The
+    * frontier (last round's changed set) and the affected set it
+    * induces are id-only frames that SHRINK every round and ride as
+    * semi-join filters. ALL per-round |V|-bounded state — the label
+    * table on the vote join, the frontier/affected filters, the label
+    * patch — broadcasts below [[StateBroadcastMaxRows]] and falls
+    * back to SHUFFLE-HASH joins above it: on a giant graph the state
+    * crosses the wire partitioned, never resident whole in one
+    * executor, and never sort-merged per round (the edge frame is
+    * hash-partitioned on dst once at checkpoint time for that path).
+    * The vote itself is `mode(lbl, deterministic = true)` — the exact
     * most-frequent/lowest-on-ties rule as a single partial-aggregating
-    * built-in. A fixpoint early-stop (labels unchanged ⇒ every later
-    * round is a no-op, so stopping is observationally identical to the
-    * fixed budget) cuts the co-purchase run to its actual convergence
-    * depth: 30 s → 2.6 s. Lineage cut per round ([[components]]
-    * precedent); output is the bounded community-size table.
-    * Iterative argmax ⇒ not SQL-expressible: rows-only key, pinned by
-    * CommunitySpec. */
+    * built-in (no (node, label) pre-count, no per-node sort). A
+    * fixpoint early-stop (empty frontier ⇒ every later round is a
+    * no-op) keeps the run at its actual convergence depth; rounds
+    * whose frontier still spans most of the graph skip the filtering
+    * and recompute everything in the voted frame directly (no patch
+    * join — filtering would cost more than it saves; measured on the
+    * co-purchase fixture, >50% of labels churn through round 5, so
+    * the frontier arms for the tail rounds: changed counts 20000,
+    * 15005, 14588, 13730, 751, 1, 0 at sf0.1). Lineage cut per round
+    * ([[components]] precedent); output is the bounded community-size
+    * table. Iterative argmax ⇒ not SQL-expressible: rows-only key,
+    * pinned by CommunitySpec. */
   def communities(spark: SparkSession, dir: String): DataFrame =
     communitiesOf(coPurchaseEdges(spark, dir))
 
   /** LPA over a simple undirected edge list (u < v, distinct);
-    * returns (community, n_nodes) with community = the shared label. */
-  private[graft] def communitiesOf(e0: DataFrame): DataFrame = {
-    val und = e0.select(col("u").as("src"), col("v").as("dst"))
+    * returns (community, n_nodes) with community = the shared label.
+    * `stateBroadcastMaxRows` gates the node-set broadcasts (tests
+    * force 0 to exercise the all-shuffle giant-graph path). */
+  private[graft] def communitiesOf(e0: DataFrame,
+      stateBroadcastMaxRows: Long = StateBroadcastMaxRows): DataFrame = {
+    val nPart = e0.sparkSession.sessionState.conf.numShufflePartitions
+    var und = e0.select(col("u").as("src"), col("v").as("dst"))
       .union(e0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
+    val nNodes = labels.count()
+    // giant-graph path only: re-spread the directed copy on dst before
+    // the rounds, so the per-round shuffle-hash label join exchanges
+    // the |V|-row label side against a pre-clustered edge frame rather
+    // than re-exchanging (and AQE-coalescing) 2|E| rows every round.
+    // Below the gate the label side broadcasts and the layout is moot —
+    // skip the extra exchange + materialization
+    if (nNodes > stateBroadcastMaxRows)
+      und = und.repartition(nPart, col("dst")).localCheckpoint()
+    def gated(s: DataFrame, n: Long): DataFrame =
+      if (n <= stateBroadcastMaxRows) broadcast(s) else s.hint("shuffle_hash")
+    // frontier = (ids changed last round, count); None = recompute all
+    var frontier: Option[(DataFrame, Long)] = None
     var r = 0
-    var converged = false
-    while (r < LpaRounds && !converged) {
-      // one shuffle per round: mode(…, deterministic = true) IS the
-      // rule (most frequent, lowest value on ties) as a single
-      // partial-aggregating built-in — no (node, label) pre-count,
-      // no per-node sort
-      val next = und
-        .join(broadcast(labels.withColumnRenamed("id", "dst")), "dst")
+    var done = false
+    while (r < LpaRounds && !done) {
+      // a round recomputes every node when the frontier spans most of
+      // the graph (the semi-join filters would pass nearly everything;
+      // measured on the co-purchase fixture: >50% of labels churn
+      // through round 5, so the filters only arm for the tail rounds)
+      val full = frontier.forall(_._2 * 2 > nNodes)
+      val scoreEdges =
+        if (full) und
+        else {
+          // only nodes with a changed neighbor can change; score ALL
+          // edges of exactly those nodes. The affected set stays an
+          // unmaterialized subplan — it fuses into the voting job
+          // (computed once, inside its broadcast/shuffle exchange)
+          // instead of paying a separate checkpoint + count
+          val (f, nf) = frontier.get
+          val aff = und
+            .join(gated(f.select(col("id").as("dst")), nf),
+              Seq("dst"), "left_semi")
+            .select(col("src")).distinct()
+          und.join(gated(aff, nNodes), Seq("src"), "left_semi")
+        }
+      // explicit re-spread before the vote: the groupBy's own exchange
+      // is ENSURE_REQUIREMENTS, which AQE coalesces under one advisory
+      // partition (the bench config sizes by input, and mode's partial
+      // map buffers outweigh the raw rows) — a REPARTITION_BY_COL
+      // exchange is never coalesced, keeps all nPart tasks on the
+      // merge, and lets the aggregate ride it with no second exchange
+      // (measured: full rounds 1.8/1.3/1.0/0.85 → 0.7/0.75/0.6/0.45 s
+      // at sf0.1 under the bench session)
+      val voted = scoreEdges
+        .join(gated(labels.withColumnRenamed("id", "dst"), nNodes), "dst")
+        .repartition(nPart, col("src"))
         .groupBy(col("src").as("id"))
-        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
-        .localCheckpoint()
-      // fixpoint early-stop: a converged labeling never changes again,
-      // so stopping early is OBSERVATIONALLY identical to running the
-      // full round budget (CommunitySpec's fixed-round reference)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
+        .agg(mode(col("lbl"), deterministic = true).as("nlbl"))
+      if (full) {
+        // voted covers every node: it IS the next label table — no
+        // patch join; the diff against the old labels is id-only
+        val next = voted.select(col("id"), col("nlbl").as("lbl"))
+          .localCheckpoint()
+        val changedIds = next.hint("shuffle_hash")
+          .join(labels.withColumnRenamed("lbl", "olbl"), "id")
+          .filter(col("lbl") =!= col("olbl"))
+          .select(col("id")).localCheckpoint()
+        val nChanged = changedIds.count()
+        labels = next
+        if (nChanged == 0) done = true
+        else frontier = Some((changedIds, nChanged))
+      } else {
+        // voted covers affected nodes only: patch them into the label
+        // table; the changed set IS the next frontier. Hint the
+        // (smaller) voted side as hash build — the stat-less
+        // checkpointed labels otherwise plan as a per-round sort
+        val changed = voted.hint("shuffle_hash").join(labels, "id")
+          .filter(col("nlbl") =!= col("lbl"))
+          .select(col("id"), col("nlbl")).localCheckpoint()
+        val nChanged = changed.count()
+        if (nChanged == 0) done = true
+        else {
+          labels = labels
+            .join(gated(changed, nChanged), Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("nlbl"), col("lbl")).as("lbl"))
+            .localCheckpoint()
+          frontier = Some((changed.select(col("id")), nChanged))
+        }
+      }
       r += 1
     }
     labels.groupBy(col("lbl").as("community"))

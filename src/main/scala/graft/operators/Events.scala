@@ -463,9 +463,13 @@ object Events extends QueryPack {
     * KMV estimator with no shape change (estimator branch exercised
     * by EventsTextSpec on an above-cap synthetic corpus). k = 32,768
     * keeps every figure exact through the ×10 scaled gate (15k
-    * users/type, 30k per union) — a gate tier past that crosses into
+    * users/type, 30k per union) — exactness holds strictly BELOW k: a
+    * set of exactly k distinct values fills the sketch, which is then
+    * indistinguishable from a truncated one, so the estimator branch
+    * runs and reports ≈k rather than exactly k (the standard KMV
+    * convention; a gate tier sized at or past the cap crosses into
     * the estimator regime and this key becomes rows-only there by
-    * design, exactly as an unbounded production cardinality would.
+    * design, exactly as an unbounded production cardinality would).
     * Below the cap the buffer cost stays flat: duplicate hashes are
     * O(log k) no-op probes, and only the ≤ k true insertions pay the
     * sorted-array shift.
@@ -538,7 +542,9 @@ object Events extends QueryPack {
     * integer counts (the alphaMix determinism policy — division and
     * sqrt are correctly-rounded, so hash-exact). A degenerate pooled
     * rate (0 or 1) yields NULL z in both engines rather than a
-    * divide-by-zero. */
+    * divide-by-zero, and an EMPTY arm yields NULL rate (and NULL z)
+    * instead of the engine-dependent Infinity/NaN of double x/0 —
+    * both guards written identically in the oracle SQL. */
   def abTest(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val perUser = ev.groupBy(col("user_id"))
@@ -558,11 +564,14 @@ object Events extends QueryPack {
         sum(when(col("arm") === "B", 1L).otherwise(0L)).as("users_b"),
         sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("conv_b"))
       .withColumn("rate_a",
-        col("conv_a").cast("double") / col("users_a").cast("double"))
+        when(col("users_a") > 0,
+          col("conv_a").cast("double") / col("users_a").cast("double")))
       .withColumn("rate_b",
-        col("conv_b").cast("double") / col("users_b").cast("double"))
+        when(col("users_b") > 0,
+          col("conv_b").cast("double") / col("users_b").cast("double")))
       .withColumn("z",
-        when(col("conv_a") + col("conv_b") > 0 &&
+        when(col("users_a") > 0 && col("users_b") > 0 &&
+             col("conv_a") + col("conv_b") > 0 &&
              col("conv_a") + col("conv_b") < col("users_a") + col("users_b"),
           (col("rate_a") - col("rate_b")) /
             sqrt(((col("conv_a") + col("conv_b")).cast("double") /
@@ -869,9 +878,14 @@ object Events extends QueryPack {
         |           AS conv_b
         |  FROM pu)
         |SELECT users_a, conv_a, users_b, conv_b,
-        |       CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) AS rate_a,
-        |       CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) AS rate_b,
-        |       CASE WHEN conv_a + conv_b > 0
+        |       CASE WHEN users_a > 0
+        |         THEN CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
+        |       END AS rate_a,
+        |       CASE WHEN users_b > 0
+        |         THEN CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)
+        |       END AS rate_b,
+        |       CASE WHEN users_a > 0 AND users_b > 0
+        |             AND conv_a + conv_b > 0
         |             AND conv_a + conv_b < users_a + users_b THEN
         |         (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
         |            - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE))

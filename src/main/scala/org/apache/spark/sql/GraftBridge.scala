@@ -20,4 +20,10 @@ object GraftBridge {
   /** The analyzed logical plan under a DataFrame. */
   def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Drain the listener bus — `QueryExecutionListener` callbacks are
+    * asynchronous, so plan-capturing tests must flush before
+    * asserting (`listenerBus` is `private[spark]`). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

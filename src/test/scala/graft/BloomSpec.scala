@@ -16,15 +16,36 @@ class BloomSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("might_contain prunes the fact side below the join") {
-    val plan = Extras.bloomJoin(spark, TestSpark.Sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), "bloom filter absent from plan")
-    // the filter must be attached to the orders scan side: it appears
-    // in the plan strictly below (after, in print order) the join node
-    val joinAt = plan.indexOf("Join")
-    val mcAt = plan.indexOf("might_contain")
-    assert(joinAt >= 0 && mcAt > joinAt,
-      "might_contain should sit under the join, on the scan side")
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // walk the physical tree (through AQE wrappers), not its toString —
+    // print order is not containment
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def isBloomFilter(p: SparkPlan): Boolean = p match {
+      case f: FilterExec =>
+        f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) &&
+          f.output.exists(_.name == "o_custkey")
+      case _ => false
+    }
+    val root = Extras.bloomJoin(spark, TestSpark.Sf)
+      .queryExecution.executedPlan
+    val joins = flatten(root).collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, "no join node in plan")
+    // the bloom FilterExec must sit in a join child's subtree, on the
+    // side that carries the fact (orders) columns
+    assert(joins.exists(_.children.exists(c => flatten(c).exists(isBloomFilter))),
+      "might_contain FilterExec not found on the fact side below a join")
   }
 
   test("bloom-reduced join equals the plain join") {

@@ -282,4 +282,65 @@ class CurationSpec extends AnyFunSuite {
       else assert(kind == "near")
     }
   }
+
+  test("graph loops: forced shuffle-state path equals broadcast path, no sort-merge rounds") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // every action inside the gated runs goes through the listener;
+    // with stateBroadcastMaxRows = 0 the per-round state joins must
+    // plan as shuffle-hash (the giant-graph path), never sort-merge.
+    // Walk the FINAL physical tree (through AQE wrappers) — the AQE
+    // toString also prints the initial plan, which may legitimately
+    // show a sort-merge that AQE then replans away
+    val plans = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val lpaE = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("u", "v")
+    val prE = (0L until 6L).flatMap(i =>
+      Seq((i, (i + 1) % 6), ((i + 1) % 6, i))).toDF("src", "dst")
+    val kcE = ((for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)) ++
+      Seq((5L, 6L), (6L, 7L))).toDF("u", "v")
+    val want = (Curation.communitiesOf(lpaE).collect().toSeq,
+      Curation.pageRankOf(prE).as[(Long, Double)].collect().toSeq.sortBy(_._1),
+      Curation.kcoreOf(kcE).collect().toSeq)
+    spark.listenerManager.register(listener)
+    val got =
+      try {
+        val g = (
+          Curation.communitiesOf(lpaE, stateBroadcastMaxRows = 0)
+            .collect().toSeq,
+          Curation.pageRankOf(prE, stateBroadcastMaxRows = 0)
+            .as[(Long, Double)].collect().toSeq.sortBy(_._1),
+          Curation.kcoreOf(kcE, stateBroadcastMaxRows = 0)
+            .collect().toSeq)
+        GraftBridge.drainListenerBus(spark)
+        g
+      } finally spark.listenerManager.unregister(listener)
+    assert(got == want, "gated shuffle path changed a graph result")
+    val all = plans.synchronized(plans.toVector)
+    assert(all.nonEmpty, "listener captured no plans")
+    val smj = all.filter(p => flatten(p).exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(smj.isEmpty,
+      s"iterative round fell into sort-merge:\n${smj.headOption.getOrElse("")}")
+  }
 }
