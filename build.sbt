@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Dev-only profiling/explain mains (ProfLpa, ProfIvf, Explain1, …)
+// live OUTSIDE src/main so the engine tree stays library code only;
+// they stay on the Compile classpath for `runMain` while iterating.
+Compile / unmanagedSourceDirectories +=
+  baseDirectory.value / "src" / "tools" / "scala"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,4 +101,26 @@ class ZorderSpec extends AnyFunSuite {
     // equal-frequency: ntile sizes differ by at most 1
     assert(zBuckets.map(_.n).max - zBuckets.map(_.n).min <= 1)
   }
+
+  test("the layout plan has no unpartitioned window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val root = Extras.zorderLayout(spark, TestSpark.Sf)
+      .queryExecution.executedPlan
+    val bad = flatten(root)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty,
+      s"global-sort window in the layout plan: ${bad.headOption}")
+  }
 }
