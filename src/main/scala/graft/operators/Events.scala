@@ -275,6 +275,67 @@ object Events extends QueryPack {
     cur.select(col("user_id") +: stepCols: _*).orderBy(col("user_id"))
   }
 
+  /** ClickHouse `sequenceMatch` with gap NEGATIONS —
+    * `'(?1)(?!g1)(?2)(?!g2)(?3)'` (`/root/reference/README.md:1-17`,
+    * the engine family's behavioral-analytics surface): does an ordered
+    * chain of `steps` exist for the user such that NO event of the
+    * negated type `negs(k)` falls strictly between the chosen step k
+    * and step k+1? Pure existence semantics (no time window), so unlike
+    * [[sequenceMatch]]'s earliest-completion chain the witness is
+    * chosen adversarially — an early dirty view→click gap must not mask
+    * a later clean one.
+    *
+    * Single-pass formulation (no per-user arrays, no iteration over
+    * data): walk events in time order keeping, per prefix length k, the
+    * LATEST admissible completion time `v_k`. An event of type
+    * `steps(k)` at time t extends the prefix iff the latest `v_{k-1}`
+    * strictly before t is later than the last `negs(k-1)` event
+    * strictly before t — then and only then is some gap clean (any
+    * forbidden event inside (v_{k-1}, t) would itself be a
+    * "last-forbidden-before-t" later than `v_{k-1}`). Each level is a
+    * running-max window over the SAME (user_id × time) sort, so
+    * Catalyst plans ONE exchange and ONE sort for the whole chain —
+    * the per-user scan ClickHouse does in memory, expressed as stacked
+    * window aggregates that scale out on the user key.
+    *
+    * Strictness convention: "strictly before" is by microsecond
+    * timestamp (RANGE frame to -1µs), making each gap half-open
+    * `[step_k, step_{k+1})`: a forbidden event tied at the lower
+    * step's exact µs poisons the gap, one tied at the upper step's
+    * does not — identical in both engines, deterministic under any
+    * event-id tie order (EventsTextSpec pins the convention against a
+    * full brute-force enumeration). */
+  def sequenceMatchNeg(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      negs: Seq[Option[String]] = Seq(Some("purchase"), Some("view"))): DataFrame =
+    sequenceMatchNegOf(Tables.events(spark, dir), steps, negs)
+
+  private[graft] def sequenceMatchNegOf(ev: DataFrame, steps: Seq[String],
+      negs: Seq[Option[String]]): DataFrame = {
+    require(steps.length >= 2 && negs.length == steps.length - 1,
+      "each adjacent step pair carries one (possibly absent) negation")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var cur = ev.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .withColumn("v1",
+        when(col("event_type") === steps.head, col("tsu")))
+    for (k <- 2 to steps.length) {
+      val prev = max(col(s"v${k - 1}")).over(w)
+      val clean = negs(k - 2) match {
+        case Some(g) =>
+          val forb = max(when(col("event_type") === g, col("tsu"))).over(w)
+          forb.isNull || prev > forb
+        case None => lit(true)
+      }
+      cur = cur.withColumn(s"v$k",
+        when(col("event_type") === steps(k - 1) && prev.isNotNull && clean,
+          col("tsu")))
+    }
+    cur.filter(col(s"v${steps.length}").isNotNull)
+      .select(col("user_id")).distinct().orderBy(col("user_id"))
+  }
+
   /** ClickHouse `retention` analogue: per first-seen-day cohort, how
     * many users come back exactly 1 and exactly 7 days later. One
     * (user, day) distinct pass, a per-user min, and one cohort-keyed
@@ -676,6 +737,7 @@ object Events extends QueryPack {
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
+    "ev_sequence_match_neg" -> ((s: SparkSession, d: String) => sequenceMatchNeg(s, d)),
     "ev_retention"    -> retention,
     "ev_cohort_matrix" -> cohortMatrix,
     "ev_json_extract" -> jsonExtract,
@@ -828,6 +890,30 @@ object Events extends QueryPack {
         |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
         |       epoch_us(t3) AS t3_us
         |FROM s3 ORDER BY user_id""".stripMargin,
+    // level-by-level twin of sequenceMatchNegOf: same RANGE -1µs
+    // running-max windows, same latest-admissible-prefix rule
+    "ev_sequence_match_neg" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |                  event_type FROM events),
+        |l1 AS (SELECT *, CASE WHEN event_type = 'view' THEN tsu END AS v1 FROM e),
+        |p2 AS (SELECT *,
+        |         MAX(v1) OVER w AS pv1,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN tsu END) OVER w AS f1
+        |       FROM l1
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l2 AS (SELECT *, CASE WHEN event_type = 'click' AND pv1 IS NOT NULL
+        |         AND (f1 IS NULL OR pv1 > f1) THEN tsu END AS v2 FROM p2),
+        |p3 AS (SELECT *,
+        |         MAX(v2) OVER w AS pv2,
+        |         MAX(CASE WHEN event_type = 'view' THEN tsu END) OVER w AS f2
+        |       FROM l2
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pv2 IS NOT NULL
+        |         AND (f2 IS NULL OR pv2 > f2) THEN tsu END AS v3 FROM p3)
+        |SELECT DISTINCT user_id FROM l3 WHERE v3 IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
     "ev_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * costs a large scan fraction (~0.6 here for recall@5 ≥ 0.9, measured
   * in DedupSimilaritySpec). On clustered production embeddings the same
   * machinery prunes far harder at the same recall; the tables/bits/
-  * probes knobs below are the tuning surface.
+  * probes knobs below are the tuning surface. That claim is PINNED, not
+  * asserted: ClusteredAnnSpec runs the same operators over a
+  * deterministic mixture-of-Gaussians corpus
+  * ([[graft.sources.SyntheticEmbeddings]]) and measures recall 1.0 at
+  * scan fraction 0.087 (LSH, 12-bit tables), 0.125 (IVF, 3 of 25
+  * probes), with the uniform-vs-clustered table in SCALE.md.
   *
   * Determinism: hyperplanes come from a fixed LCG seed (no RNG calls);
   * Lloyd means are order-independent long fixed-point sums (6-decimal,
@@ -115,26 +120,41 @@ object Similarity extends QueryPack {
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "sig")
 
+  /** Candidate (query_id, vec_id) pairs from the LSH tables — the scan
+    * set whose size/corpus ratio IS the index's cost (ClusteredAnnSpec
+    * measures it on both embedding regimes). Bits-per-table is the
+    * regime knob: 6 bits + Hamming-1 multiprobe is the uniform-regime
+    * default; clustered corpora support far more bits (signatures
+    * concentrate per cluster), which is what cuts the scan fraction. */
+  private[graft] def lshCandidateIds(spark: SparkSession, dir: String,
+      nTables: Int = NTables, bits: Int = BitsPerTable): DataFrame = {
+    val planes = hyperplanes(nTables * bits, Dim)
+    // corpus keyed by (table, sig): one row per table per vector
+    val c = withSigs(corpus(spark, dir), "embedding", planes, bits)
+      .select(col("vec_id"), col("tbl"), col("sig"))
+    // queries probe their bucket and every Hamming-1 neighbor per table
+    val probes = (0 until bits).map(p => col("sig").bitwiseXOR(lit(1 << p)))
+    val q = withSigs(corpus(spark, dir).filter(col("vec_id") < NQueries),
+        "embedding", planes, bits)
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(array(col("sig") +: probes: _*)).as("sig"))
+    // dedup candidates on ids only (never on the embedding arrays)
+    c.join(broadcast(q), Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+  }
+
   /** LSH ANN: 8 independent 6-bit random-hyperplane tables, multiprobe at
     * Hamming ≤ 1 within each table (7 probes × 8 tables per query), exact
     * rerank of union-of-buckets candidates. Rows-only; recall vs
     * [[topKBruteForce]] is pinned by DedupSimilaritySpec. */
-  def topKLsh(spark: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(NTables * BitsPerTable, Dim)
-    // corpus keyed by (table, sig): one row per table per vector
-    val c = withSigs(corpus(spark, dir), "embedding", planes, BitsPerTable)
-      .select(col("vec_id"), col("tbl"), col("sig"))
-    // queries probe their bucket and every Hamming-1 neighbor per table
-    val probes = (0 until BitsPerTable).map(p => col("sig").bitwiseXOR(lit(1 << p)))
-    val q = withSigs(corpus(spark, dir).filter(col("vec_id") < NQueries),
-        "embedding", planes, BitsPerTable)
-      .select(col("vec_id").as("query_id"), col("tbl"),
-        explode(array(col("sig") +: probes: _*)).as("sig"))
-    // dedup candidates on ids only (never on the embedding arrays), then
-    // re-attach the 10 query vectors via a broadcast join
-    val candIds = c.join(broadcast(q), Seq("tbl", "sig"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
+  def topKLsh(spark: SparkSession, dir: String): DataFrame =
+    topKLshParams(spark, dir, NTables, BitsPerTable)
+
+  private[graft] def topKLshParams(spark: SparkSession, dir: String,
+      nTables: Int, bits: Int): DataFrame = {
+    // candidates re-attach the 10 query vectors via a broadcast join
+    val candIds = lshCandidateIds(spark, dir, nTables, bits)
     val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val pairs = corpus(spark, dir)
@@ -255,7 +275,7 @@ object Similarity extends QueryPack {
     topKIvfIters(spark, dir, LloydIters)
 
   private[graft] def topKIvfIters(spark: SparkSession, dir: String,
-      iters: Int): DataFrame = {
+      iters: Int, probes: Int = NProbes): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
     val cents = lloydCentroids(spark, c, iters)
@@ -266,13 +286,37 @@ object Similarity extends QueryPack {
     val q = nearest(
       c.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-      centsDf, NProbes, "query_id", "qe", "qn")
+      centsDf, probes, "query_id", "qe", "qn")
       .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
     val pairs = assigned.join(broadcast(q), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (VectorOps.dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cosine"))
     rankedTopK(pairs)
+  }
+
+  /** Candidate (query_id, vec_id) pairs the IVF probe list admits — the
+    * exact-rerank workload. Only the ids are computed (no cosine, no
+    * rerank); ClusteredAnnSpec measures the pair count / corpus ratio
+    * per embedding regime. */
+  private[graft] def ivfCandidateIds(spark: SparkSession, dir: String,
+      iters: Int, probes: Int): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val cents = lloydCentroids(spark, c, iters)
+    val assigned = c.select(col("vec_id"),
+      assignedCentId(cents, "embedding", "nrm").as("cent_id"))
+    val centsDf = cents.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce"), VectorOps.norm("ce").as("cn"))
+    val q = nearest(
+      c.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")),
+      centsDf, probes, "query_id", "qe", "qn")
+      .select(col("query_id"), col("cent_id"))
+    assigned.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
   }
 
   /** Brute-force top-k on the codegen'd [[graft.functions.DotProductFloat]]
@@ -448,7 +492,14 @@ object Similarity extends QueryPack {
     * — the composition is the only variant where both the scan and the
     * rerank are sub-corpus. Rows-only; DedupSimilaritySpec pins
     * recall@5 ≥ 0.9 vs [[topKBruteForce]] and run-to-run determinism. */
-  def topKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def topKIvfPq(spark: SparkSession, dir: String): DataFrame =
+    topKIvfPqParams(spark, dir, NProbes, IvfPqShortlist)
+
+  /** [[topKIvfPq]] with the probe count and ADC shortlist as knobs —
+    * the clustered-regime spec (ClusteredAnnSpec) runs the same
+    * composition at a fraction of the default scan budget. */
+  private[graft] def topKIvfPqParams(spark: SparkSession, dir: String,
+      nProbes: Int, shortlist: Int): DataFrame = {
     import spark.implicits._
     val c = pqCorpus(spark, dir)
     val cents = lloydCentroids(spark, c, LloydIters)
@@ -465,7 +516,7 @@ object Similarity extends QueryPack {
     val probes = nearest(
       qbase.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn")),
-      centsDf, NProbes, "query_id", "qe", "qn")
+      centsDf, nProbes, "query_id", "qe", "qn")
       .select(col("query_id"), col("cent_id"))
     // 10 queries × 17 probed cells, each row carrying the 128-double
     // table — broadcast-sized by construction
@@ -477,7 +528,7 @@ object Similarity extends QueryPack {
       .withColumn("adc",
         graft.functions.PqAdc.adc(col("codes"), col("qtab"), PqK))
       .withColumn("arank", row_number().over(w))
-      .filter(col("arank") <= IvfPqShortlist)
+      .filter(col("arank") <= shortlist)
       .select(col("query_id"), col("vec_id"))
     val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

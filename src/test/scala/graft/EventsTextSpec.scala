@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Events, TextAnalysis, Relational}
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 class EventsTextSpec extends AnyFunSuite {
@@ -232,6 +233,54 @@ class EventsTextSpec extends AnyFunSuite {
     val got = Events.sequenceMatchOf(ev, Seq("a", "b", "a"), "interval 7 days")
       .select("user_id").as[Long].collect().toSeq
     assert(got == Seq(1L), s"expected only user 1, got $got")
+  }
+
+  test("sequenceMatchNeg: negated gaps, adversarial witness, == brute force") {
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: clean view->click->purchase, no poison → match
+      (1L, "view", t(0)), (1L, "click", t(1)), (1L, "purchase", t(2)),
+      // user 2: purchase between view and click poisons gap 1; no
+      //         later clean view→click → no match
+      (2L, "view", t(0)), (2L, "purchase", t(1)), (2L, "click", t(2)),
+      (2L, "purchase", t(3)),
+      // user 3: first view→click gap dirty, but a SECOND view after the
+      //         poison gives a clean chain (adversarial witness) → match
+      (3L, "view", t(0)), (3L, "purchase", t(1)), (3L, "view", t(2)),
+      (3L, "click", t(3)), (3L, "purchase", t(4)),
+      // user 4: view between click and purchase poisons gap 2 → no match
+      (4L, "view", t(0)), (4L, "click", t(1)), (4L, "view", t(2)),
+      (4L, "purchase", t(3)),
+      // user 5: user-4 shape but a second click after the re-view
+      //         re-opens gap 2 → match
+      (5L, "view", t(0)), (5L, "click", t(1)), (5L, "view", t(2)),
+      (5L, "click", t(3)), (5L, "purchase", t(4)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.sequenceMatchNegOf(ev, Seq("view", "click", "purchase"),
+        Seq(Some("purchase"), Some("view")))
+      .select("user_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 5L), s"got $got")
+    // brute force over every (v, c, p) assignment on the sf fixture:
+    // the single-pass latest-admissible-prefix scan must agree exactly
+    val evs = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    val want = evs.filter { case (_, rows) =>
+      val vs = rows.filter(_._3 == "view").map(_._2)
+      val cs = rows.filter(_._3 == "click").map(_._2)
+      val ps = rows.filter(_._3 == "purchase").map(_._2)
+      // the gap convention is half-open [step_k, step_k+1): a forbidden
+      // event tied at the LOWER step's µs poisons, one tied at the
+      // upper step's does not (matches the RANGE -1µs windows)
+      vs.exists(v => cs.exists(c => v < c &&
+        !ps.exists(x => v <= x && x < c) &&
+        ps.exists(p => c < p && !vs.exists(x => c <= x && x < p))))
+    }.keys.toSeq.sorted
+    val gotSf = Events.sequenceMatchNeg(spark, TestSpark.Sf)
+      .as[Long].collect().toSeq
+    assert(gotSf == want, s"brute-force disagreement: got=$gotSf want=$want")
   }
 
   test("kmvOverlap: exact below cap, equal to direct set algebra, partition-invariant") {
