@@ -661,6 +661,61 @@ object Curation extends QueryPack {
       .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"), col("doc_id"))
       .orderBy(col("lang"), col("sample_rank"))
 
+  private[graft] val EpochK = 200L // sampled positions (epoch slots) per lang
+
+  /** `cur_epoch_sample`: weighted epoch-quota sampling — for each
+    * language stratum, how many copies of each document one training
+    * epoch of [[EpochK]] slots draws when documents are sampled
+    * proportional to token count (the doc-granular twin of
+    * [[alphaMix]]'s source-level quotas). Implemented as DETERMINISTIC
+    * SYSTEMATIC PPS SAMPLING (Madow's method): lay the documents on a
+    * per-stratum number line of cumulative integer token weights
+    * `[lo, lo+w)`, probe it at the k evenly-spaced positions
+    * `p_j = ⌊(2j+1)·W / 2k⌋`, and a document's quota is the count of
+    * positions falling in its interval — computed CLOSED-FORM per
+    * document from (lo, w, W) with pure integer arithmetic (two
+    * floor-divisions), so the whole sample is engine-exact: no RNG, no
+    * logs/pow (the Efraimidis–Spirakis exponential-race form needs
+    * `u^(1/w)`, whose libm rounding differs across engines — the
+    * repo's determinism policy admits only correctly-rounded IEEE ops
+    * in hash-compared output, so the integer-systematic form IS the
+    * distributed-exact answer to weighted sampling). Inclusion
+    * probability is exactly min(1, k·w/W) per draw position, the PPS
+    * contract.
+    *
+    * Plan shape: one per-stratum prefix-sum window (doc_id order), the
+    * stratum totals riding the SAME lang-hash exchange as a
+    * partition-only window, then a pure map-side quota formula — no
+    * join against a positions table, no per-stratum top-k, no second
+    * shuffle. At 100 TB the prefix sum is the only corpus-wide sort;
+    * production would two-level it (bucket subtotals + within-bucket
+    * prefix), which changes no output since doc_id order is global
+    * either way. */
+  def epochSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val k = EpochK
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("wt"))
+      .withColumn("lo", coalesce(sum(col("wt")).over(w), lit(0L)))
+      .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("lang"))))
+      // smallest j with (2j+1)·W ≥ 2k·lo, clamped at 0
+      .withColumn("j_min",
+        greatest(lit(0L), expr(s"(2 * $k * lo + tot - 1) div (2 * tot)")))
+      // largest j with (2j+1)·W ≤ 2k·(lo+wt) − 1, clamped at k−1;
+      // written as ((q+1) div 2) − 1 ≡ ⌊(q−1)/2⌋ so every division has
+      // non-negative operands (Spark `div` truncates, DuckDB `//`
+      // floors — they only agree away from negative numerators)
+      .withColumn("j_max",
+        least(lit(k - 1),
+          expr(s"(((2 * $k * (lo + wt) - 1) div tot) + 1) div 2 - 1")))
+      .filter(col("j_max") >= col("j_min"))
+      .select(col("lang"), col("doc_id"),
+        (col("j_max") - col("j_min") + 1).as("n_copies"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Corpus composition report — the training-mix table: documents,
     * tokens, and token share per (lang, source). The share is one IEEE
     * division of exact integer sums; the full-result window runs over
@@ -838,19 +893,26 @@ object Curation extends QueryPack {
       // merge, and lets the aggregate ride it with no second exchange
       // (measured: full rounds 1.8/1.3/1.0/0.85 → 0.7/0.75/0.6/0.45 s
       // at sf0.1 under the bench session)
-      val voted = scoreEdges
-        .join(gated(labels.withColumnRenamed("id", "dst"), nNodes), "dst")
+      // round 1 shortcut: labels start as own-id, so the neighbor's
+      // label IS the neighbor — vote over dst directly, no label join
+      val voted =
+        (if (r == 0) scoreEdges.withColumn("lbl", col("dst"))
+         else scoreEdges
+           .join(gated(labels.withColumnRenamed("id", "dst"), nNodes), "dst"))
         .repartition(nPart, col("src"))
         .groupBy(col("src").as("id"))
         .agg(mode(col("lbl"), deterministic = true).as("nlbl"))
       if (full) {
         // voted covers every node: it IS the next label table — no
         // patch join; the diff against the old labels is id-only
+        // (and in round 1 the old label is the id itself — no join)
         val next = voted.select(col("id"), col("nlbl").as("lbl"))
           .localCheckpoint()
-        val changedIds = next.hint("shuffle_hash")
-          .join(labels.withColumnRenamed("lbl", "olbl"), "id")
-          .filter(col("lbl") =!= col("olbl"))
+        val changedIds =
+          (if (r == 0) next.filter(col("lbl") =!= col("id"))
+           else next.hint("shuffle_hash")
+             .join(labels.withColumnRenamed("lbl", "olbl"), "id")
+             .filter(col("lbl") =!= col("olbl")))
           .select(col("id")).localCheckpoint()
         val nChanged = changedIds.count()
         labels = next
@@ -897,7 +959,8 @@ object Curation extends QueryPack {
     "cur_token_mix"  -> tokenMix,
     "cur_chunk_windows" -> chunkWindows,
     "cur_alpha_mix"  -> alphaMix,
-    "cur_sample_bottomk" -> sampleBottomK)
+    "cur_sample_bottomk" -> sampleBottomK,
+    "cur_epoch_sample" -> epochSample)
 
   /** Components oracle: DuckDB recursive CTE computing min reachable id
     * over the same near-dup edges (same jaccard threshold/shingles). */
@@ -919,6 +982,23 @@ object Curation extends QueryPack {
        |        UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_epoch_sample" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, wt,
+        |        COALESCE(SUM(wt) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+        |        SUM(wt) OVER (PARTITION BY lang) AS tot
+        |      FROM d),
+        |j AS (SELECT lang, doc_id,
+        |        GREATEST(0, (2 * $EpochK * lo + tot - 1) // (2 * tot)) AS j_min,
+        |        LEAST($EpochK - 1,
+        |          (((2 * $EpochK * (lo + wt) - 1) // tot) + 1) // 2 - 1) AS j_max
+        |      FROM c)
+        |SELECT lang, doc_id, j_max - j_min + 1 AS n_copies
+        |FROM j WHERE j_max >= j_min
+        |ORDER BY lang, doc_id""".stripMargin,
     "cur_sample_bottomk" ->
       s"""WITH keyed AS (
         |  SELECT lang, doc_id,

@@ -231,6 +231,63 @@ object EventStream {
       }
   }
 
+  case class SeqNegState(v1: Long, v2: Long, v3: Long, matched: Boolean)
+  case class SeqNegOut(user_id: Long, matched: Boolean)
+
+  /** Streaming `sequenceMatch` with gap negations: the incremental twin
+    * of [[graft.operators.Events.sequenceMatchNeg]] (default pattern
+    * view (?!purchase) click (?!view) purchase). Per-user state is the
+    * LATEST admissible completion time per prefix length — three longs
+    * plus the sticky matched bit, versus ClickHouse's buffered per-user
+    * event list. The fold applies the batch form's exact rule set:
+    * a step event at time T extends prefix k iff prefix k−1 completed
+    * strictly before T and was not poisoned; a negated-type event at T
+    * invalidates any prefix whose completion is ≤ T (the same half-open
+    * `[step, next)` tie convention the batch RANGE(−1µs) windows
+    * implement — simultaneous events in one micro-batch are folded per
+    * distinct timestamp against the PRE-timestamp state, so intra-batch
+    * ties resolve identically to the batch windows). StreamingSpec pins
+    * the final matched set equal to the batch query's. Same late-data
+    * trade as [[funnelLevels]]: an out-of-order event folds at arrival. */
+  def sequenceMatchNeg(spark: SparkSession, eventsDir: String): Dataset[SeqNegOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[SeqNegState, SeqNegOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SeqNegState]) =>
+          var SeqNegState(v1, v2, v3, matched) =
+            state.getOption.getOrElse(SeqNegState(-1L, -1L, -1L, false))
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
+            .groupBy(e => epochUs(e.ts)).toSeq.sortBy(_._1)
+            .foreach { case (ts, group) =>
+              // extensions read the state as of strictly-earlier time
+              val (o1, o2, o3) = (v1, v2, v3)
+              group.foreach { e =>
+                e.event_type match {
+                  case "view"     => v1 = ts
+                  case "click"    => if (o1 >= 0) v2 = ts
+                  case "purchase" => if (o2 >= 0) v3 = ts
+                  case _ =>
+                }
+              }
+              // negations poison prefixes completed at or before ts
+              group.foreach { e =>
+                e.event_type match {
+                  case "purchase" => if (v1 >= 0 && v1 <= ts) v1 = -1L
+                  case "view"     => if (v2 >= 0 && v2 <= ts) v2 = -1L
+                  case _ =>
+                }
+              }
+              if (v3 >= 0) matched = true
+            }
+          state.update(SeqNegState(v1, v2, v3, matched))
+          SeqNegOut(user, matched)
+      }
+  }
+
   /** Custom-state sessionization with `flatMapGroupsWithState`: emits a
     * session whenever a ≥30-min gap closes it; the trailing open session
     * per user is held in state and flushed by event-time timeout. */

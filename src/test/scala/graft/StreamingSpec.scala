@@ -69,6 +69,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain view→click matches")
   }
 
+  test("streaming sequenceMatchNeg matched set equals the batch windows") {
+    val q = EventStream.sequenceMatchNeg(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("seqneg_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("seqneg_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("matched").as("matched"))
+      .filter(org.apache.spark.sql.functions.col("matched"))
+      .select("user_id").as[Long].collect().toSet
+    val batch = Events.sequenceMatchNeg(spark, TestSpark.Sf)
+      .as[Long].collect().toSet
+    assert(streamed == batch,
+      s"missed=${batch -- streamed} extra=${streamed -- batch}")
+    assert(batch.nonEmpty, "fixture must contain clean-gap conversions")
+  }
+
   test("stream-static enrichment matches the batch join, sinks via foreachBatch") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val q = EventStream.sinkToParquet(
