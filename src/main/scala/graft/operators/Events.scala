@@ -336,6 +336,77 @@ object Events extends QueryPack {
       .select(col("user_id")).distinct().orderBy(col("user_id"))
   }
 
+  /** ClickHouse `sumMap` analogue at day grain: one row per day whose
+    * value is the map event_type → (event count, sum of the integer
+    * `props.k` metric) — the "aggregate a whole keyed family in one
+    * pass" signature sumMap exists for (vs one query per key). The
+    * map itself is built by [[sumMapOf]] as a true `map<string,
+    * struct<n,sum_k>>` column; this query key serializes it to a
+    * canonical sorted `type:n:sum_k` string because the oracle compare
+    * hashes scalar cells — map/array cell comparison across engines is
+    * not part of the driver contract (no existing oracle-paired key
+    * emits one). Both legs are exact integers, so the string is
+    * hash-stable by construction.
+    *
+    * Scale posture: the inner (day × type) aggregate is partial-agg
+    * friendly with a small value payload; the outer per-day fold
+    * collects at most |event types| entries per group — bounded by the
+    * type vocabulary, not the data. */
+  def sumMapDaily(spark: SparkSession, dir: String): DataFrame =
+    sumMapOf(Tables.events(spark, dir))
+      .select(col("day"),
+        array_join(array_sort(transform(map_entries(col("kv")),
+          e => concat_ws(":", e("key"), e("value")("n"), e("value")("sum_k")))),
+          ",").as("kv"))
+      .orderBy(col("day"))
+
+  /** The map-typed seam behind [[sumMapDaily]]: day (epoch-day int) →
+    * `map<event_type, struct<n, sum_k>>`. `sum_k` is null-guarded to 0
+    * so engines that drop vs keep null map entries cannot diverge. */
+  private[graft] def sumMapOf(ev: DataFrame): DataFrame =
+    ev.select(col("ts").cast("date").as("d"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("k")), lit(0L)).as("sum_k"))
+      .groupBy(col("d"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type").as("key"),
+          struct(col("n"), col("sum_k")).as("value"))))).as("kv"))
+      .select(expr("cast(unix_date(d) as bigint)").as("day"), col("kv"))
+
+  /** ClickHouse `sequenceNextNode('forward', 'head')` analogue: for
+    * each user completing the view→click chain (earliest-completion
+    * semantics and 7-day window identical to [[sequenceMatch]]), the
+    * type of the FIRST event strictly after the chain completes —
+    * "what do users do right after converting", the behavioral
+    * next-step readout ClickHouse ships beside funnels. Output is the
+    * distribution (next_type, n_users).
+    *
+    * Determinism: the successor is chosen by (timestamp µs, event_id)
+    * — event_id is unique, so ties at the same microsecond cannot make
+    * the pick order-dependent in either engine. One user-keyed window
+    * over the already-filtered successor set; the chain itself reuses
+    * [[sequenceMatchOf]]'s per-step aggregates (map-side partials on
+    * the one user_id shuffle key throughout). */
+  def sequenceNextNode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val base = sequenceMatchOf(ev, Seq("view", "click"), FunnelWindow)
+      .select(col("user_id"), col("t2_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    ev.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .join(base, "user_id")
+      .filter(col("tsu") > col("t2_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("event_type").as("next_type"), col("n_users"))
+      .orderBy(col("next_type"))
+  }
+
   /** ClickHouse `retention` analogue: per first-seen-day cohort, how
     * many users come back exactly 1 and exactly 7 days later. One
     * (user, day) distinct pass, a per-user min, and one cohort-keyed
@@ -738,6 +809,8 @@ object Events extends QueryPack {
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "ev_sequence_match_neg" -> ((s: SparkSession, d: String) => sequenceMatchNeg(s, d)),
+    "ev_sequence_next_node" -> sequenceNextNode,
+    "ev_sum_map"      -> sumMapDaily,
     "ev_retention"    -> retention,
     "ev_cohort_matrix" -> cohortMatrix,
     "ev_json_extract" -> jsonExtract,
@@ -914,6 +987,32 @@ object Events extends QueryPack {
         |         AND (f2 IS NULL OR pv2 > f2) THEN tsu END AS v3 FROM p3)
         |SELECT DISTINCT user_id FROM l3 WHERE v3 IS NOT NULL
         |ORDER BY user_id""".stripMargin,
+    // same s1/s2 chain as ev_sequence_match (earliest completion inside
+    // the 7-day window), then the (ts, event_id)-first successor
+    "ev_sequence_next_node" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |nxt AS (SELECT e.user_id, e.event_type,
+        |               ROW_NUMBER() OVER (PARTITION BY e.user_id
+        |                 ORDER BY e.ts, e.event_id) AS rn
+        |        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |        WHERE e.ts > s2.t2)
+        |SELECT event_type AS next_type, COUNT(*) AS n_users
+        |FROM nxt WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_sum_map" ->
+      """WITH kv AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+        |         COALESCE(SUM(CAST(props ->> 'k' AS BIGINT)), 0) AS sum_k
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day,
+        |       string_agg(event_type || ':' || n || ':' || sum_k, ','
+        |                  ORDER BY event_type) AS kv
+        |FROM kv GROUP BY d ORDER BY day""".stripMargin,
     "ev_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)

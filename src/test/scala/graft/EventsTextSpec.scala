@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Events, TextAnalysis, Relational}
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, explode, expr, unix_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 class EventsTextSpec extends AnyFunSuite {
@@ -319,5 +319,57 @@ class EventsTextSpec extends AnyFunSuite {
     // the intersection estimator compounds binomial c-noise with the
     // union estimate; allow the combined band
     assert(math.abs(nov - n / 2) <= n / 2 * 6 * tol, s"overlap $nov vs ${n / 2}")
+  }
+
+  test("sumMapDaily: serialized map reconciles with independent per-type scans") {
+    // parse each day's type:n:sum_k entries back out and compare against
+    // a from-scratch recompute over the collected fixture (exact
+    // integers end to end, so equality is strict)
+    val got = Events.sumMapDaily(spark, TestSpark.Sf)
+      .as[(Long, String)].collect().toMap
+      .map { case (d, kv) => d -> kv.split(',').map { s =>
+        val Array(t, n, k) = s.split(':'); (t, (n.toLong, k.toLong))
+      }.toMap }
+    val want = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(expr("cast(unix_date(cast(ts as date)) as bigint)").as("d"),
+        col("event_type"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+      .as[(Long, String, Option[Long])].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case ((d, t), rows) =>
+        ((d, t), (rows.length.toLong, rows.flatMap(_._3).sum)) }
+    assert(got.nonEmpty)
+    want.foreach { case ((d, t), nv) =>
+      assert(got(d)(t) == nv, s"day=$d type=$t: ${got(d)(t)} vs $nv") }
+    assert(got.map(_._2.size).sum == want.size, "entry-count mismatch")
+    // the map-typed seam carries the same entries as the string form
+    val viaMap = Events.sumMapOf(
+        graft.sources.Tables.events(spark, TestSpark.Sf))
+      .select(col("day"), explode(col("kv")))
+      .as[(Long, String, (Long, Long))].collect()
+      .map { case (d, t, nv) => (d, t) -> nv }.toMap
+    assert(viaMap == want.toMap)
+  }
+
+  test("sequenceNextNode: distribution equals a per-user brute-force walk") {
+    val evs = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    val window = 7L * 24 * 3600 * 1000000
+    val want = evs.values.flatMap { rows =>
+      // earliest-completion chain: min view, then min click after it
+      // inside the 7-day window — then the (ts, event_id)-first successor
+      val t1 = rows.filter(_._4 == "view").map(_._2).minOption
+      val t2 = t1.flatMap(v => rows
+        .filter(r => r._4 == "click" && r._2 > v && r._2 <= v + window)
+        .map(_._2).minOption)
+      t2.flatMap(c => rows.filter(_._2 > c)
+        .sortBy(r => (r._2, r._3)).headOption.map(_._4))
+    }.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val got = Events.sequenceNextNode(spark, TestSpark.Sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got.values.sum > 0)
   }
 }
