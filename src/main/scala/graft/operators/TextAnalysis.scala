@@ -484,26 +484,8 @@ object TextAnalysis extends QueryPack {
         case None => done = true // no adjacent pairs left anywhere
         case Some((l, rr, cnt)) =>
           merges += ((r + 1L, l, rr, l + rr, cnt))
-          val lC = lit(l)
-          val rC = lit(rr)
-          val init = struct(
-            array().cast("array<string>").as("out"),
-            lit(null).cast("string").as("held"))
-          // left-to-right fold: `held` is the symbol not yet flushed;
-          // (held, next) = (l, r) fuses, anything else flushes held
-          val folded = aggregate(col("syms"), init,
-            (acc, s) =>
-              when(acc("held").isNull,
-                struct(acc("out").as("out"), s.as("held")))
-              .when(acc("held") === lC && s === rC,
-                struct(array_append(acc("out"), concat(lC, rC)).as("out"),
-                  lit(null).cast("string").as("held")))
-              .otherwise(
-                struct(array_append(acc("out"), acc("held")).as("out"),
-                  s.as("held"))),
-            acc => when(acc("held").isNull, acc("out"))
-              .otherwise(array_append(acc("out"), acc("held"))))
-          vocab = vocab.select(folded.as("syms"), col("freq"))
+          vocab = vocab.select(fusePass(col("syms"), l, rr).as("syms"),
+              col("freq"))
             .localCheckpoint()
       }
       r += 1
@@ -513,8 +495,85 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("rank"))
   }
 
+  /** One left-to-right non-overlapping (l, r) → lr fusion pass over a
+    * symbol-array column — the standard BPE application order, shared
+    * by the trainer's per-round vocab rewrite and [[bpeTokenizeOf]]'s
+    * application of a learned table. `held` is the symbol not yet
+    * flushed; (held, next) = (l, r) fuses, anything else flushes held. */
+  private def fusePass(syms: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column = {
+    val lC = lit(l)
+    val rC = lit(r)
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("held"))
+    aggregate(syms, init,
+      (acc, s) =>
+        when(acc("held").isNull,
+          struct(acc("out").as("out"), s.as("held")))
+        .when(acc("held") === lC && s === rC,
+          struct(array_append(acc("out"), concat(lC, rC)).as("out"),
+            lit(null).cast("string").as("held")))
+        .otherwise(
+          struct(array_append(acc("out"), acc("held")).as("out"),
+            s.as("held"))),
+      acc => when(acc("held").isNull, acc("out"))
+        .otherwise(array_append(acc("out"), acc("held"))))
+  }
+
+  /** Tokenizer APPLICATION — the stage after [[bpeMerges]]' training:
+    * tokenize the whole corpus with the learned merge table and emit
+    * per-doc token accounting (n_words, n_chars, n_tokens) — the
+    * numbers a training-data pipeline budgets batches with, now in
+    * learned-BPE tokens rather than [[tokenBudget]]'s whitespace proxy.
+    *
+    * Scale shape: merges are applied to the DISTINCT-WORD vocabulary
+    * (Heaps'-law ~√corpus), one fusion pass per merge over that skinny
+    * table, never to the corpus itself; per-word token counts then
+    * join back to the (doc, word) bag and aggregate per doc. At 100 TB
+    * the vocab table is the only thing the iterative part ever touches,
+    * and the final join is word-keyed with map-side partials — the
+    * corpus is scanned once. Iterative + trainer-dependent ⇒ rows-only
+    * key; BpeSpec pins it against a sequential tokenizer applying the
+    * independently-trained reference table, plus the rounds=0
+    * degenerate (n_tokens == n_chars). */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOf(spark, Tables.documents(spark, dir), BpeRounds)
+
+  /** Dataset seam for [[bpeTokenize]]: `docs` needs doc_id + text. */
+  private[graft] def bpeTokenizeOf(spark: SparkSession, docs: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMergesOf(spark, docs, rounds)
+      .select(col("left"), col("right"))
+      .as[(String, String)].collect()
+    val wordBag = docs.select(col("doc_id"),
+      explode(expr(s"filter($toks, t -> t <> '')")).as("word"))
+    var vocabSyms = wordBag.select(col("word")).distinct()
+      .select(col("word"),
+        expr("filter(split(word, ''), s -> s <> '')").as("syms"))
+      .localCheckpoint()
+    // one pass per merge, checkpointed like the trainer's rewrite (12
+    // stacked aggregate-HOFs in one projection would otherwise collapse
+    // into a single pathological codegen expression)
+    merges.foreach { case (l, r) =>
+      vocabSyms = vocabSyms
+        .select(col("word"), fusePass(col("syms"), l, r).as("syms"))
+        .localCheckpoint()
+    }
+    val wordTok = vocabSyms
+      .select(col("word"), size(col("syms")).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_chr"))
+    wordBag.join(wordTok, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chr")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges"    -> bpeMerges,
+    "text_bpe_tokenize"  -> bpeTokenize,
     "text_vocab_growth"  -> vocabGrowth,
     "text_pii_redact"    -> piiRedact,
     "text_gopher_rules"  -> gopherRules,

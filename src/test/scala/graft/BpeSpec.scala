@@ -85,4 +85,52 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(one == many)
   }
+
+  /** Sequential tokenizer: apply a merge table to one word, in rank
+    * order, each merge one left-to-right non-overlapping pass. */
+  private def referenceTokenize(word: String,
+      merges: Seq[(String, String)]): Int = {
+    var syms = word.split("").toVector.filter(_.nonEmpty)
+    merges.foreach { case (l, r) =>
+      val res = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          res += l + r; i += 2
+        } else { res += syms(i); i += 1 }
+      }
+      syms = res.result()
+    }
+    syms.length
+  }
+
+  test("bpeTokenize equals sequential application of the reference table") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+    val collected = docs.selectExpr("doc_id",
+        "filter(split(text, ' '), t -> t <> '') AS ws")
+      .as[(Long, Seq[String])].collect()
+    val vocab = collected.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length.toLong) }
+    val merges = referenceBpe(vocab, 8).map(m => (m._2, m._3))
+    val want = collected.filter(_._2.nonEmpty).map { case (id, ws) =>
+      id -> ((ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => referenceTokenize(w, merges).toLong).sum))
+    }.toMap
+    val got = TextAnalysis.bpeTokenizeOf(spark, docs, 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nw, nc, nt) => id -> ((nw, nc, nt)) }.toMap
+    assert(got == want)
+    // learned merges can only shrink: n_words <= n_tokens <= n_chars
+    got.values.foreach { case (nw, nc, nt) =>
+      assert(nw <= nt && nt <= nc)
+    }
+  }
+
+  test("bpeTokenize with zero merges degenerates to character counts") {
+    val df = Seq((1L, "ab abc"), (2L, "zzzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenizeOf(spark, df, 0)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nw, nc, nt) => id -> ((nw, nc, nt)) }.toMap
+    assert(got == Map(1L -> ((2L, 5L, 5L)), 2L -> ((1L, 4L, 4L))))
+  }
 }
