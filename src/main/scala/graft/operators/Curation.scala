@@ -855,7 +855,12 @@ object Curation extends QueryPack {
     // the |V|-row label side against a pre-clustered edge frame rather
     // than re-exchanging (and AQE-coalescing) 2|E| rows every round.
     // Below the gate the label side broadcasts and the layout is moot —
-    // skip the extra exchange + materialization
+    // skip the extra exchange + materialization. (Pre-partitioning by
+    // src to elide the vote's re-spread was MEASURED AND REJECTED: a
+    // localCheckpoint's LogicalRDD does not carry the partitioning
+    // into the logical plan, so the groupBy grows an
+    // ENSURE_REQUIREMENTS exchange that AQE coalesces onto one
+    // advisory partition — warm 5.7 s → 11 s at sf0.1.)
     if (nNodes > stateBroadcastMaxRows)
       und = und.repartition(nPart, col("dst")).localCheckpoint()
     def gated(s: DataFrame, n: Long): DataFrame =
@@ -904,18 +909,25 @@ object Curation extends QueryPack {
         .agg(mode(col("lbl"), deterministic = true).as("nlbl"))
       if (full) {
         // voted covers every node: it IS the next label table — no
-        // patch join; the diff against the old labels is id-only
-        // (and in round 1 the old label is the id itself — no join)
-        val next = voted.select(col("id"), col("nlbl").as("lbl"))
+        // patch join. The old-label diff is FUSED into the voting job
+        // (round 1: the old label is the id itself — no join at all;
+        // later rounds: a second labels join keyed on id rides the
+        // same job — broadcast below the gate, shuffle-hash above,
+        // exactly like the diff join it replaces, but without its own
+        // checkpoint + scheduling round trip; measured ~0.3 s/full
+        // round at sf0.1). ONE materialization per round carries
+        // (id, nlbl, olbl); labels and the changed frontier are narrow
+        // projections over that checkpoint
+        val next =
+          (if (r == 0) voted.withColumn("olbl", col("id"))
+           else voted.hint("shuffle_hash")
+             .join(gated(labels.withColumnRenamed("lbl", "olbl"), nNodes),
+               "id"))
           .localCheckpoint()
-        val changedIds =
-          (if (r == 0) next.filter(col("lbl") =!= col("id"))
-           else next.hint("shuffle_hash")
-             .join(labels.withColumnRenamed("lbl", "olbl"), "id")
-             .filter(col("lbl") =!= col("olbl")))
-          .select(col("id")).localCheckpoint()
+        val changedIds = next.filter(col("nlbl") =!= col("olbl"))
+          .select(col("id"))
         val nChanged = changedIds.count()
-        labels = next
+        labels = next.select(col("id"), col("nlbl").as("lbl"))
         if (nChanged == 0) done = true
         else frontier = Some((changedIds, nChanged))
       } else {
