@@ -794,6 +794,162 @@ object Events extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse `maxIntersections` / `maxIntersectionsPosition`
+    * analogue: the peak number of concurrently-open sessions across
+    * ALL users, and the earliest instant it is reached. Intervals are
+    * the gap-sessionization's half-open [start_us, end_us) windows, so
+    * an end and a start at the same microsecond do NOT overlap — the
+    * sweep orders (t, delta) with closes (-1) before opens (+1).
+    *
+    * The running sum is the classic +1/−1 boundary sweep, computed as
+    * a DISTRIBUTED prefix scan rather than one global window: points
+    * partition by day (running sum within each day in parallel), and
+    * per-day carry-ins come from a cumulative sum over the per-day
+    * totals — a window over #days rows, the same two-level exact-scan
+    * shape as the z-order exact-ntile writer. At 100 TB the day grain
+    * swaps for whatever yields bounded per-partition point counts;
+    * only the per-grain totals ever see a global (tiny) window. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionizeManual(spark, dir)
+    val pts = sessions.select(col("start_us").as("t_us"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("end_us").as("t_us"), lit(-1L).as("delta")))
+      .withColumn("day", expr("t_us div 86400000000"))
+    val dayW = Window.partitionBy(col("day")).orderBy(col("t_us"), col("delta"))
+    val within = pts.withColumn("run_in_day",
+      sum(col("delta")).over(dayW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val carries = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_total"))
+      .withColumn("carry", coalesce(sum(col("day_total")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    val run = within.join(broadcast(carries), "day")
+      .withColumn("running", col("carry") + col("run_in_day"))
+    val mx = run.agg(max(col("running")).as("max_concurrent"))
+    run.join(broadcast(mx), col("running") === col("max_concurrent"))
+      .groupBy(col("max_concurrent"))
+      .agg(min(col("t_us")).as("at_us"))
+      .select(col("max_concurrent"), col("at_us"))
+  }
+
+  /** ClickHouse `intervalLengthSum` analogue: per user, the union
+    * length of overlapping activity windows [ts, ts + 5 min) — the
+    * honest "active time" metric (raw per-event sums double-count
+    * bursts). Gaps-and-islands: per user in (ts, event_id) order, a
+    * window starts a new island iff it opens strictly after the
+    * running max of all previous ends (touching intervals merge —
+    * [a,b)∪[b,c) is one span); island id is the running count of
+    * starts, and the union length is Σ per-island (max end − min
+    * start). Everything is user-partitioned windows + one aggregate —
+    * no global state, µs-integer arithmetic end to end. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 300000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t0"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t0"))
+      .withColumn("t1", col("t0") + winUs)
+      .withColumn("max_prev_end", max(col("t1")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("max_prev_end").isNull || col("t0") > col("max_prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("t0")).as("i0"), max(col("t1")).as("i1"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("i1") - col("i0")).as("active_us"),
+        count(lit(1)).as("n_islands"), sum(col("n_ev")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ClickHouse `deltaSum` + `boundingRatio` analogue over the daily
+    * revenue series per event type: the sum of POSITIVE day-over-day
+    * deltas (counter semantics — resets/declines don't subtract) and
+    * the end-to-end slope (last − first) / (day span). Deltas are
+    * DECIMAL(38,6)-exact; the two doubles at the end are single
+    * correctly-rounded casts/divisions from identical exact inputs,
+    * so both engines agree bit-for-bit. One (type, day) aggregate,
+    * one type-partitioned lag window, one final rollup — fully
+    * partial-agg friendly at any scale. */
+  def deltaSumDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(dec(col("value"))).as("rev"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("d", col("rev") - lag(col("rev"), 1).over(byType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("d") > dec(lit(0)), col("d")).otherwise(dec(lit(0))))
+          .cast(DoubleType).as("delta_sum"),
+        min_by(col("rev"), col("day")).as("first_rev"),
+        max_by(col("rev"), col("day")).as("last_rev"),
+        (max(col("day")) - min(col("day"))).as("span_days"))
+      .withColumn("rate_per_day",
+        when(col("span_days") > 0,
+          (col("last_rev") - col("first_rev")).cast(DoubleType) /
+            col("span_days").cast(DoubleType)))
+      .select(col("event_type"), col("n_days"), col("delta_sum"),
+        col("first_rev").cast(DoubleType).as("first_rev"),
+        col("last_rev").cast(DoubleType).as("last_rev"),
+        col("rate_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ClickHouse `exponentialMovingAverage` analogue with EXACT dyadic
+    * weights: per (type, day), EMA over the trailing 16 observed days
+    * with weight 2^−gap — numerator and denominator are pure BIGINT
+    * sums (revenue in µ-units × a power-of-two ≤ 2^15), and the final
+    * division is one correctly-rounded double op, so the hash matches
+    * the oracle without any libm. The trailing band is an EQUI-join:
+    * each daily row fans out to the 16 offsets it contributes to
+    * (day + 0…15), so the plan is a plain hash join on (type, day) —
+    * no range predicate, no BNLJ, linear at any scale. Weight
+    * headroom: µ-unit daily revenue × 2^15 × 16 terms stays under
+    * 2^63 through the ×100 tier; a larger corpus drops the weight
+    * ceiling (2^7) before BIGINT saturates. */
+  def emaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(dec(col("value"))).as("rev"))
+      .withColumn("rev_micros", (col("rev") * lit(1000000)).cast("long"))
+    val contrib = daily
+      .withColumn("off", explode(sequence(lit(0), lit(15))))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - off AS INT))"))
+      .select(col("event_type"), (col("day") + col("off")).as("day"),
+        (col("rev_micros") * col("w")).as("w_rev"), col("w"))
+    daily.select(col("event_type"), col("day"))
+      .join(contrib, Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("w_rev")).as("numer"), sum(col("w")).as("denom"),
+        count(lit(1)).as("n_terms"))
+      .select(col("event_type"), col("day"),
+        (col("numer").cast(DoubleType) / col("denom").cast(DoubleType)).as("ema"),
+        col("n_terms"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** ClickHouse `largestTriangleThreeBuckets` analogue: the daily
+    * revenue series per event type downsampled to 24 visually-faithful
+    * points by the LTTB aggregate ([[graft.functions.LttbAgg]] — whole
+    * series buffered per group, like ClickHouse's own implementation;
+    * boundedness argument in its scaladoc). Iterative greedy selection
+    * ⇒ no SQL oracle; LttbSpec pins the aggregate against an
+    * independent collect-and-run sequential reference plus the
+    * structural invariants (endpoints kept, one point per bucket,
+    * output ⊆ input). */
+  def lttbDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(dec(col("value"))).cast(DoubleType).as("rev"))
+    daily.groupBy(col("event_type"))
+      .agg(graft.functions.LttbAgg.lttb(col("day"), col("rev"), 24).as("pts"))
+      .select(col("event_type"), posexplode(col("pts")).as(Seq("idx", "p")))
+      .select(col("event_type"), col("idx").cast("long").as("idx"),
+        col("p.t").as("day"), col("p.y").as("rev"))
+      .orderBy(col("event_type"), col("idx"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_rfm"          -> rfm,
     "ev_transitions"  -> transitions,
@@ -811,6 +967,11 @@ object Events extends QueryPack {
     "ev_sequence_match_neg" -> ((s: SparkSession, d: String) => sequenceMatchNeg(s, d)),
     "ev_sequence_next_node" -> sequenceNextNode,
     "ev_sum_map"      -> sumMapDaily,
+    "ev_max_concurrency" -> maxConcurrency,
+    "ev_interval_union" -> intervalUnion,
+    "ev_delta_sum"    -> deltaSumDaily,
+    "ev_ema"          -> emaDaily,
+    "ev_lttb"         -> lttbDownsample,
     "ev_retention"    -> retention,
     "ev_cohort_matrix" -> cohortMatrix,
     "ev_json_extract" -> jsonExtract,
@@ -1013,6 +1174,96 @@ object Events extends QueryPack {
         |       string_agg(event_type || ':' || n || ':' || sum_k, ','
         |                  ORDER BY event_type) AS kv
         |FROM kv GROUP BY d ORDER BY day""".stripMargin,
+    "ev_max_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM o),
+        |iv AS (
+        |  SELECT epoch_us(MIN(ts)) AS start_us,
+        |         epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS end_us
+        |  FROM s GROUP BY user_id, sess_id),
+        |p AS (SELECT start_us AS t_us, 1 AS delta FROM iv
+        |      UNION ALL SELECT end_us AS t_us, -1 AS delta FROM iv),
+        |r AS (SELECT t_us, SUM(delta) OVER (ORDER BY t_us, delta
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM p),
+        |m AS (SELECT MAX(running) AS mx FROM r)
+        |SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+        |       (SELECT MIN(t_us) FROM r WHERE running = m.mx) AS at_us
+        |FROM m""".stripMargin,
+    "ev_interval_union" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t0,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS t1
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t0, t1,
+        |         MAX(t1) OVER (PARTITION BY user_id ORDER BY t0, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_end
+        |  FROM o),
+        |i AS (
+        |  SELECT user_id, t0, t1,
+        |         SUM(CASE WHEN max_prev_end IS NULL OR t0 > max_prev_end
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY t0, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (SELECT user_id, island, MIN(t0) AS i0, MAX(t1) AS i1,
+        |             COUNT(*) AS n_ev
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(i1 - i0) AS BIGINT) AS active_us,
+        |       COUNT(*) AS n_islands, CAST(SUM(n_ev) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_delta_sum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         SUM(CAST(value AS DECIMAL(38,6))) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, day, rev,
+        |         rev - LAG(rev) OVER (PARTITION BY event_type ORDER BY day) AS d
+        |  FROM daily),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |         CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS DOUBLE) AS delta_sum,
+        |         CAST(arg_min(rev, day) AS DOUBLE) AS first_rev,
+        |         CAST(arg_max(rev, day) AS DOUBLE) AS last_rev,
+        |         arg_max(rev, day) - arg_min(rev, day) AS diff_rev,
+        |         MAX(day) - MIN(day) AS span_days
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_days, delta_sum, first_rev, last_rev,
+        |       CASE WHEN span_days > 0
+        |            THEN CAST(diff_rev AS DOUBLE) / CAST(span_days AS DOUBLE)
+        |       END AS rate_per_day
+        |FROM a ORDER BY event_type""".stripMargin,
+    "ev_ema" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(30,6))
+        |              * 1000000 AS BIGINT) AS rev_micros
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT d.event_type, d.day + o.off AS day,
+        |         d.rev_micros * (CAST(1 AS BIGINT) << (15 - o.off)) AS w_rev,
+        |         (CAST(1 AS BIGINT) << (15 - o.off)) AS w
+        |  FROM daily d
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS off) o)
+        |SELECT d.event_type, d.day,
+        |       CAST(SUM(c.w_rev) AS DOUBLE) / CAST(SUM(c.w) AS DOUBLE) AS ema,
+        |       COUNT(*) AS n_terms
+        |FROM daily d
+        |JOIN c ON c.event_type = d.event_type AND c.day = d.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
