@@ -929,6 +929,61 @@ object Events extends QueryPack {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** ClickHouse `skewPop` / `kurtPop` analogue with an EXACT core:
+    * population skewness and excess kurtosis per event type, computed
+    * from integer power sums rather than streaming float moments.
+    * Values are 2-decimal currency, so `round(value*100)` recovers the
+    * integer cents bit-exactly in both engines; S1..S4 accumulate as
+    * DECIMAL (c ≤ decimal(6,0) ⇒ c⁴ ≤ decimal(27,0), sums ≤ (37,0) —
+    * no precision cap hit, headroom through the ×100 tier), and only
+    * the FINAL central-moment formula runs in doubles — a fixed chain
+    * of correctly-rounded IEEE ops from identical exact inputs, so the
+    * hash matches DuckDB without trusting either engine's native
+    * skewness/kurtosis (which disagree on sample-vs-population and on
+    * float summation order). One partial-agg-friendly pass — the
+    * scale-out answer to "two-pass variance doesn't fit the data". */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val c = round(col("value") * lit(100)).cast(DecimalType(6, 0))
+    // Deterministic decimal→double: engines disagree on rounding a
+    // >2^53 integer into a double (DuckDB's int128 cast double-rounds
+    // its 64-bit halves), so split at 2^32 — hi/lo are EXACT in
+    // integer arithmetic and each casts exactly (< 2^53), leaving one
+    // correctly-rounded add that both engines perform identically.
+    def d(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val lo = s % lit(4294967296L)
+      val hi = (s - lo) / lit(4294967296L)
+      hi.cast(DoubleType) * lit(4294967296.0) + lo.cast(DoubleType)
+    }
+    Tables.events(spark, dir)
+      .select(col("event_type"), c.as("c"))
+      .withColumn("c2", col("c") * col("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"), sum(col("c2")).as("s2"),
+        sum(col("c2") * col("c")).as("s3"),
+        sum(col("c2") * col("c2")).as("s4"))
+      .withColumn("nd", col("n").cast(DoubleType))
+      .withColumn("mean", d(col("s1")) / col("nd"))
+      .withColumn("e2", d(col("s2")) / col("nd"))
+      .withColumn("e3", d(col("s3")) / col("nd"))
+      .withColumn("e4", d(col("s4")) / col("nd"))
+      .withColumn("m2", col("e2") - col("mean") * col("mean"))
+      .withColumn("m3",
+        col("e3") - lit(3.0) * col("mean") * col("e2") +
+          lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4",
+        col("e4") - lit(4.0) * col("mean") * col("e3") +
+          lit(6.0) * col("mean") * col("mean") * col("e2") -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .select(col("event_type"), col("n"),
+        (col("mean") / lit(100.0)).as("mean_value"),
+        when(col("m2") > 0, col("m3") / (col("m2") * sqrt(col("m2"))))
+          .as("skewness"),
+        when(col("m2") > 0, col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
   /** ClickHouse `largestTriangleThreeBuckets` analogue: the daily
     * revenue series per event type downsampled to 24 visually-faithful
     * points by the LTTB aggregate ([[graft.functions.LttbAgg]] — whole
@@ -972,6 +1027,7 @@ object Events extends QueryPack {
     "ev_delta_sum"    -> deltaSumDaily,
     "ev_ema"          -> emaDaily,
     "ev_lttb"         -> lttbDownsample,
+    "ev_moments"      -> moments,
     "ev_retention"    -> retention,
     "ev_cohort_matrix" -> cohortMatrix,
     "ev_json_extract" -> jsonExtract,
@@ -1264,6 +1320,43 @@ object Events extends QueryPack {
         |FROM daily d
         |JOIN c ON c.event_type = d.event_type AND c.day = d.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_moments" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS c
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(c) AS s1, SUM(c*c) AS s2,
+        |         SUM(c*c*c) AS s3, SUM((c*c)*(c*c)) AS s4
+        |  FROM p GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         (CAST((s1 - s1 % 4294967296) // 4294967296 AS DOUBLE)
+        |            * 4294967296.0 + CAST(s1 % 4294967296 AS DOUBLE))
+        |           / CAST(n AS DOUBLE) AS mean,
+        |         (CAST((s2 - s2 % 4294967296) // 4294967296 AS DOUBLE)
+        |            * 4294967296.0 + CAST(s2 % 4294967296 AS DOUBLE))
+        |           / CAST(n AS DOUBLE) AS e2,
+        |         (CAST((s3 - s3 % 4294967296) // 4294967296 AS DOUBLE)
+        |            * 4294967296.0 + CAST(s3 % 4294967296 AS DOUBLE))
+        |           / CAST(n AS DOUBLE) AS e3,
+        |         (CAST((s4 - s4 % 4294967296) // 4294967296 AS DOUBLE)
+        |            * 4294967296.0 + CAST(s4 % 4294967296 AS DOUBLE))
+        |           / CAST(n AS DOUBLE) AS e4
+        |  FROM s),
+        |cm AS (
+        |  SELECT event_type, n, mean,
+        |         e2 - mean * mean AS m2,
+        |         e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean AS m3,
+        |         e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2
+        |            - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM m)
+        |SELECT event_type, n, mean / 100.0 AS mean_value,
+        |       CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END AS skewness,
+        |       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
+        |FROM cm ORDER BY event_type""".stripMargin,
     "ev_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
