@@ -5,7 +5,8 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end corpus curation — the composed LLM-data pipeline the
   * individual operators exist for: quality gating + near-dup clustering
@@ -72,7 +73,7 @@ object Curation extends QueryPack {
         .join(items.select(col("ok"), col("pid").as("v")), "ok")
         .filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     })
 
   /** Connected components over arbitrary near-dup edges: (doc_id,
@@ -167,6 +168,14 @@ object Curation extends QueryPack {
     * giant-graph path. */
   private[graft] val StateBroadcastMaxRows = 2000000L
 
+  /** Edge-table broadcast ceiling for the triangle census: the oriented
+    * edge set broadcasts below this (the LongHashedRelation fast path —
+    * ~30 MB at sf0.1, ~300 MB at ×10, both measured), and above it the
+    * wedge/closure joins degrade to shuffle-hash instead of collecting
+    * a >1 GiB relation through the driver (the ×100 probe hit
+    * `spark.driver.maxResultSize` exactly here). */
+  private[graft] val EdgeBroadcastMaxRows = 20000000L
+
   /** PageRank over the part co-purchase graph (parts sharing an order,
     * via lineitem) — the iterative graph-analytics twin of
     * [[components]], built on the same discipline: a fixed number of
@@ -213,7 +222,8 @@ object Curation extends QueryPack {
       val a = items.select(col("ok"), col("pid").as("src"))
       val b = items.select(col("ok"), col("pid").as("dst"))
       a.join(b, "ok").filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     })
 
   def pageRank(spark: SparkSession, dir: String): DataFrame =
@@ -224,14 +234,24 @@ object Curation extends QueryPack {
   private[graft] def pageRankOf(edges0: DataFrame,
       stateBroadcastMaxRows: Long = StateBroadcastMaxRows): DataFrame = {
     val Fp = 1000000000000L // fixed point: 1.0 == 10^12
-    val edges = edges0.localCheckpoint()
+    // O(|E|) frames pin SERIALIZED: deserialized row caches of the
+    // ×100 multigraph (240M edges) tripled the heap and OOM'd —
+    // serialized blocks are ~4× smaller and spill cleanly, and only
+    // the (tiny) per-round state stays deserialized. Reuse an
+    // already-pinned input instead of re-checkpointing a second copy
+    // (the query path arrives via multiEdgeCache's checkpoint).
+    val edges =
+      if (edges0.storageLevel == StorageLevel.NONE)
+        edges0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      else edges0
     val degree = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // re-spread before checkpointing: AQE coalesces the 50 MB join
     // output under one advisory partition, and the checkpointed RDD
     // keeps that layout — every round would then scan all edges on ONE
     // task (measured 9.7 → 4.3 s warm at sf0.1)
     val withDeg = edges.join(degree, "src")
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
     val nNodes = nodes.count()
     // ranks/contribs are one (id, long) row per NODE. Below the gate
@@ -284,7 +304,12 @@ object Curation extends QueryPack {
 
   /** Core census over a simple undirected edge list (u < v, distinct). */
   private[graft] def trianglesOf(e0: DataFrame): DataFrame = {
-    val e = e0.localCheckpoint()
+    // reuse the shared edge checkpoint when the caller pinned one
+    // (coPurchaseCache); O(|E|) copies pin SERIALIZED (pageRank note)
+    val e =
+      if (e0.storageLevel == StorageLevel.NONE)
+        e0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      else e0
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): src = smaller endpoint in that order
@@ -299,7 +324,7 @@ object Curation extends QueryPack {
            (col("du") === col("dv") && col("u") < col("v")), col("v"))
         .otherwise(col("u")).as("dst"),
       greatest(col("du"), col("dv")).as("ddeg"))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // wedges at the low vertex: pairs of out-neighbors, ordered by
     // (deg, id) so the closing edge is oriented v -> w by construction.
     // EXPLICIT partition count on the self-join inputs: the edge table
@@ -308,6 +333,11 @@ object Curation extends QueryPack {
     // input, and the wedge generation would run serial on one task
     // (the pageRank re-spread lesson; AQE sizes by input, not output)
     val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
+    // |E|-gate the two edge broadcasts below (scaladoc on the constant)
+    val edgeCount = oriented.count()
+    def gatedEdges(s: DataFrame): DataFrame =
+      if (edgeCount <= EdgeBroadcastMaxRows) broadcast(s)
+      else s.hint("shuffle_hash")
     val x = oriented.repartition(nPart, col("src"))
       .select(col("src"), col("dst").as("v"), col("ddeg").as("vd"))
     // broadcast the probe side too (it IS the broadcast-sized edge
@@ -316,7 +346,7 @@ object Curation extends QueryPack {
     // wedge row, not per input row
     val y = oriented
       .select(col("src"), col("dst").as("w"), col("ddeg").as("wd"))
-    val wedges = x.join(broadcast(y), Seq("src"))
+    val wedges = x.join(gatedEdges(y), Seq("src"))
       .filter(col("vd") < col("wd") ||
         (col("vd") === col("wd") && col("v") < col("w")))
       .selectExpr("shiftleft(v, 32) | w as pk")
@@ -336,12 +366,13 @@ object Curation extends QueryPack {
     // two longs. On a graph whose EDGE set outgrows executor memory,
     // drop the hint: same plan, one wedge shuffle.
     val nTri = wedges.join(
-        broadcast(oriented.selectExpr("shiftleft(src, 32) | dst as pk")),
+        gatedEdges(oriented.selectExpr("shiftleft(src, 32) | dst as pk")),
         Seq("pk"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val sums = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val nE = sums.sparkSession.range(1)
+      .select(lit(edgeCount).as("n_edges"))
     sums.crossJoin(nE).crossJoin(nTri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -394,7 +425,14 @@ object Curation extends QueryPack {
     def degrees(edges: DataFrame): DataFrame = edges
       .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    var core = e0.localCheckpoint()
+    // round-0 edges reuse the shared pin; each peel round checkpoints
+    // a SHRINKING serialized copy and drops its predecessor — without
+    // the unpersist, R rounds pin R copies of O(|E|) (the ×100 OOM)
+    var core =
+      if (e0.storageLevel == StorageLevel.NONE)
+        e0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      else e0
+    var coreOwned = false // never unpersist the caller's shared cache
     // median initial degree from the count-of-counts histogram
     val hist = degrees(core)
       .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
@@ -426,11 +464,13 @@ object Curation extends QueryPack {
       val next = core
         .join(gatedKeep(keep.select(col("id").as("u"))), Seq("u"), "left_semi")
         .join(gatedKeep(keep.select(col("id").as("v"))), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val n = next.count()
       converged = n == nEdges
       nEdges = n
+      if (coreOwned) core.unpersist()
       core = next
+      coreOwned = true
       rounds += 1
     }
     degrees(core)
@@ -846,7 +886,7 @@ object Curation extends QueryPack {
     val nPart = e0.sparkSession.sessionState.conf.numShufflePartitions
     var und = e0.select(col("u").as("src"), col("v").as("dst"))
       .union(e0.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     val nNodes = labels.count()
@@ -861,8 +901,12 @@ object Curation extends QueryPack {
     // into the logical plan, so the groupBy grows an
     // ENSURE_REQUIREMENTS exchange that AQE coalesces onto one
     // advisory partition — warm 5.7 s → 11 s at sf0.1.)
-    if (nNodes > stateBroadcastMaxRows)
-      und = und.repartition(nPart, col("dst")).localCheckpoint()
+    if (nNodes > stateBroadcastMaxRows) {
+      val spread = und.repartition(nPart, col("dst"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      und.unpersist()
+      und = spread
+    }
     def gated(s: DataFrame, n: Long): DataFrame =
       if (n <= stateBroadcastMaxRows) broadcast(s) else s.hint("shuffle_hash")
     // frontier = (ids changed last round, count); None = recompute all
@@ -956,8 +1000,46 @@ object Curation extends QueryPack {
       .orderBy(col("community"))
   }
 
+  /** Corpus concentration report: the Gini coefficient of per-doc
+    * token counts plus the share held by the largest 1% of documents —
+    * the curation diagnostic for "is the token budget dominated by a
+    * few giant docs" (feeding chunking/packing policy). Gini comes
+    * from the rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * ascending-ranked counts, so the whole computation is two integer
+    * aggregates over a GLOBAL EXACT rank — computed distributed by
+    * [[graft.plans.ExactRank]] (range partition + per-partition
+    * row_number + driver offsets; no single-partition window), the
+    * same scan the z-order writer uses. (doc_id tie-break makes the
+    * rank total, and the identity is tie-order invariant: equal x
+    * across a rank run contributes the same Σ i·x either way.)
+    * Integer sums stay far below 2^53 at every tier (documents don't
+    * scale in the ×N fixtures); a corpus where Σ rank·tokens
+    * approaches 2^53 would reuse `ev_moments`' hi/lo split for the
+    * final double casts. */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val counts = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as bigint) as x")
+    val (ranked, _) = graft.plans.ExactRank.withRank(
+      counts, nPart, Seq(col("x"), col("doc_id")), "rnk")
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("rnk")).as("sxr"))
+    ranked.join(broadcast(tot))
+      .withColumn("k", ceil(col("n") / lit(100.0)).cast("long"))
+      .groupBy(col("n"), col("sx"), col("sxr"))
+      .agg(sum(when(col("rnk") > col("n") - col("k"), col("x"))
+        .otherwise(lit(0L))).as("top_x"))
+      .select(col("n"), col("sx").as("total_tokens"),
+        ((lit(2.0) * col("sxr").cast(DoubleType) -
+          (col("n") + 1).cast(DoubleType) * col("sx").cast(DoubleType)) /
+          (col("n").cast(DoubleType) * col("sx").cast(DoubleType))).as("gini"),
+        (col("top_x").cast(DoubleType) / col("sx").cast(DoubleType))
+          .as("top1_share"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_communities" -> communities,
+    "cur_token_gini" -> tokenGini,
     "cur_components" -> components,
     "cur_corpus"     -> curatedCorpus,
     "cur_canonical"  -> canonicalDocs,
@@ -994,6 +1076,31 @@ object Curation extends QueryPack {
        |        UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "cur_token_gini" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, x,
+        |         ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rnk
+        |  FROM c),
+        |t AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(x * rnk) AS BIGINT) AS sxr
+        |  FROM r),
+        |s AS (
+        |  SELECT t.n, t.sx, t.sxr,
+        |         (SELECT CAST(SUM(r.x) AS BIGINT) FROM r, t
+        |          WHERE r.rnk > t.n - CAST(CEIL(t.n / 100.0) AS BIGINT))
+        |           AS top_x
+        |  FROM t)
+        |SELECT n, sx AS total_tokens,
+        |       (2.0 * CAST(sxr AS DOUBLE)
+        |          - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini,
+        |       CAST(top_x AS DOUBLE) / CAST(sx AS DOUBLE) AS top1_share
+        |FROM s""".stripMargin,
     "cur_epoch_sample" ->
       s"""WITH d AS (SELECT lang, doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS wt

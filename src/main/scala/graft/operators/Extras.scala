@@ -503,29 +503,13 @@ object Extras extends QueryPack {
     * only on the TRUE per-file min/max emitted here. */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val nPart = spark.sessionState.conf.numShufflePartitions
-    // checkpoint pins the range partitioning: the count pass and the
-    // rank pass must see the SAME partition ids
-    val parted = zorderValues(spark, dir)
-      .repartitionByRange(nPart, col("z"), col("d"), col("ck"))
-      .localCheckpoint()
-    val counts = parted.groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("cnt")).orderBy(col("pid"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val n = counts.map(_._2).sum
-    val offsets = counts.scanLeft((0, 0L)) {
-      case ((_, acc), (pid, cnt)) => (pid, acc + cnt)
-    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("pid", "off")
+    val (ranked, n) = graft.plans.ExactRank.withRank(zorderValues(spark, dir),
+      nPart, Seq(col("z"), col("d"), col("ck")), "rnk")
     // ntile(64) exactly: the first (n mod 64) buckets take one row more
     val q = n / 64
     val rem = n % 64
     val big = q + 1
-    parted.withColumn("pid", spark_partition_id())
-      .join(broadcast(offDf), "pid")
-      .withColumn("rnk", row_number()
-        .over(Window.partitionBy(col("pid"))
-          .orderBy(col("z"), col("d"), col("ck"))).cast("long") + col("off"))
+    ranked
       .withColumn("bucket",
         when(col("rnk") <= lit(rem * big),
           expr(s"(rnk - 1) div $big + 1"))

@@ -288,6 +288,46 @@ object EventStream {
       }
   }
 
+  case class IvState(curStart: Long, maxEnd: Long, islands: Long,
+      closedUs: Long, n: Long)
+  case class IvOut(user_id: Long, active_us: Long, n_islands: Long,
+      n_events: Long)
+
+  /** Streaming `intervalLengthSum`: the incremental twin of
+    * [[graft.operators.Events.intervalUnion]]. Per-user state is FIVE
+    * longs — current island start, running max end, island count,
+    * union-µs of CLOSED islands, event count — versus the batch form's
+    * full gaps-and-islands window pass. Each emitted row reports the
+    * union INCLUDING the still-open island, so the final row equals the
+    * batch answer; the batch rule set folds verbatim (a window starting
+    * strictly after the running max end opens a new island; touching
+    * merges). Same late-data trade as [[funnelLevels]]: an out-of-order
+    * event folds at arrival. */
+  def intervalUnion(spark: SparkSession, eventsDir: String): Dataset[IvOut] = {
+    import spark.implicits._
+    val winUs = 300000000L
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[IvState, IvOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[IvState]) =>
+          var s = state.getOption.getOrElse(IvState(-1L, -1L, 0L, 0L, 0L))
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            val t0 = epochUs(e.ts)
+            val t1 = t0 + winUs
+            if (s.islands == 0) s = IvState(t0, t1, 1L, 0L, s.n + 1)
+            else if (t0 > s.maxEnd)
+              s = IvState(t0, t1, s.islands + 1,
+                s.closedUs + (s.maxEnd - s.curStart), s.n + 1)
+            else s = s.copy(maxEnd = math.max(s.maxEnd, t1), n = s.n + 1)
+          }
+          state.update(s)
+          val open = if (s.islands == 0) 0L else s.maxEnd - s.curStart
+          IvOut(user, s.closedUs + open, s.islands, s.n)
+      }
+  }
+
   /** Custom-state sessionization with `flatMapGroupsWithState`: emits a
     * session whenever a ≥30-min gap closes it; the trailing open session
     * per user is held in state and flushed by event-time timeout. */

@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllow: Map[String, (Int, String)] = Map(
     "cur_assoc_rules"         -> (1, "scalar attach: order-count row"),
     "cur_dataset_card"        -> (3, "scalar attach: 1-row card legs (x3)"),
+    "cur_token_gini"          -> (2, "scalar attach: 1-row totals + n_edges-style lit"),
     "cur_triangles"           -> (2, "scalar attach: census rows (x2)"),
     "dedup_cosine_pairs"      -> (1, "scalar attach: corpus-size row for the df cap"),
     "ev_hll_daily"            -> (1, "scalar attach: horizon row"),

@@ -37,6 +37,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming intervalUnion equals the batch gaps-and-islands") {
+    val q = EventStream.intervalUnion(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ivu_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // one batch ⇒ the last (only) update row per user is the final state
+    val streamed = spark.table("ivu_out")
+      .groupBy("user_id")
+      .agg(max("active_us").as("active_us"), max("n_islands").as("n_islands"),
+        max("n_events").as("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Events.intervalUnion(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming funnel levels equal the batch windowFunnel histogram") {
     val q = EventStream.funnelLevels(spark, eventsDir)
       .writeStream.outputMode("update")
