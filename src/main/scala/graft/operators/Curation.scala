@@ -234,15 +234,15 @@ object Curation extends QueryPack {
   private[graft] def pageRankOf(edges0: DataFrame,
       stateBroadcastMaxRows: Long = StateBroadcastMaxRows): DataFrame = {
     val Fp = 1000000000000L // fixed point: 1.0 == 10^12
-    // O(|E|) frames pin SERIALIZED: deserialized row caches of the
-    // ×100 multigraph (240M edges) tripled the heap and OOM'd —
-    // serialized blocks are ~4× smaller and spill cleanly, and only
-    // the (tiny) per-round state stays deserialized. Reuse an
-    // already-pinned input instead of re-checkpointing a second copy
-    // (the query path arrives via multiEdgeCache's checkpoint).
+    // Storage policy from the ×100 probes (SCALE.md): the LONG-LIVED
+    // shared caches pin SERIALIZED; per-loop WORKING frames stay
+    // deserialized (each round re-reads them — serializing withDeg
+    // here and the LPA/k-core round frames cost 1.7–3.3× at ×100) but
+    // are DEDUPLICATED: reuse an already-pinned input instead of
+    // checkpointing a second O(|E|) copy (the duplicate was the ×100
+    // OOM, and dropping it alone took pagerank 640→520 s there).
     val edges =
-      if (edges0.storageLevel == StorageLevel.NONE)
-        edges0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      if (edges0.storageLevel == StorageLevel.NONE) edges0.localCheckpoint()
       else edges0
     val degree = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // re-spread before checkpointing: AQE coalesces the 50 MB join
@@ -250,8 +250,7 @@ object Curation extends QueryPack {
     // keeps that layout — every round would then scan all edges on ONE
     // task (measured 9.7 → 4.3 s warm at sf0.1)
     val withDeg = edges.join(degree, "src")
-      .repartition(col("src"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .repartition(col("src")).localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
     val nNodes = nodes.count()
     // ranks/contribs are one (id, long) row per NODE. Below the gate
@@ -305,10 +304,9 @@ object Curation extends QueryPack {
   /** Core census over a simple undirected edge list (u < v, distinct). */
   private[graft] def trianglesOf(e0: DataFrame): DataFrame = {
     // reuse the shared edge checkpoint when the caller pinned one
-    // (coPurchaseCache); O(|E|) copies pin SERIALIZED (pageRank note)
+    // (coPurchaseCache) — storage policy note in pageRankOf
     val e =
-      if (e0.storageLevel == StorageLevel.NONE)
-        e0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      if (e0.storageLevel == StorageLevel.NONE) e0.localCheckpoint()
       else e0
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -324,7 +322,7 @@ object Curation extends QueryPack {
            (col("du") === col("dv") && col("u") < col("v")), col("v"))
         .otherwise(col("u")).as("dst"),
       greatest(col("du"), col("dv")).as("ddeg"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint()
     // wedges at the low vertex: pairs of out-neighbors, ordered by
     // (deg, id) so the closing edge is oriented v -> w by construction.
     // EXPLICIT partition count on the self-join inputs: the edge table
@@ -425,14 +423,13 @@ object Curation extends QueryPack {
     def degrees(edges: DataFrame): DataFrame = edges
       .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    // round-0 edges reuse the shared pin; each peel round checkpoints
-    // a SHRINKING serialized copy and drops its predecessor — without
-    // the unpersist, R rounds pin R copies of O(|E|) (the ×100 OOM)
-    var core =
-      if (e0.storageLevel == StorageLevel.NONE)
-        e0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      else e0
-    var coreOwned = false // never unpersist the caller's shared cache
+    // Round 0 scans the edge set 3× (histogram + two semi-joins), so
+    // it gets a PRIVATE deserialized working copy even when the caller
+    // hands in the serialized shared cache; each peel round then
+    // checkpoints a SHRINKING copy and drops its predecessor — without
+    // the unpersist, R rounds pin R copies of O(|E|) (the ×100 OOM).
+    var core = e0.localCheckpoint()
+    var coreOwned = true
     // median initial degree from the count-of-counts histogram
     val hist = degrees(core)
       .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
@@ -464,7 +461,7 @@ object Curation extends QueryPack {
       val next = core
         .join(gatedKeep(keep.select(col("id").as("u"))), Seq("u"), "left_semi")
         .join(gatedKeep(keep.select(col("id").as("v"))), Seq("v"), "left_semi")
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint()
       val n = next.count()
       converged = n == nEdges
       nEdges = n
@@ -886,7 +883,7 @@ object Curation extends QueryPack {
     val nPart = e0.sparkSession.sessionState.conf.numShufflePartitions
     var und = e0.select(col("u").as("src"), col("v").as("dst"))
       .union(e0.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     val nNodes = labels.count()
@@ -902,8 +899,7 @@ object Curation extends QueryPack {
     // ENSURE_REQUIREMENTS exchange that AQE coalesces onto one
     // advisory partition — warm 5.7 s → 11 s at sf0.1.)
     if (nNodes > stateBroadcastMaxRows) {
-      val spread = und.repartition(nPart, col("dst"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val spread = und.repartition(nPart, col("dst")).localCheckpoint()
       und.unpersist()
       und = spread
     }
