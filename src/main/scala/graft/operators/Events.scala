@@ -26,6 +26,20 @@ object Events extends QueryPack {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
 
+  /** Deterministic exact-integer→double: engines disagree on rounding
+    * a >2^53 integer into a double (DuckDB's int128 cast double-rounds
+    * its 64-bit halves; Spark's BigDecimal path rounds correctly), so
+    * split at 2^32 — hi/lo are EXACT in integer arithmetic (truncated
+    * `%` in both engines, valid for negatives too) and each casts
+    * exactly (< 2^53), leaving one correctly-rounded add both engines
+    * perform identically. Shared by [[moments]] and [[linregDaily]];
+    * the oracle SQL spells out the same split. */
+  private def splitToDouble(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lo = s % lit(4294967296L)
+    val hi = (s - lo) / lit(4294967296L)
+    hi.cast(DoubleType) * lit(4294967296.0) + lo.cast(DoubleType)
+  }
+
   /** X5: JSON property extraction from the `props` column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -944,16 +958,7 @@ object Events extends QueryPack {
     * scale-out answer to "two-pass variance doesn't fit the data". */
   def moments(spark: SparkSession, dir: String): DataFrame = {
     val c = round(col("value") * lit(100)).cast(DecimalType(6, 0))
-    // Deterministic decimal→double: engines disagree on rounding a
-    // >2^53 integer into a double (DuckDB's int128 cast double-rounds
-    // its 64-bit halves), so split at 2^32 — hi/lo are EXACT in
-    // integer arithmetic and each casts exactly (< 2^53), leaving one
-    // correctly-rounded add that both engines perform identically.
-    def d(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val lo = s % lit(4294967296L)
-      val hi = (s - lo) / lit(4294967296L)
-      hi.cast(DoubleType) * lit(4294967296.0) + lo.cast(DoubleType)
-    }
+    val d = splitToDouble _
     Tables.events(spark, dir)
       .select(col("event_type"), c.as("c"))
       .withColumn("c2", col("c") * col("c"))
@@ -981,6 +986,45 @@ object Events extends QueryPack {
           .as("skewness"),
         when(col("m2") > 0, col("m4") / (col("m2") * col("m2")) - lit(3.0))
           .as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ClickHouse `simpleLinearRegression` analogue: OLS slope /
+    * intercept / r² of daily revenue vs day, per event type, on the
+    * same exact-core discipline as [[moments]]: Σx, Σy, Σxy, Σx², Σy²
+    * accumulate as DECIMAL integers (y in µ-units), the normal-equation
+    * numerators/denominators (n·Σxy−ΣxΣy etc.) stay exact, and only
+    * the final ratios run in doubles via [[splitToDouble]]. One
+    * partial-agg pass over the (type, day) rollup — the streaming-sums
+    * form of regression that needs no second centered pass, at any
+    * scale. Degenerate guards: slope NULL on a single-day series
+    * (d1=0), r² NULL when either variance is zero. */
+  def linregDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d = splitToDouble _
+    val dl = DecimalType(20, 0)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(dec(col("value"))).as("rev"))
+      .select(col("event_type"), col("day").cast(dl).as("x"),
+        (col("rev") * lit(1000000)).cast("long").cast(dl).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("ndec", col("n").cast(dl))
+      .withColumn("n1", col("ndec") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", col("ndec") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("n2", col("ndec") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope_raw", when(col("d1") > 0, d(col("n1")) / d(col("d1"))))
+      .select(col("event_type"), col("n").as("n_days"),
+        (col("slope_raw") / lit(1000000.0)).as("slope_per_day"),
+        (((d(col("sy")) - col("slope_raw") * d(col("sx"))) /
+          col("n").cast(DoubleType)) / lit(1000000.0)).as("intercept"),
+        when(col("d1") > 0 && col("n2") > 0,
+          (d(col("n1")) * d(col("n1"))) / (d(col("d1")) * d(col("n2"))))
+          .as("r2"))
       .orderBy(col("event_type"))
   }
 
@@ -1028,6 +1072,7 @@ object Events extends QueryPack {
     "ev_ema"          -> emaDaily,
     "ev_lttb"         -> lttbDownsample,
     "ev_moments"      -> moments,
+    "ev_linreg"       -> linregDaily,
     "ev_retention"    -> retention,
     "ev_cohort_matrix" -> cohortMatrix,
     "ev_json_extract" -> jsonExtract,
@@ -1320,6 +1365,50 @@ object Events extends QueryPack {
         |FROM daily d
         |JOIN c ON c.event_type = d.event_type AND c.day = d.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_linreg" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x0,
+        |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(30,6))
+        |              * 1000000 AS BIGINT) AS y0
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(x0 AS HUGEINT)) AS sx, SUM(CAST(y0 AS HUGEINT)) AS sy,
+        |         SUM(CAST(x0 AS HUGEINT) * y0) AS sxy,
+        |         SUM(CAST(x0 AS HUGEINT) * x0) AS sxx,
+        |         SUM(CAST(y0 AS HUGEINT) * y0) AS syy
+        |  FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, n, sx, sy,
+        |         CAST(n AS HUGEINT) * sxy - sx * sy AS n1,
+        |         CAST(n AS HUGEINT) * sxx - sx * sx AS d1,
+        |         CAST(n AS HUGEINT) * syy - sy * sy AS n2
+        |  FROM s),
+        |u AS (
+        |  SELECT event_type, n, d1, n2,
+        |         CAST((n1 - n1 % 4294967296) // 4294967296 AS DOUBLE)
+        |           * 4294967296.0 + CAST(n1 % 4294967296 AS DOUBLE) AS dn1,
+        |         CAST((d1 - d1 % 4294967296) // 4294967296 AS DOUBLE)
+        |           * 4294967296.0 + CAST(d1 % 4294967296 AS DOUBLE) AS dd1,
+        |         CAST((n2 - n2 % 4294967296) // 4294967296 AS DOUBLE)
+        |           * 4294967296.0 + CAST(n2 % 4294967296 AS DOUBLE) AS dn2,
+        |         CAST((sx - sx % 4294967296) // 4294967296 AS DOUBLE)
+        |           * 4294967296.0 + CAST(sx % 4294967296 AS DOUBLE) AS dsx,
+        |         CAST((sy - sy % 4294967296) // 4294967296 AS DOUBLE)
+        |           * 4294967296.0 + CAST(sy % 4294967296 AS DOUBLE) AS dsy
+        |  FROM t),
+        |v AS (
+        |  SELECT event_type, n, d1, n2, dn1, dd1, dn2, dsx, dsy,
+        |         CASE WHEN d1 > 0 THEN dn1 / dd1 END AS slope_raw
+        |  FROM u)
+        |SELECT event_type, n AS n_days,
+        |       slope_raw / 1000000.0 AS slope_per_day,
+        |       ((dsy - slope_raw * dsx) / CAST(n AS DOUBLE)) / 1000000.0
+        |         AS intercept,
+        |       CASE WHEN d1 > 0 AND n2 > 0
+        |            THEN (dn1 * dn1) / (dd1 * dn2) END AS r2
+        |FROM v ORDER BY event_type""".stripMargin,
     "ev_moments" ->
       """WITH p AS (
         |  SELECT event_type,
