@@ -823,8 +823,10 @@ object Events extends QueryPack {
     * shape as the z-order exact-ntile writer. At 100 TB the day grain
     * swaps for whatever yields bounded per-partition point counts;
     * only the per-grain totals ever see a global (tiny) window. */
-  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = sessionizeManual(spark, dir)
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame =
+    maxConcurrencyOf(sessionizeManual(spark, dir))
+
+  private[graft] def maxConcurrencyOf(sessions: DataFrame): DataFrame = {
     val pts = sessions.select(col("start_us").as("t_us"), lit(1L).as("delta"))
       .unionAll(sessions.select(col("end_us").as("t_us"), lit(-1L).as("delta")))
       .withColumn("day", expr("t_us div 86400000000"))
@@ -854,10 +856,13 @@ object Events extends QueryPack {
     * starts, and the union length is Σ per-island (max end − min
     * start). Everything is user-partitioned windows + one aggregate —
     * no global state, µs-integer arithmetic end to end. */
-  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame =
+    intervalUnionOf(Tables.events(spark, dir))
+
+  private[graft] def intervalUnionOf(ev: DataFrame): DataFrame = {
     val winUs = 300000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("t0"), col("event_id"))
-    Tables.events(spark, dir)
+    ev
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t0"))
       .withColumn("t1", col("t0") + winUs)
       .withColumn("max_prev_end", max(col("t1")).over(
@@ -885,8 +890,11 @@ object Events extends QueryPack {
     * so both engines agree bit-for-bit. One (type, day) aggregate,
     * one type-partitioned lag window, one final rollup — fully
     * partial-agg friendly at any scale. */
-  def deltaSumDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def deltaSumDaily(spark: SparkSession, dir: String): DataFrame =
+    deltaSumOf(Tables.events(spark, dir))
+
+  private[graft] def deltaSumOf(ev: DataFrame): DataFrame = {
+    val daily = ev
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(sum(dec(col("value"))).as("rev"))
     val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -922,8 +930,11 @@ object Events extends QueryPack {
     * headroom: µ-unit daily revenue × 2^15 × 16 terms stays under
     * 2^63 through the ×100 tier; a larger corpus drops the weight
     * ceiling (2^7) before BIGINT saturates. */
-  def emaDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def emaDaily(spark: SparkSession, dir: String): DataFrame =
+    emaOf(Tables.events(spark, dir))
+
+  private[graft] def emaOf(ev: DataFrame): DataFrame = {
+    val daily = ev
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(sum(dec(col("value"))).as("rev"))
       .withColumn("rev_micros", (col("rev") * lit(1000000)).cast("long"))
@@ -956,10 +967,13 @@ object Events extends QueryPack {
     * skewness/kurtosis (which disagree on sample-vs-population and on
     * float summation order). One partial-agg-friendly pass — the
     * scale-out answer to "two-pass variance doesn't fit the data". */
-  def moments(spark: SparkSession, dir: String): DataFrame = {
+  def moments(spark: SparkSession, dir: String): DataFrame =
+    momentsOf(Tables.events(spark, dir))
+
+  private[graft] def momentsOf(ev: DataFrame): DataFrame = {
     val c = round(col("value") * lit(100)).cast(DecimalType(6, 0))
     val d = splitToDouble _
-    Tables.events(spark, dir)
+    ev
       .select(col("event_type"), c.as("c"))
       .withColumn("c2", col("c") * col("c"))
       .groupBy(col("event_type"))
@@ -999,10 +1013,13 @@ object Events extends QueryPack {
     * form of regression that needs no second centered pass, at any
     * scale. Degenerate guards: slope NULL on a single-day series
     * (d1=0), r² NULL when either variance is zero. */
-  def linregDaily(spark: SparkSession, dir: String): DataFrame = {
+  def linregDaily(spark: SparkSession, dir: String): DataFrame =
+    linregOf(Tables.events(spark, dir))
+
+  private[graft] def linregOf(ev: DataFrame): DataFrame = {
     val d = splitToDouble _
     val dl = DecimalType(20, 0)
-    val daily = Tables.events(spark, dir)
+    val daily = ev
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(sum(dec(col("value"))).as("rev"))
       .select(col("event_type"), col("day").cast(dl).as("x"),

@@ -176,4 +176,71 @@ class EdgeCaseSpec extends AnyFunSuite {
     val chars = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeMergesOf(spark, chars, 5).count() == 0)
   }
+
+  /** (event_id, epoch-second, user_id, type, value) → events frame. */
+  private def evFrame(rows: Seq[(Long, Long, Long, String, Double)]): DataFrame =
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_seconds(sec)"))
+      .drop("sec")
+
+  private def emptyEv: DataFrame = evFrame(Seq.empty)
+
+  test("interval/series aggregates: empty events yield empty results, no errors") {
+    assert(Events.intervalUnionOf(emptyEv).count() == 0)
+    assert(Events.deltaSumOf(emptyEv).count() == 0)
+    assert(Events.emaOf(emptyEv).count() == 0)
+    assert(Events.momentsOf(emptyEv).count() == 0)
+    assert(Events.linregOf(emptyEv).count() == 0)
+    val noSessions = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "start_us", "end_us")
+    assert(Events.maxConcurrencyOf(noSessions).count() == 0)
+  }
+
+  test("momentsOf: constant series guards skew/kurt to NULL (m2 = 0)") {
+    val const = evFrame((1L to 10L).map(i => (i, i * 60, 1L, "view", 7.0)))
+    val r = Events.momentsOf(const)
+      .select("n", "mean_value", "skewness", "kurtosis").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 10L)
+    assert(r(0).getDouble(1) == 7.0)
+    assert(r(0).isNullAt(2) && r(0).isNullAt(3))
+  }
+
+  test("linreg/deltaSum: single-day series degrade to NULL slope and zero deltas") {
+    val oneDay = evFrame(Seq((1L, 100L, 1L, "view", 5.0), (2L, 200L, 2L, "view", 7.0)))
+    val lr = Events.linregOf(oneDay).collect()
+    assert(lr.length == 1 && lr(0).getLong(1) == 1L) // n_days
+    assert(lr(0).isNullAt(2) && lr(0).isNullAt(3) && lr(0).isNullAt(4))
+    val ds = Events.deltaSumOf(oneDay)
+      .select("n_days", "delta_sum", "rate_per_day").collect()
+    assert(ds(0).getLong(0) == 1L && ds(0).getDouble(1) == 0.0 && ds(0).isNullAt(2))
+  }
+
+  test("intervalUnionOf: touching windows merge, gapped windows split") {
+    // second event starts exactly at the first window's end (300 s):
+    // touching ⇒ one island of 600 s; third starts 301 s later ⇒ split
+    val ev = evFrame(Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 300L, 1L, "view", 0.0),
+      (3L, 901L, 1L, "view", 0.0)))
+    val r = Events.intervalUnionOf(ev)
+      .select("active_us", "n_islands", "n_events").collect()
+    assert(r(0).getLong(0) == 900L * 1000000 && r(0).getLong(1) == 2L &&
+      r(0).getLong(2) == 3L)
+  }
+
+  test("maxConcurrencyOf: half-open intervals — touching is NOT concurrent") {
+    val touching = Seq((1L, 0L, 10L), (2L, 10L, 20L))
+      .toDF("user_id", "start_us", "end_us")
+    val t = Events.maxConcurrencyOf(touching).collect()(0)
+    assert(t.getLong(0) == 1L)
+    val overlapping = Seq((1L, 0L, 20L), (2L, 10L, 30L), (3L, 15L, 16L))
+      .toDF("user_id", "start_us", "end_us")
+    val o = Events.maxConcurrencyOf(overlapping).collect()(0)
+    assert(o.getLong(0) == 3L && o.getLong(1) == 15L) // earliest peak instant
+  }
+
+  test("emaOf: a single observed day is its own EMA") {
+    val ev = evFrame(Seq((1L, 100L, 1L, "click", 4.5)))
+    val r = Events.emaOf(ev).select("ema", "n_terms").collect()(0)
+    assert(r.getDouble(0) == 4500000.0 && r.getLong(1) == 1L)
+  }
 }
