@@ -1111,7 +1111,8 @@ object Curation extends QueryPack {
         |        LEAST($EpochK - 1,
         |          (((2 * $EpochK * (lo + wt) - 1) // tot) + 1) // 2 - 1) AS j_max
         |      FROM c)
-        |SELECT lang, doc_id, j_max - j_min + 1 AS n_copies
+        |SELECT lang, doc_id,
+        |       CAST(j_max - j_min + 1 AS BIGINT) AS n_copies
         |FROM j WHERE j_max >= j_min
         |ORDER BY lang, doc_id""".stripMargin,
     "cur_sample_bottomk" ->

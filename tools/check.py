@@ -51,6 +51,23 @@ def main(sf_dir, out_dir):
         g, w = canon(got), canon(want)
         ok_schema = list(g.columns) == list(w.columns)
         ok_shape = g.shape == w.shape
+        # Dtype-family strictness (r9 lesson): DuckDB SUM(BIGINT) widens
+        # to HUGEINT, which fetchdf() float-serializes — the driver's
+        # value-hash then sees 3.0 vs Spark's 3 and fails even though a
+        # check_dtype=False compare passes. An int-family column on one
+        # side and a float-family column on the other is therefore a
+        # FAIL here, exactly as it is in the driver.
+        ok_dtype = True
+        if ok_schema:
+            fam = lambda k: "i" if k in "iu" else ("f" if k == "f" else k)
+            for c in g.columns:
+                gf, wf = fam(g[c].dtype.kind), fam(w[c].dtype.kind)
+                # all-NULL object columns from fetchdf are unjudgeable;
+                # anything else must agree on int-vs-float family.
+                if gf != wf and "O" not in (gf, wf):
+                    ok_dtype = False
+                    print(f"  DTYPE {name}.{c}: spark={g[c].dtype} "
+                          f"duck={w[c].dtype} (int/float family mismatch)")
         ok_vals = False
         if ok_schema and ok_shape:
             try:
@@ -59,7 +76,7 @@ def main(sf_dir, out_dir):
                 ok_vals = True
             except AssertionError as e:
                 print(f"  DIFF {name}: {str(e)[:500]}")
-        if ok_schema and ok_shape and ok_vals:
+        if ok_schema and ok_shape and ok_vals and ok_dtype:
             n_pass += 1
             print(f"  [PASS] {name} ({len(g)} rows)")
         else:
