@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryPack
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -34,7 +34,7 @@ object Curation extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def clearComponentCache(): Unit = {
-    componentCache.values.foreach(_.unpersist())
+    componentCache.values.foreach(GraftBridge.releaseLocalCheckpoint)
     componentCache.clear()
   }
 
@@ -56,9 +56,9 @@ object Curation extends QueryPack {
     * Callers that mutate the underlying files must call this (and
     * [[clearComponentCache]]) or graph results are silently stale. */
   def clearCoPurchaseCache(): Unit = {
-    coPurchaseCache.values.foreach(_.unpersist())
+    coPurchaseCache.values.foreach(GraftBridge.releaseLocalCheckpoint)
     coPurchaseCache.clear()
-    multiEdgeCache.values.foreach(_.unpersist())
+    multiEdgeCache.values.foreach(GraftBridge.releaseLocalCheckpoint)
     multiEdgeCache.clear()
   }
 
@@ -123,12 +123,17 @@ object Curation extends QueryPack {
         .localCheckpoint() // eager: materializes this round's labels
       changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") =!= col("old")).count()
+      // next is materialized and the diff count is done: the superseded
+      // round's labels can be dropped NOW, not at ContextCleaner/GC
+      // whim — R rounds would otherwise pin R label copies
+      GraftBridge.releaseLocalCheckpoint(labels)
       labels = next
       rounds += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")
+    GraftBridge.releaseLocalCheckpoint(edges)
     labels
   }
 
@@ -241,29 +246,53 @@ object Curation extends QueryPack {
     // are DEDUPLICATED: reuse an already-pinned input instead of
     // checkpointing a second O(|E|) copy (the duplicate was the ×100
     // OOM, and dropping it alone took pagerank 640→520 s there).
-    val edges =
-      if (edges0.storageLevel == StorageLevel.NONE) edges0.localCheckpoint()
-      else edges0
+    val spark = edges0.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val edgesOwned = edges0.storageLevel == StorageLevel.NONE
+    val edges = if (edgesOwned) edges0.localCheckpoint() else edges0
     val degree = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // re-spread before checkpointing: AQE coalesces the 50 MB join
-    // output under one advisory partition, and the checkpointed RDD
-    // keeps that layout — every round would then scan all edges on ONE
-    // task (measured 9.7 → 4.3 s warm at sf0.1)
-    val withDeg = edges.join(degree, "src")
-      .repartition(col("src")).localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    var nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
     val nNodes = nodes.count()
     // ranks/contribs are one (id, long) row per NODE. Below the gate
-    // they broadcast; above it they ride a SHUFFLE-HASH join — the
-    // checkpointed frames (withDeg partitioned on src, nodes on id from
-    // its distinct) keep their layout, so only the |V|-row state side
-    // exchanges per round. Either way the planner never falls into the
-    // per-round sort-merge a stat-less checkpoint would otherwise get
+    // they broadcast; above it they ride a SHUFFLE-HASH join against
+    // the asserted layouts — only the |V|-row state side exchanges per
+    // round. Either way the planner never falls into the per-round
+    // sort-merge a stat-less checkpoint would otherwise get
     // (measured: 15 s SMJ vs 4 s hinted, warm at sf0.1).
+    val giant = nNodes > stateBroadcastMaxRows
+    // GIANT path: pre-partition BOTH loop inputs on their join keys
+    // ONCE, with the layout RE-ASSERTED on the checkpointed LogicalRDD
+    // (GraftBridge.localCheckpointHashPartitioned) — a plain
+    // localCheckpoint comes back UnknownPartitioning, so every round's
+    // state join replanned an ENSURE_REQUIREMENTS exchange of the full
+    // O(|E|) edge frame (the dominant per-round cost at that tier).
+    // With the layout visible, withDeg (clustered src) ⋈ ranks
+    // (clustered id) is co-partitioned and plans exchange-free on the
+    // edge side; the contribution aggregate is the ONLY per-round
+    // O(|E|)-input exchange left. Below the gate keep the AQE-sized
+    // re-spread instead (its own lesson: one advisory partition
+    // otherwise, 9.7 → 4.3 s warm at sf0.1) — an explicit partition
+    // count defeats AQE's small-scale coalescing, measured 4.9 → 8.3 s
+    // warm at sf0.1 when the asserted form ran below the gate, where
+    // the state broadcasts and the layout buys nothing.
+    val withDeg =
+      if (giant) GraftBridge.localCheckpointHashPartitioned(
+        edges.join(degree, "src"), nPart, "src")
+      else edges.join(degree, "src")
+        .repartition(col("src")).localCheckpoint()
+    if (giant) {
+      val spreadNodes =
+        GraftBridge.localCheckpointHashPartitioned(nodes, nPart, "id")
+      GraftBridge.releaseLocalCheckpoint(nodes)
+      nodes = spreadNodes
+    }
+    // withDeg and nodes are materialized: an owned edge checkpoint has
+    // served its purpose — free it before the rounds run, not after
+    if (edgesOwned) GraftBridge.releaseLocalCheckpoint(edges)
     def gatedState(s: DataFrame): DataFrame =
-      if (nNodes <= stateBroadcastMaxRows) broadcast(s)
-      else s.hint("shuffle_hash")
+      if (!giant) broadcast(s) else s.hint("shuffle_hash")
     var ranks = nodes.select(col("id"), lit(Fp).as("rank"))
+    var ranksOwned = false
     for (_ <- 1 to PrIters) {
       val contribs = withDeg
         .join(gatedState(ranks), col("src") === col("id"))
@@ -271,12 +300,24 @@ object Curation extends QueryPack {
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       // 0.15 + 0.85·s in pure long arithmetic: 85·s div 100 (s ≤ N·Fp —
       // headroom: 85·10¹⁶ ≈ 8.5·10¹⁷ < 2⁶³ even at 10k× the fixture)
-      ranks = nodes.join(gatedState(contribs), Seq("id"), "left")
+      val stepped = nodes.join(gatedState(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit(15L * Fp / 100) +
             expr(s"85 * coalesce(s, 0L) div 100")).as("rank"))
-        .localCheckpoint()
+      // giant path: carry the id-clustering into the next round's state
+      // join; below the gate the state broadcasts and layout is moot
+      val next =
+        if (giant) GraftBridge.localCheckpointHashPartitioned(stepped, nPart, "id")
+        else stepped.localCheckpoint()
+      if (ranksOwned) GraftBridge.releaseLocalCheckpoint(ranks)
+      ranks = next
+      ranksOwned = true
     }
+    // the result depends only on the final ranks checkpoint — the loop
+    // inputs are dead weight from here; free them deterministically
+    // (Dataset.unpersist is a CacheManager no-op for checkpoints)
+    GraftBridge.releaseLocalCheckpoint(withDeg)
+    GraftBridge.releaseLocalCheckpoint(nodes)
     ranks.select(col("id"),
       (col("rank").cast("double") / Fp.toDouble).as("rank"))
   }
@@ -465,7 +506,7 @@ object Curation extends QueryPack {
       val n = next.count()
       converged = n == nEdges
       nEdges = n
-      if (coreOwned) core.unpersist()
+      if (coreOwned) GraftBridge.releaseLocalCheckpoint(core)
       core = next
       coreOwned = true
       rounds += 1
@@ -888,23 +929,33 @@ object Curation extends QueryPack {
       .withColumn("lbl", col("id")).localCheckpoint()
     val nNodes = labels.count()
     // giant-graph path only: re-spread the directed copy on dst before
-    // the rounds, so the per-round shuffle-hash label join exchanges
-    // the |V|-row label side against a pre-clustered edge frame rather
-    // than re-exchanging (and AQE-coalescing) 2|E| rows every round.
-    // Below the gate the label side broadcasts and the layout is moot —
-    // skip the extra exchange + materialization. (Pre-partitioning by
-    // src to elide the vote's re-spread was MEASURED AND REJECTED: a
-    // localCheckpoint's LogicalRDD does not carry the partitioning
-    // into the logical plan, so the groupBy grows an
-    // ENSURE_REQUIREMENTS exchange that AQE coalesces onto one
-    // advisory partition — warm 5.7 s → 11 s at sf0.1.)
+    // the rounds, with the layout RE-ASSERTED on the checkpoint
+    // (GraftBridge.localCheckpointHashPartitioned) so the planner SEES
+    // it: the per-round label join (and the tail rounds' dst semi-join)
+    // then plans exchange-free on the 2|E| edge side, moving only the
+    // |V|-row label frame per round. Without the assertion the
+    // checkpointed LogicalRDD reports UnknownPartitioning and every
+    // round replans a full 2|E| ENSURE_REQUIREMENTS exchange — the
+    // r9-round form paid exactly that. Below the gate the label side
+    // broadcasts and the layout is moot — skip the extra exchange +
+    // materialization. (dst, not src: the vote's own src re-spread is
+    // over the POST-join frame, whose clustering a label join on dst
+    // destroys anyway, so src pre-partitioning buys nothing — first
+    // measured as the r8 "pre-partition by src" rejection, now
+    // structural.)
     if (nNodes > stateBroadcastMaxRows) {
-      val spread = und.repartition(nPart, col("dst")).localCheckpoint()
-      und.unpersist()
+      val spread = GraftBridge.localCheckpointHashPartitioned(und, nPart, "dst")
+      GraftBridge.releaseLocalCheckpoint(und)
       und = spread
     }
     def gated(s: DataFrame, n: Long): DataFrame =
       if (n <= stateBroadcastMaxRows) broadcast(s) else s.hint("shuffle_hash")
+    // the checkpoints backing the CURRENT state (labels + frontier);
+    // superseded ones are released the moment the round's replacement
+    // is materialized — Dataset.unpersist is a CacheManager no-op for
+    // checkpoints, so without the explicit RDD release R rounds pin R
+    // label copies until the ContextCleaner's GC gets around to them
+    var owned: Seq[DataFrame] = Seq(labels)
     // frontier = (ids changed last round, count); None = recompute all
     var frontier: Option[(DataFrame, Long)] = None
     var r = 0
@@ -967,6 +1018,8 @@ object Curation extends QueryPack {
         val changedIds = next.filter(col("nlbl") =!= col("olbl"))
           .select(col("id"))
         val nChanged = changedIds.count()
+        owned.foreach(GraftBridge.releaseLocalCheckpoint)
+        owned = Seq(next)
         labels = next.select(col("id"), col("nlbl").as("lbl"))
         if (nChanged == 0) done = true
         else frontier = Some((changedIds, nChanged))
@@ -979,21 +1032,31 @@ object Curation extends QueryPack {
           .filter(col("nlbl") =!= col("lbl"))
           .select(col("id"), col("nlbl")).localCheckpoint()
         val nChanged = changed.count()
-        if (nChanged == 0) done = true
-        else {
+        if (nChanged == 0) {
+          // state unchanged: the probe checkpoint is the only garbage
+          GraftBridge.releaseLocalCheckpoint(changed)
+          done = true
+        } else {
           labels = labels
             .join(gated(changed, nChanged), Seq("id"), "left")
             .select(col("id"),
               coalesce(col("nlbl"), col("lbl")).as("lbl"))
             .localCheckpoint()
+          owned.foreach(GraftBridge.releaseLocalCheckpoint)
+          owned = Seq(changed, labels)
           frontier = Some((changed.select(col("id")), nChanged))
         }
       }
       r += 1
     }
-    labels.groupBy(col("lbl").as("community"))
+    // materialize the bounded (community, n) result, then free the
+    // working set — und is 2|E| rows and would otherwise stay pinned
+    // for the session; the result is at most one row per community
+    val result = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("community"))
+      .localCheckpoint()
+    (owned :+ und).foreach(GraftBridge.releaseLocalCheckpoint)
+    result.orderBy(col("community"))
   }
 
   /** Corpus concentration report: the Gini coefficient of per-doc

@@ -26,4 +26,71 @@ object GraftBridge {
     * asserting (`listenerBus` is `private[spark]`). */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** `repartition(n, keys).localCheckpoint()` that KEEPS the hash
+    * layout visible to the planner.
+    *
+    * `Dataset.localCheckpoint` wraps the materialized RDD in a
+    * `LogicalRDD` whose `outputPartitioning` comes back
+    * `UnknownPartitioning` (measured on this Spark build), so every
+    * downstream join/aggregate on the very keys the frame is already
+    * clustered by replans an ENSURE_REQUIREMENTS exchange — for an
+    * iterative graph loop that is a full O(|E|) reshuffle of the edge
+    * frame EVERY round. This helper re-asserts what is physically true:
+    * it copies the `LogicalRDD` with
+    * `HashPartitioning(keys, n)`, after which equi-joins and
+    * aggregates keyed on `keys` plan exchange-free against it.
+    *
+    * Safety argument (why the assertion cannot lie): the frame is
+    * materialized by THIS method via `repartition(n, keys)` with an
+    * EXPLICIT partition count — a `REPARTITION_BY_NUM` shuffle that AQE
+    * never coalesces or re-sizes — so the checkpointed RDD's layout is
+    * exactly `hashpartitioning(keys, n)` by construction. Asserting a
+    * layout a frame does not have would silently mis-join; that is why
+    * this method owns the repartition instead of trusting the caller's.
+    *
+    * Storage: plain eager `localCheckpoint()` (deserialized) — the
+    * working-frame policy for iterative loops (see
+    * [[graft.operators.Curation]] storage notes). */
+  def localCheckpointHashPartitioned(df: DataFrame, n: Int,
+      keys: String*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    val ck = df.repartition(n, keys.map(df.col): _*).localCheckpoint()
+    val lr = ck.queryExecution.analyzed match {
+      case l: LogicalRDD => l
+      case other => throw new IllegalStateException(
+        s"localCheckpoint did not produce a LogicalRDD: $other")
+    }
+    val attrs = keys.map { k =>
+      lr.output.find(_.name == k).getOrElse(throw new IllegalArgumentException(
+        s"column $k not in ${lr.output.map(_.name).mkString(",")}"))
+    }
+    val fixed = lr.copy(outputPartitioning = HashPartitioning(attrs, n))(
+      ck.sparkSession.asInstanceOf[classic.SparkSession], None, None)
+    ofRows(ck.sparkSession, fixed)
+  }
+
+  /** Actually free a `localCheckpoint`ed frame's pinned blocks.
+    *
+    * `Dataset.unpersist()` only consults the `CacheManager`, which
+    * knows nothing about checkpoint RDDs — measured on this Spark
+    * build: after `df.localCheckpoint(); df.unpersist(true)` the RDD
+    * still sits in `sc.getPersistentRDDs` at full storage level. The
+    * blocks ARE eventually dropped by the ContextCleaner when the JVM
+    * garbage-collects the RDD handle, but an iterative loop that pins
+    * a shrinking O(|E|) copy per round cannot wait for GC weather —
+    * at the ×100 tier that nondeterminism is the difference between
+    * fitting and spilling. This walks the plan for `LogicalRDD`
+    * leaves and unpersists their RDDs directly (non-blocking; the
+    * block manager drops asynchronously).
+    *
+    * CONTRACT: the checkpoint truncated lineage, so a released frame
+    * (and any projection sharing its RDD) must never be read again. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
