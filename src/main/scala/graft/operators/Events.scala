@@ -1066,7 +1066,85 @@ object Events extends QueryPack {
       .orderBy(col("event_type"), col("idx"))
   }
 
+  /** ClickHouse `quantileTiming` analogue: latency quantiles under the
+    * timing sketch's deterministic resolution contract — values below
+    * 1024 ms are exact, values in [1024 ms, 30 s) round to the nearest
+    * 16 ms, values ≥ 30 s clamp to 30 s (the published accuracy rules
+    * of the ClickHouse aggregate, re-expressed as a closed-form bucket
+    * map instead of its three-tier counter array). The measured series
+    * is the per-user inter-event gap in ms, keyed by the later event's
+    * type; quantiles are the discrete (type-1) kind — the smallest
+    * bucketed value whose cumulative count reaches ⌈q·n⌉, evaluated in
+    * pure integer arithmetic (`100·cum ≥ q%·n`), so the whole query is
+    * integer end to end and hash-exact against the oracle.
+    *
+    * Scale: the bucket map caps distinct keys at 1024 + 1812 + 1 per
+    * type, so after the per-(type, bucket) count the cumulative window
+    * runs over a BOUNDED frame regardless of event count — the same
+    * counts-then-tiny-window shape as [[conversionLatency]]; the only
+    * data-sized shuffles are the per-user lag window and one partial
+    * aggregate. This is exactly why ClickHouse's timing sketch buckets
+    * at all: the quantile state becomes O(resolution), not O(rows). */
+  def quantileTiming(spark: SparkSession, dir: String): DataFrame =
+    quantileTimingOf(Tables.events(spark, dir))
+
+  private[graft] def quantileTimingOf(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val gaps = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), expr("(t_us - prev_us) div 1000").as("gap_ms"))
+    val bucketed = gaps.select(col("event_type"),
+      when(col("gap_ms") < 1024, col("gap_ms"))
+        .when(col("gap_ms") >= 30000, lit(30000L))
+        .otherwise(expr("((gap_ms + 8) div 16) * 16")).as("b"))
+    val counts = bucketed.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(cumW))
+    val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_gaps"))
+    cum.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        min(when(col("cum") * 100 >= col("n_gaps") * 50, col("b"))).as("p50_ms"),
+        min(when(col("cum") * 100 >= col("n_gaps") * 90, col("b"))).as("p90_ms"),
+        min(when(col("cum") * 100 >= col("n_gaps") * 99, col("b"))).as("p99_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ClickHouse `histogram(n)` analogue: the streaming adaptive
+    * equal-ish-mass histogram, per event type over the value column,
+    * via [[graft.functions.AdaptiveHistAgg]] (bin state carries EXACT
+    * integer cent sums, so mass and total are conserved bit-exactly
+    * even though bin BOUNDARIES are admission-order-dependent — the
+    * same partitioning-dependence contract as the KLL rollup, and as
+    * ClickHouse's own `histogram`). Exact regime: a group with ≤ n
+    * distinct values yields the exact (value, count) table in any
+    * order. Iterative/adaptive ⇒ rows-only; HistogramSpec pins the
+    * conservation laws, the ordering/disjointness structure, and the
+    * exact-below-cap regime against a groupBy recompute. */
+  def adaptiveHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * lit(100)).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.AdaptiveHistAgg.histogram(col("cents"), 8).as("bins"))
+      .select(col("event_type"), posexplode(col("bins")).as(Seq("bin", "s")))
+      .select(col("event_type"), col("bin").cast("long").as("bin"),
+        (col("s.lo").cast(DoubleType) / 100.0d).as("lo_value"),
+        (col("s.hi").cast(DoubleType) / 100.0d).as("hi_value"),
+        col("s.cnt").as("n"),
+        (col("s.sum").cast(DoubleType) / 100.0d).as("sum_value"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_quantile_timing" -> quantileTiming,
+    "ev_adaptive_histogram" -> adaptiveHistogram,
     "ev_rfm"          -> rfm,
     "ev_transitions"  -> transitions,
     "ev_sequence_pairs" -> sequencePairs,
@@ -1107,6 +1185,35 @@ object Events extends QueryPack {
     oraclesBase + ("ev_session_manual" -> oraclesBase("ev_session"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "ev_quantile_timing" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |          LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |            PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id)) // 1000 AS gap_ms
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |         CASE WHEN gap_ms < 1024 THEN gap_ms
+        |              WHEN gap_ms >= 30000 THEN 30000
+        |              ELSE ((gap_ms + 8) // 16) * 16 END AS b
+        |  FROM g WHERE gap_ms IS NOT NULL),
+        |c AS (SELECT event_type, b, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, b,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(c) OVER (PARTITION BY event_type) AS n_gaps
+        |  FROM c)
+        |SELECT event_type, CAST(MAX(n_gaps) AS BIGINT) AS n_gaps,
+        |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*50 THEN b END) AS BIGINT)
+        |         AS p50_ms,
+        |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*90 THEN b END) AS BIGINT)
+        |         AS p90_ms,
+        |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*99 THEN b END) AS BIGINT)
+        |         AS p99_ms
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_rfm" ->
       """WITH pu AS (
         |  SELECT user_id,
