@@ -1069,7 +1069,8 @@ object Events extends QueryPack {
   /** ClickHouse `quantileTiming` analogue: latency quantiles under the
     * timing sketch's deterministic resolution contract — values below
     * 1024 ms are exact, values in [1024 ms, 30 s) round to the nearest
-    * 16 ms, values ≥ 30 s clamp to 30 s (the published accuracy rules
+    * 16 ms (capped at 29984 so rounding never enters the clamp
+    * bucket), values ≥ 30 s clamp to 30 s (the published accuracy rules
     * of the ClickHouse aggregate, re-expressed as a closed-form bucket
     * map instead of its three-tier counter array). The measured series
     * is the per-user inter-event gap in ms, keyed by the later event's
@@ -1094,13 +1095,16 @@ object Events extends QueryPack {
     val gaps = ev
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("t_us"))
+      .filter(col("t_us").isNotNull) // null ts sorts differently per engine; drop pre-window
       .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"), expr("(t_us - prev_us) div 1000").as("gap_ms"))
     val bucketed = gaps.select(col("event_type"),
       when(col("gap_ms") < 1024, col("gap_ms"))
         .when(col("gap_ms") >= 30000, lit(30000L))
-        .otherwise(expr("((gap_ms + 8) div 16) * 16")).as("b"))
+        // mid-band rounds to nearest 16 ms but must not round INTO the
+        // >=30 s clamp bucket: [29992, 30000) stays at 29984
+        .otherwise(least(expr("((gap_ms + 8) div 16) * 16"), lit(29984L))).as("b"))
     val counts = bucketed.groupBy(col("event_type"), col("b"))
       .agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy(col("event_type")).orderBy(col("b"))
@@ -1125,8 +1129,8 @@ object Events extends QueryPack {
     * ClickHouse's own `histogram`). Exact regime: a group with ≤ n
     * distinct values yields the exact (value, count) table in any
     * order. Iterative/adaptive ⇒ rows-only; HistogramSpec pins the
-    * conservation laws, the ordering/disjointness structure, and the
-    * exact-below-cap regime against a groupBy recompute. */
+    * conservation laws, the lo-sorted non-collapsing structure, and
+    * the exact-below-cap regime against a groupBy recompute. */
   def adaptiveHistogram(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("value") * lit(100)).cast("long")
     Tables.events(spark, dir)
@@ -1192,12 +1196,12 @@ object Events extends QueryPack {
         |          LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
         |            PARTITION BY user_id
         |            ORDER BY CAST(ts AS TIMESTAMP), event_id)) // 1000 AS gap_ms
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |b AS (
         |  SELECT event_type,
         |         CASE WHEN gap_ms < 1024 THEN gap_ms
         |              WHEN gap_ms >= 30000 THEN 30000
-        |              ELSE ((gap_ms + 8) // 16) * 16 END AS b
+        |              ELSE LEAST(((gap_ms + 8) // 16) * 16, 29984) END AS b
         |  FROM g WHERE gap_ms IS NOT NULL),
         |c AS (SELECT event_type, b, COUNT(*) AS c FROM b GROUP BY 1, 2),
         |cum AS (
