@@ -951,10 +951,19 @@ object Curation extends QueryPack {
     def gated(s: DataFrame, n: Long): DataFrame =
       if (n <= stateBroadcastMaxRows) broadcast(s) else s.hint("shuffle_hash")
     // the checkpoints backing the CURRENT state (labels + frontier);
-    // superseded ones are released the moment the round's replacement
-    // is materialized — Dataset.unpersist is a CacheManager no-op for
-    // checkpoints, so without the explicit RDD release R rounds pin R
-    // label copies until the ContextCleaner's GC gets around to them
+    // on the GIANT path superseded ones are released the moment the
+    // round's replacement is materialized — Dataset.unpersist is a
+    // CacheManager no-op for checkpoints, so without the explicit RDD
+    // release R rounds pin R label copies until the ContextCleaner's
+    // GC gets around to them. Below the gate the release is SKIPPED:
+    // every per-round frame is O(|V|) ≤ the broadcast gate, so the
+    // superseded set is bounded garbage GC can own, and the per-round
+    // RemoveRdd traffic measurably contends with the next round's
+    // tasks (warm cur_communities 5.1 → 5.9 s at sf0.1 when released
+    // eagerly; the one-time O(|E|) releases below stay unconditional)
+    val giant = nNodes > stateBroadcastMaxRows
+    def releaseSuperseded(dfs: Seq[DataFrame]): Unit =
+      if (giant) dfs.foreach(GraftBridge.releaseLocalCheckpoint)
     var owned: Seq[DataFrame] = Seq(labels)
     // frontier = (ids changed last round, count); None = recompute all
     var frontier: Option[(DataFrame, Long)] = None
@@ -1018,7 +1027,7 @@ object Curation extends QueryPack {
         val changedIds = next.filter(col("nlbl") =!= col("olbl"))
           .select(col("id"))
         val nChanged = changedIds.count()
-        owned.foreach(GraftBridge.releaseLocalCheckpoint)
+        releaseSuperseded(owned)
         owned = Seq(next)
         labels = next.select(col("id"), col("nlbl").as("lbl"))
         if (nChanged == 0) done = true
@@ -1042,7 +1051,7 @@ object Curation extends QueryPack {
             .select(col("id"),
               coalesce(col("nlbl"), col("lbl")).as("lbl"))
             .localCheckpoint()
-          owned.foreach(GraftBridge.releaseLocalCheckpoint)
+          releaseSuperseded(owned)
           owned = Seq(changed, labels)
           frontier = Some((changed.select(col("id")), nChanged))
         }
