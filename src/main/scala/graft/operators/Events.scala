@@ -728,6 +728,109 @@ object Events extends QueryPack {
                 lit(1.0) / col("users_b").cast("double")))))
   }
 
+  /** ClickHouse `welchTTest` analogue: Welch's unequal-variance t-test
+    * of purchase vs view value distributions per epoch-weekday
+    * (`unix_micros div day % 7` — engine-identical integer arithmetic,
+    * unlike locale-dependent DOW functions). The moment core is EXACT:
+    * per-(weekday, arm) n / Σcents / Σcents² accumulate as BIGINT in
+    * one conditional-aggregate pass (headroom: Σc² ≤ 6·10¹⁶ at the
+    * ×100 tier < 2⁶³; and i64→double is a single correctly-rounded op
+    * in BOTH engines — the int128 split device is only needed above
+    * that), and the t statistic + Welch–Satterthwaite df are a FIXED
+    * chain of IEEE ops written identically in the oracle, so the key
+    * is hash-exact. Degenerate arms (n ≤ 1) or zero pooled variance
+    * yield NULL t/df in both engines. One partial-agg-friendly pass,
+    * 7 output rows — scale-free. */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame =
+    welchTTestOf(Tables.events(spark, dir))
+
+  private[graft] def welchTTestOf(ev: DataFrame): DataFrame = {
+    val cents = round(col("value") * lit(100)).cast("long")
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val a = ev
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        cents.as("c"), (col("event_type") === "purchase").as("is_p"))
+      .groupBy(col("wd"))
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("is_p"), col("c")).otherwise(0L)).as("s11"),
+        sum(when(col("is_p"), col("c") * col("c")).otherwise(0L)).as("s21"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("is_p"), col("c")).otherwise(0L)).as("s12"),
+        sum(when(!col("is_p"), col("c") * col("c")).otherwise(0L)).as("s22"))
+    a.withColumn("v1", when(col("n1") > 1,
+        (d(col("s21")) - d(col("s11")) * d(col("s11")) / d(col("n1"))) /
+          (d(col("n1")) - lit(1.0))))
+      .withColumn("v2", when(col("n2") > 1,
+        (d(col("s22")) - d(col("s12")) * d(col("s12")) / d(col("n2"))) /
+          (d(col("n2")) - lit(1.0))))
+      .withColumn("se1", col("v1") / d(col("n1")))
+      .withColumn("se2", col("v2") / d(col("n2")))
+      .withColumn("se", col("se1") + col("se2"))
+      .select(col("wd"), col("n1").as("n_purchase"), col("n2").as("n_view"),
+        when(col("n1") > 0, d(col("s11")) / d(col("n1"))).as("mean_purchase"),
+        when(col("n2") > 0, d(col("s12")) / d(col("n2"))).as("mean_view"),
+        when(col("se") > 0,
+          (d(col("s11")) / d(col("n1")) - d(col("s12")) / d(col("n2"))) /
+            sqrt(col("se"))).as("t_stat"),
+        when(col("se") > 0,
+          col("se") * col("se") /
+            (col("se1") * col("se1") / (d(col("n1")) - lit(1.0)) +
+              col("se2") * col("se2") / (d(col("n2")) - lit(1.0)))).as("df"))
+      .orderBy(col("wd"))
+  }
+
+  /** ClickHouse `mannWhitneyUTest` analogue: the rank-sum test of
+    * purchase vs view values per epoch-weekday, with an EXACT integer
+    * core end to end. Average ranks over ties never materialize as
+    * fractions: doubling them makes every quantity integral — a tied
+    * value with `less` predecessors and `ct` members contributes
+    * `c1·(2·less + ct + 1)` to 2·R₁, so 2·U₁ = 2R₁ − 2·n₁(n₁+1)/2 and
+    * the tie-corrected normal approximation's numerator 2(U₁−µ) =
+    * 2U₁ − n₁n₂ are BIGINT; only the variance
+    * (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))) and the final z divide in
+    * doubles — the same fixed-chain contract as [[welchTTest]], so
+    * hash-exact. Plan shape: one (wd, cents) count aggregate collapses
+    * the data BEFORE the rank window, which then runs over distinct
+    * values only (the quantileTiming counts-then-window device) — the
+    * raw rows are never globally sorted. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables.events(spark, dir))
+
+  private[graft] def mannWhitneyOf(ev: DataFrame): DataFrame = {
+    val cents = round(col("value") * lit(100)).cast("long")
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val byVal = ev
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        cents.as("c"), (col("event_type") === "purchase").as("is_p"))
+      .groupBy(col("wd"), col("c"))
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("ct", col("c1") + col("c2"))
+    val rankW = Window.partitionBy(col("wd")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = byVal
+      .withColumn("less", coalesce(sum(col("ct")).over(rankW), lit(0L)))
+      .groupBy(col("wd"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (lit(2L) * col("less") + col("ct") + lit(1L)))
+          .as("two_r1"),
+        sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tiesum"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("two_u1", col("two_r1") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("varu", when(col("n1") > 0 && col("n2") > 0 && col("n") > 1,
+        d(col("n1")) * d(col("n2")) / lit(12.0) *
+          ((d(col("n")) + lit(1.0)) -
+            d(col("tiesum")) / (d(col("n")) * (d(col("n")) - lit(1.0))))))
+    a.select(col("wd"), col("n1").as("n_purchase"), col("n2").as("n_view"),
+        (d(col("two_u1")) / lit(2.0)).as("u1"),
+        when(col("varu") > 0,
+          d(col("two_u1") - col("n1") * col("n2")) /
+            (lit(2.0) * sqrt(col("varu")))).as("z"))
+      .orderBy(col("wd"))
+  }
+
   /** Conversion-latency distribution: per user, the gap between first
     * view and first subsequent purchase; reported as per-hour-bucket
     * counts plus exact quartiles (the product metric behind "how long
@@ -1159,6 +1262,8 @@ object Events extends QueryPack {
     "ev_uniq_upto"    -> uniqUpTo,
     "ev_kmv_overlap"  -> kmvOverlap,
     "ev_ab_test"      -> abTest,
+    "ev_welch_ttest"  -> welchTTest,
+    "ev_mannwhitney"  -> mannWhitney,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -1218,6 +1323,84 @@ object Events extends QueryPack {
         |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*99 THEN b END) AS BIGINT)
         |         AS p99_ms
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |         event_type = 'purchase' AS is_p
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |a AS (
+        |  SELECT wd,
+        |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN is_p THEN c ELSE 0 END) AS BIGINT) AS s11,
+        |    CAST(SUM(CASE WHEN is_p THEN c*c ELSE 0 END) AS BIGINT) AS s21,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN c ELSE 0 END) AS BIGINT) AS s12,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN c*c ELSE 0 END) AS BIGINT) AS s22
+        |  FROM m GROUP BY 1),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n1 > 1 THEN
+        |      (CAST(s21 AS DOUBLE) -
+        |       CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) END AS v1,
+        |    CASE WHEN n2 > 1 THEN
+        |      (CAST(s22 AS DOUBLE) -
+        |       CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1.0) END AS v2
+        |  FROM a),
+        |c2 AS (
+        |  SELECT *, v1 / CAST(n1 AS DOUBLE) AS se1,
+        |            v2 / CAST(n2 AS DOUBLE) AS se2 FROM b),
+        |c3 AS (SELECT *, se1 + se2 AS se FROM c2)
+        |SELECT wd, n1 AS n_purchase, n2 AS n_view,
+        |  CASE WHEN n1 > 0 THEN CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+        |    AS mean_purchase,
+        |  CASE WHEN n2 > 0 THEN CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE) END
+        |    AS mean_view,
+        |  CASE WHEN se > 0 THEN
+        |    (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |     CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(se) END AS t_stat,
+        |  CASE WHEN se > 0 THEN
+        |    se * se / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
+        |               se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END AS df
+        |FROM c3 ORDER BY wd""".stripMargin,
+    "ev_mannwhitney" ->
+      """WITH m AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |         event_type = 'purchase' AS is_p
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (
+        |  SELECT wd, c,
+        |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM m GROUP BY 1, 2),
+        |w AS (
+        |  SELECT wd, c1, c2, c1 + c2 AS ct,
+        |    COALESCE(SUM(c1 + c2) OVER (PARTITION BY wd ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+        |  FROM v),
+        |a AS (
+        |  SELECT wd, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (2 * less + ct + 1)) AS BIGINT) AS two_r1,
+        |    CAST(SUM(ct*ct*ct - ct) AS BIGINT) AS tiesum
+        |  FROM w GROUP BY 1),
+        |b AS (
+        |  SELECT *, n1 + n2 AS n, two_r1 - n1 * (n1 + 1) AS two_u1 FROM a),
+        |c3 AS (
+        |  SELECT *,
+        |    CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+        |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n AS DOUBLE) + 1.0) -
+        |       CAST(tiesum AS DOUBLE) /
+        |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS varu
+        |  FROM b)
+        |SELECT wd, n1 AS n_purchase, n2 AS n_view,
+        |  CAST(two_u1 AS DOUBLE) / 2.0 AS u1,
+        |  CASE WHEN varu > 0 THEN
+        |    CAST(two_u1 - n1 * n2 AS DOUBLE) / (2.0 * sqrt(varu)) END AS z
+        |FROM c3 ORDER BY wd""".stripMargin,
     "ev_rfm" ->
       """WITH pu AS (
         |  SELECT user_id,

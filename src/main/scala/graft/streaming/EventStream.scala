@@ -371,6 +371,132 @@ object EventStream {
       }
   }
 
+  /** Exact µ-unit conversion matching the batch pipeline's
+    * `cast(DecimalType(38,6))` + `×1e6` chain bit-for-bit: Spark's
+    * double→decimal cast goes through the double's SHORTEST decimal
+    * representation (`BigDecimal.valueOf`) with HALF_UP scaling, so the
+    * streaming fold must too — `math.round(v * 1e6)` would disagree on
+    * ties because the multiply itself rounds. */
+  private def micros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private val DayUs: Long = 86400000000L
+
+  case class DeltaState(openDay: Long, openRevU: Long, firstDay: Long,
+      hasClosed: Boolean, lastClosedRevU: Long, firstRevU: Long,
+      deltaSumU: Long, nClosed: Long)
+  case class DeltaOut(event_type: String, n_days: Long, delta_sum: Double,
+      first_rev: Double, last_rev: Double, rate_per_day: Option[Double])
+
+  /** Streaming `deltaSum` + `boundingRatio`: the incremental twin of
+    * [[graft.operators.Events.deltaSumDaily]]. Per-TYPE state is eight
+    * longs — the open day's accumulating µ-unit revenue, the last
+    * CLOSED day's revenue (the lag the positive-delta rule needs), the
+    * first day/revenue, the running positive-delta sum, and the closed
+    * day count — versus the batch form's full (type, day) rollup + lag
+    * window. A day closes when a later day's first event arrives; each
+    * emitted row treats the still-open day as final, so the last update
+    * equals the batch answer. All arithmetic is exact µ-unit integers
+    * (headroom: Σ|deltas| < 2^53 through the ×100 tier) with the same
+    * single correctly-rounded double ops as the batch tail, so parity
+    * is bit-exact. Ordered fold ⇒ same late-data trade as
+    * [[funnelLevels]]: an event for an already-closed day folds into
+    * the OPEN day at arrival; bound it with a watermark-sized replay. */
+  def deltaSums(spark: SparkSession, eventsDir: String): Dataset[DeltaOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.event_type)
+      .mapGroupsWithState[DeltaState, DeltaOut](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[DeltaState]) =>
+          var s = state.getOption.getOrElse(
+            DeltaState(Long.MinValue, 0L, 0L, hasClosed = false, 0L, 0L, 0L, 0L))
+          def close(): Unit = {
+            if (s.hasClosed) {
+              val d = s.openRevU - s.lastClosedRevU
+              s = s.copy(deltaSumU = s.deltaSumU + math.max(0L, d))
+            } else s = s.copy(firstRevU = s.openRevU, hasClosed = true)
+            s = s.copy(lastClosedRevU = s.openRevU, nClosed = s.nClosed + 1)
+          }
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            val day = Math.floorDiv(epochUs(e.ts), DayUs)
+            val u = micros(e.value)
+            if (s.openDay == Long.MinValue)
+              s = s.copy(openDay = day, openRevU = u, firstDay = day)
+            else if (day > s.openDay) {
+              close()
+              s = s.copy(openDay = day, openRevU = u)
+            } else s = s.copy(openRevU = s.openRevU + u) // same or late day
+          }
+          state.update(s)
+          val closingDelta =
+            if (s.hasClosed) math.max(0L, s.openRevU - s.lastClosedRevU) else 0L
+          val firstU = if (s.hasClosed) s.firstRevU else s.openRevU
+          val span = s.openDay - s.firstDay
+          DeltaOut(tpe, s.nClosed + 1,
+            (s.deltaSumU + closingDelta).toDouble / 1e6,
+            firstU.toDouble / 1e6, s.openRevU.toDouble / 1e6,
+            if (span > 0)
+              Some(((s.openRevU - firstU).toDouble / 1e6) / span.toDouble)
+            else None)
+      }
+  }
+
+  case class EmaDay(day: Long, revU: Long)
+  case class EmaState(openDay: Long, openRevU: Long, window: List[EmaDay])
+  case class EmaOut(event_type: String, day: Long, ema: Double, n_terms: Long)
+
+  /** Streaming `exponentialMovingAverage`: the incremental twin of
+    * [[graft.operators.Events.emaDaily]] with the same EXACT dyadic
+    * weights (2^−gap over the trailing 16 observed-or-not calendar
+    * days). Per-TYPE state is the open day's accumulating µ-unit
+    * revenue plus at most 16 closed (day, revµ) pairs — the trailing
+    * band — versus the batch form's 16-offset fan-out join. When a
+    * later day's first event closes the open day, the closed day's EMA
+    * row is emitted from pure BIGINT numerator/denominator sums and one
+    * correctly-rounded double division, bit-equal to the batch row; the
+    * final open day per type never closes (its EMA would still move),
+    * which is the one row the parity spec excludes. Same late-data
+    * trade as [[funnelLevels]]. */
+  def emaStream(spark: SparkSession, eventsDir: String): Dataset[EmaOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EmaState, EmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[EmaState]) =>
+          var s = state.getOption.getOrElse(EmaState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[EmaOut]
+          def close(): Unit = {
+            val d = s.openDay
+            val terms = EmaDay(d, s.openRevU) ::
+              s.window.filter(_.day >= d - 15)
+            var numer = 0L; var denom = 0L
+            terms.foreach { t =>
+              val w = 1L << (15 - (d - t.day).toInt)
+              numer += t.revU * w; denom += w
+            }
+            out += EmaOut(tpe, d, numer.toDouble / denom.toDouble, terms.size.toLong)
+            s = s.copy(window = EmaDay(d, s.openRevU) :: s.window)
+          }
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            val day = Math.floorDiv(epochUs(e.ts), DayUs)
+            val u = micros(e.value)
+            if (s.openDay == Long.MinValue) s = s.copy(openDay = day, openRevU = u)
+            else if (day > s.openDay) {
+              close()
+              s = EmaState(day, u, s.window.filter(_.day >= day - 15))
+            } else s = s.copy(openRevU = s.openRevU + u) // same or late day
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Streaming EXACT dedup — the incremental twin of `dedup_exact`'s
     * id tier: `dropDuplicatesWithinWatermark` keeps one state row per
     * event id and EVICTS it once the watermark passes, so the dedup

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-sample statistical tests (`welchTTest` / `mannWhitneyUTest`
+  * analogues): independent Scala recomputation of the exact-integer
+  * cores + the identical fixed double chains (row-exact equality), the
+  * label-swap antisymmetry laws, and the U₁ + U₂ = n₁n₂ identity. */
+class StatsTestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def swapped = {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    ev.withColumn("event_type",
+      when(col("event_type") === "purchase", "view")
+        .when(col("event_type") === "view", "purchase")
+        .otherwise(col("event_type")))
+  }
+
+  /** (wd, type) -> cents list straight off the fixture. */
+  private lazy val samples: Map[(Long, String), Seq[Long]] =
+    graft.sources.Tables.events(spark, TestSpark.Sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        col("event_type"),
+        round(col("value") * lit(100)).cast("long").as("c"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSeq).toMap
+
+  test("welch t equals an independent Scala recompute, row-exact") {
+    val got = Events.welchTTest(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (wd, (_, n1, n2, m1, m2, t, dfv)) =>
+      val p = samples.getOrElse((wd, "purchase"), Nil)
+      val v = samples.getOrElse((wd, "view"), Nil)
+      assert(n1 == p.size.toLong && n2 == v.size.toLong)
+      val (s11, s21) = (p.sum, p.map(c => c * c).sum)
+      val (s12, s22) = (v.sum, v.map(c => c * c).sum)
+      val (n1d, n2d) = (n1.toDouble, n2.toDouble)
+      assert(m1.contains(s11.toDouble / n1d) && m2.contains(s12.toDouble / n2d))
+      val v1 = (s21.toDouble - s11.toDouble * s11.toDouble / n1d) / (n1d - 1.0)
+      val v2 = (s22.toDouble - s12.toDouble * s12.toDouble / n2d) / (n2d - 1.0)
+      val (se1, se2) = (v1 / n1d, v2 / n2d)
+      val se = se1 + se2
+      assert(t.contains((s11.toDouble / n1d - s12.toDouble / n2d) / math.sqrt(se)),
+        s"wd $wd t")
+      assert(dfv.contains(se * se /
+        (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0))), s"wd $wd df")
+    }
+  }
+
+  test("welch antisymmetry: swapping the arms negates t, keeps df") {
+    val a = Events.welchTTestOf(graft.sources.Tables.events(spark, TestSpark.Sf))
+      .select("wd", "t_stat", "df")
+      .as[(Long, Option[Double], Option[Double])].collect().map(r => r._1 -> r).toMap
+    val b = Events.welchTTestOf(swapped)
+      .select("wd", "t_stat", "df")
+      .as[(Long, Option[Double], Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (wd, (_, t, dfv)) =>
+      assert(t.map(-_) == b(wd)._2, s"wd $wd t negation")
+      assert(dfv == b(wd)._3, s"wd $wd df invariance")
+    }
+  }
+
+  test("mann-whitney U equals an average-rank brute force; U1+U2 = n1*n2; z negates") {
+    val got = Events.mannWhitney(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val swap = Events.mannWhitneyOf(swapped)
+      .as[(Long, Long, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty && got.keySet == swap.keySet)
+    got.foreach { case (wd, (_, n1, n2, u1, z)) =>
+      val p = samples.getOrElse((wd, "purchase"), Nil)
+      val v = samples.getOrElse((wd, "view"), Nil)
+      // brute-force average ranks over the pooled sample
+      val pooled = (p.map((_, true)) ++ v.map((_, false))).sortBy(_._1)
+      val rankByValue = pooled.zipWithIndex // 1-based ranks averaged per tie group
+        .groupBy(_._1._1).view
+        .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+      val r1 = p.map(rankByValue).sum
+      val u1Brute = r1 - n1.toDouble * (n1 + 1).toDouble / 2.0
+      assert(u1 == u1Brute, s"wd $wd u1 $u1 vs $u1Brute")
+      // identity + antisymmetry via the label swap
+      assert(u1 + swap(wd)._4 == n1.toDouble * n2.toDouble, s"wd $wd U1+U2")
+      assert(z.map(-_) == swap(wd)._5, s"wd $wd z negation")
+    }
+  }
+}

@@ -103,6 +103,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain clean-gap conversions")
   }
 
+  test("streaming deltaSum equals the batch daily lag rollup bit-for-bit") {
+    val q = EventStream.deltaSums(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("delta_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // one batch ⇒ the only update row per type is the final state
+    val streamed = spark.table("delta_out")
+      .as[(String, Long, Double, Double, Double, Option[Double])]
+      .collect().toSet
+    val batch = Events.deltaSumDaily(spark, TestSpark.Sf)
+      .as[(String, Long, Double, Double, Double, Option[Double])]
+      .collect().toSet
+    assert(streamed == batch,
+      s"missed=${batch -- streamed} extra=${streamed -- batch}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming EMA rows equal the batch trailing-16-day rows (open day excluded)") {
+    val q = EventStream.emaStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ema_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ema_out")
+      .as[(String, Long, Double, Long)].collect().toSet
+    val batchAll = Events.emaDaily(spark, TestSpark.Sf)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    // the still-open final day per type never closes in the stream
+    val lastDay = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batch = batchAll.filterNot(r => r._2 == lastDay(r._1)).toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+    assert(streamed.forall(r => r._4 >= 1 && r._4 <= 16), "1..16 terms per row")
+  }
+
   test("stream-static enrichment matches the batch join, sinks via foreachBatch") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val q = EventStream.sinkToParquet(
