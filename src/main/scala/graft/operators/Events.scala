@@ -831,6 +831,57 @@ object Events extends QueryPack {
       .orderBy(col("wd"))
   }
 
+  /** ClickHouse `cramersV` analogue: association strength between
+    * event type and epoch-weekday from the full contingency table.
+    * The χ² sum is where naive parity dies — IEEE addition of per-cell
+    * terms is partition-order-dependent — so each cell's term is
+    * floor-quantized to millionths in EXACT integer arithmetic first
+    * (the `text_lm_bits` determinism policy): with o·n and r·c ≤
+    * ~3.6·10¹³ at the ×100 tier, (o·n − r·c)²·10⁶ ≤ 1.3·10³³ rides
+    * DECIMAL(38,0)/HUGEINT and the truncating integer division is
+    * identical in both engines (all quantities non-negative, so
+    * Spark's `div` truncation == DuckDB's `//` floor). The quantized
+    * χ² is then an ORDER-INDEPENDENT integer sum, and the double tail
+    * (χ², V = √(χ²/(n·(min(r,c)−1)))) is a fixed correctly-rounded
+    * chain. Cells the data never hits still contribute their expected
+    * count — the grid is completed by a (types × weekdays) cross join
+    * of two bounded distinct sets, ≤ a few dozen rows broadcast. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVOf(Tables.events(spark, dir))
+
+  private[graft] def cramersVOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val base = ev.select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000 % 7").as("wd"))
+    val cells = base.groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colsT = cells.groupBy(col("wd")).agg(sum(col("o")).as("cc"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("nr"),
+      countDistinct(col("wd")).as("nc"))
+    val grid = rows.select(col("event_type"), col("r"))
+      .crossJoin(colsT.select(col("wd"), col("cc")))
+      .join(cells, Seq("event_type", "wd"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val num = dec0(col("o") * col("n") - col("r") * col("cc"))
+    grid
+      .withColumn("num_sq", num * num * dec0(lit(1000000L)))
+      .withColumn("den", dec0(col("n")) * dec0(col("r")) * dec0(col("cc")))
+      .withColumn("t_micro", expr("CAST((num_sq div den) AS BIGINT)"))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("t_micro")).as("chi2_micro"))
+      .select(col("n"),
+        (d(col("chi2_micro")) / lit(1e6)).as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        when(col("n") > 0 && least(col("nr"), col("nc")) > 1,
+          sqrt((d(col("chi2_micro")) / lit(1e6)) /
+            (d(col("n")) * (d(least(col("nr"), col("nc"))) - lit(1.0)))))
+          .as("cramers_v"))
+  }
+
   /** Conversion-latency distribution: per user, the gap between first
     * view and first subsequent purchase; reported as per-hour-bucket
     * counts plus exact quartiles (the product metric behind "how long
@@ -1264,6 +1315,7 @@ object Events extends QueryPack {
     "ev_ab_test"      -> abTest,
     "ev_welch_ttest"  -> welchTTest,
     "ev_mannwhitney"  -> mannWhitney,
+    "ev_cramers_v"    -> cramersV,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -1365,6 +1417,38 @@ object Events extends QueryPack {
         |    se * se / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
         |               se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END AS df
         |FROM c3 ORDER BY wd""".stripMargin,
+    "ev_cramers_v" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd
+        |  FROM events),
+        |cells AS (SELECT event_type, wd, COUNT(*) AS o FROM base GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT wd, CAST(SUM(o) AS BIGINT) AS cc FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |             COUNT(DISTINCT event_type) AS nr,
+        |             COUNT(DISTINCT wd) AS nc FROM cells),
+        |grid AS (
+        |  SELECT r.r, c.cc, COALESCE(cells.o, 0) AS o, t.n, t.nr, t.nc
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.event_type = r.event_type AND cells.wd = c.wd
+        |  CROSS JOIN t),
+        |q AS (
+        |  SELECT n, nr, nc,
+        |    CAST((CAST(o*n - r*cc AS HUGEINT) * CAST(o*n - r*cc AS HUGEINT)
+        |          * 1000000)
+        |         // (CAST(n AS HUGEINT) * CAST(r AS HUGEINT) *
+        |            CAST(cc AS HUGEINT)) AS BIGINT) AS t_micro
+        |  FROM grid),
+        |a AS (SELECT n, nr, nc, CAST(SUM(t_micro) AS BIGINT) AS chi2_micro
+        |      FROM q GROUP BY 1, 2, 3)
+        |SELECT n, CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2,
+        |  (nr - 1) * (nc - 1) AS dof,
+        |  CASE WHEN n > 0 AND LEAST(nr, nc) > 1 THEN
+        |    sqrt((CAST(chi2_micro AS DOUBLE) / 1e6) /
+        |         (CAST(n AS DOUBLE) * (CAST(LEAST(nr, nc) AS DOUBLE) - 1.0)))
+        |  END AS cramers_v
+        |FROM a""".stripMargin,
     "ev_mannwhitney" ->
       """WITH m AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,

@@ -68,6 +68,49 @@ class StatsTestSpec extends AnyFunSuite {
     }
   }
 
+  test("cramers V equals a BigInt recompute of the quantized chi-square") {
+    val got = Events.cramersV(spark, TestSpark.Sf)
+      .as[(Long, Double, Long, Option[Double])].collect()
+    assert(got.length == 1)
+    val (n0, chi2, dof, v) = (got(0)._1, got(0)._2, got(0)._3, got(0)._4)
+    val cells = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000 % 7").as("wd"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = rowT.values.sum
+    assert(n0 == n && dof == (rowT.size - 1).toLong * (colT.size - 1))
+    val chi2micro = (for { (t, r) <- rowT; (w, c) <- colT } yield {
+      val o = cells.getOrElse((t, w), 0L)
+      val num = BigInt(o) * n - BigInt(r) * c
+      (num * num * 1000000) / (BigInt(n) * r * c)
+    }).sum
+    assert(chi2 == chi2micro.toDouble / 1e6)
+    val k = math.min(rowT.size, colT.size)
+    assert(v.contains(math.sqrt((chi2micro.toDouble / 1e6) /
+      (n.toDouble * (k.toDouble - 1.0)))))
+    assert(v.exists(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("cramers V endpoints: independence gives 0, a bijection gives ~1") {
+    def ev(rows: Seq[(String, Long)]) =
+      rows.toDF("event_type", "day")
+        .select(col("event_type"),
+          expr("timestamp_micros(day * 86400000000)").as("ts"))
+    // uniform grid: o = r*c/n exactly for every cell => chi2 = 0
+    val indep = for { t <- Seq("a", "b", "c"); d <- 0L until 7L; _ <- 1 to 4 }
+      yield (t, d)
+    val vi = Events.cramersVOf(ev(indep))
+      .select("cramers_v").as[Option[Double]].collect()(0)
+    assert(vi.contains(0.0))
+    // each type on exactly one weekday => perfect association
+    val perfect = for { i <- 0L until 5L; _ <- 1 to 9 } yield (s"t$i", i)
+    val vp = Events.cramersVOf(ev(perfect))
+      .select("cramers_v").as[Option[Double]].collect()(0)
+    assert(vp.exists(x => x > 0.999999 && x <= 1.0), s"got $vp")
+  }
+
   test("mann-whitney U equals an average-rank brute force; U1+U2 = n1*n2; z negates") {
     val got = Events.mannWhitney(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Double, Option[Double])]
