@@ -882,6 +882,66 @@ object Events extends QueryPack {
           .as("cramers_v"))
   }
 
+  /** ClickHouse `rankCorr` analogue: Spearman's ρ per event type
+    * between value and time-of-day — "do bigger purchases happen later
+    * in the day". Average ranks over ties never materialize as
+    * fractions: DOUBLED ranks (the [[mannWhitney]] device — a tied
+    * value with `less` predecessors and `ct` members has doubled rank
+    * 2·less + ct + 1 for every member) make all five Pearson moments
+    * over the rank pairs exact integers, accumulated as DECIMAL(38,0)
+    * (per-term cnt·r²ᵣ ≤ 4n³ ≈ 7·10¹⁸ at the ×100 tier — the long
+    * boundary — and Σ ≤ 4n⁴ ≈ 10²⁵ ≪ 10³⁸); the doubling cancels in
+    * ρ = (n·Sxy − SxSy)/√((n·Sxx − Sx²)(n·Syy − Sy²)). The
+    * cancellation-prone subtractions run in EXACT decimal, convert via
+    * the 2³² hi/lo split (DuckDB's int128→double cast double-rounds;
+    * headroom: hi ≤ 10²⁵/2³² ≈ 2·10¹⁵ < 2⁵³), and the final ρ is one
+    * multiply + √ + divide — hash-exact. Plan: both rank tables are
+    * counts-then-window (windows run over DISTINCT values per type,
+    * raw rows never globally sort), then two equi-joins back to the
+    * (type, x, y) pair counts and one partial-agg-friendly moment
+    * pass. A constant variable (all ties) zeroes its factor → NULL ρ
+    * in both engines. */
+  def rankCorr(spark: SparkSession, dir: String): DataFrame =
+    rankCorrOf(Tables.events(spark, dir))
+
+  private[graft] def rankCorrOf(ev: DataFrame): DataFrame = {
+    val d0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = ev.select(col("event_type"),
+      round(col("value") * lit(100)).cast("long").as("x"),
+      expr("unix_micros(ts) % 86400000000").as("y"))
+    val pairs = base.groupBy(col("event_type"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+    def ranks(v: String) = {
+      val byV = pairs.groupBy(col("event_type"), col(v))
+        .agg(sum(col("cnt")).as("cv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV.withColumn("less", coalesce(sum(col("cv")).over(w), lit(0L)))
+        .select(col("event_type"), col(v),
+          (lit(2L) * col("less") + col("cv") + lit(1L)).as(s"r2$v"))
+    }
+    val j = pairs
+      .join(ranks("x"), Seq("event_type", "x"))
+      .join(ranks("y"), Seq("event_type", "y"))
+    val n38 = d0(col("n"))
+    j.groupBy(col("event_type")).agg(
+        sum(col("cnt")).as("n"),
+        sum(d0(col("cnt")) * d0(col("r2x"))).as("sx"),
+        sum(d0(col("cnt")) * d0(col("r2y"))).as("sy"),
+        sum(d0(col("cnt")) * d0(col("r2x")) * d0(col("r2x"))).as("sxx"),
+        sum(d0(col("cnt")) * d0(col("r2y")) * d0(col("r2y"))).as("syy"),
+        sum(d0(col("cnt")) * d0(col("r2x")) * d0(col("r2y"))).as("sxy"))
+      .withColumn("num", n38 * col("sxy") - col("sx") * col("sy"))
+      .withColumn("f1", n38 * col("sxx") - col("sx") * col("sx"))
+      .withColumn("f2", n38 * col("syy") - col("sy") * col("sy"))
+      .select(col("event_type"), col("n"),
+        when(col("f1") > 0 && col("f2") > 0,
+          splitToDouble(col("num")) /
+            sqrt(splitToDouble(col("f1")) * splitToDouble(col("f2"))))
+          .as("rank_corr"))
+      .orderBy(col("event_type"))
+  }
+
   /** Conversion-latency distribution: per user, the gap between first
     * view and first subsequent purchase; reported as per-hour-bucket
     * counts plus exact quartiles (the product metric behind "how long
@@ -1316,6 +1376,7 @@ object Events extends QueryPack {
     "ev_welch_ttest"  -> welchTTest,
     "ev_mannwhitney"  -> mannWhitney,
     "ev_cramers_v"    -> cramersV,
+    "ev_rank_corr"    -> rankCorr,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -1417,6 +1478,54 @@ object Events extends QueryPack {
         |    se * se / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
         |               se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END AS df
         |FROM c3 ORDER BY wd""".stripMargin,
+    "ev_rank_corr" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS y
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type, x, y, COUNT(*) AS cnt FROM base GROUP BY 1, 2, 3),
+        |rx AS (
+        |  SELECT event_type, x,
+        |    2 * COALESCE(SUM(cv) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
+        |      AS r2x
+        |  FROM (SELECT event_type, x, SUM(cnt) AS cv FROM pairs GROUP BY 1, 2)),
+        |ry AS (
+        |  SELECT event_type, y,
+        |    2 * COALESCE(SUM(cv) OVER (PARTITION BY event_type ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
+        |      AS r2y
+        |  FROM (SELECT event_type, y, SUM(cnt) AS cv FROM pairs GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT p.event_type, CAST(p.cnt AS HUGEINT) AS cnt,
+        |         CAST(rx.r2x AS HUGEINT) AS r2x, CAST(ry.r2y AS HUGEINT) AS r2y
+        |  FROM pairs p
+        |  JOIN rx ON rx.event_type = p.event_type AND rx.x = p.x
+        |  JOIN ry ON ry.event_type = p.event_type AND ry.y = p.y),
+        |s AS (
+        |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+        |         SUM(cnt * r2x) AS sx, SUM(cnt * r2y) AS sy,
+        |         SUM(cnt * r2x * r2x) AS sxx, SUM(cnt * r2y * r2y) AS syy,
+        |         SUM(cnt * r2x * r2y) AS sxy
+        |  FROM j GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |         CAST(n AS HUGEINT) * sxx - sx * sx AS f1,
+        |         CAST(n AS HUGEINT) * syy - sy * sy AS f2
+        |  FROM s)
+        |SELECT event_type, n,
+        |  CASE WHEN f1 > 0 AND f2 > 0 THEN
+        |    (CAST((num - num % 4294967296) // 4294967296 AS DOUBLE)
+        |       * 4294967296.0 + CAST(num % 4294967296 AS DOUBLE))
+        |    / sqrt(
+        |      (CAST((f1 - f1 % 4294967296) // 4294967296 AS DOUBLE)
+        |         * 4294967296.0 + CAST(f1 % 4294967296 AS DOUBLE))
+        |      * (CAST((f2 - f2 % 4294967296) // 4294967296 AS DOUBLE)
+        |         * 4294967296.0 + CAST(f2 % 4294967296 AS DOUBLE)))
+        |  END AS rank_corr
+        |FROM f ORDER BY event_type""".stripMargin,
     "ev_cramers_v" ->
       """WITH base AS (
         |  SELECT event_type,

@@ -111,6 +111,62 @@ class StatsTestSpec extends AnyFunSuite {
     assert(vp.exists(x => x > 0.999999 && x <= 1.0), s"got $vp")
   }
 
+  test("rankCorr equals a BigInt doubled-rank recompute with the same split chain") {
+    val got = Events.rankCorr(spark, TestSpark.Sf)
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val rows = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        round(col("value") * lit(100)).cast("long").as("x"),
+        expr("unix_micros(ts) % 86400000000").as("y"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    def split(b: BigInt): Double = {
+      val lo = b % BigInt(4294967296L)
+      val hi = (b - lo) / BigInt(4294967296L)
+      hi.toDouble * 4294967296.0 + lo.toDouble
+    }
+    rows.foreach { case (tpe, rs) =>
+      def r2(vals: Seq[Long]): Map[Long, BigInt] = {
+        val counts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val sorted = counts.keys.toSeq.sorted
+        var less = 0L
+        sorted.map { v =>
+          val out = v -> BigInt(2 * less + counts(v) + 1)
+          less += counts(v)
+          out
+        }.toMap
+      }
+      val (rx, ry) = (r2(rs.map(_._2).toSeq), r2(rs.map(_._3).toSeq))
+      val n = BigInt(rs.size)
+      val (sx, sy) = (rs.map(r => rx(r._2)).sum, rs.map(r => ry(r._3)).sum)
+      val sxx = rs.map(r => rx(r._2) * rx(r._2)).sum
+      val syy = rs.map(r => ry(r._3) * ry(r._3)).sum
+      val sxy = rs.map(r => rx(r._2) * ry(r._3)).sum
+      val (num, f1, f2) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      val want =
+        if (f1 > 0 && f2 > 0) Some(split(num) / math.sqrt(split(f1) * split(f2)))
+        else None
+      assert(got(tpe)._2 == rs.size.toLong && got(tpe)._3 == want, s"type $tpe")
+    }
+  }
+
+  test("rankCorr endpoints: monotone +1, antitone -1, constant NULL") {
+    def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      ("a", v, i.toLong)
+    }.toDF("event_type", "value", "i")
+      .select(col("event_type"), col("value"),
+        expr("timestamp_micros(i * 1000000)").as("ts"))
+    val up = Events.rankCorrOf(ev((1 to 50).map(_.toDouble)))
+      .select("rank_corr").as[Option[Double]].collect()(0)
+    assert(up.exists(r => math.abs(r - 1.0) < 1e-12), s"monotone: $up")
+    val down = Events.rankCorrOf(ev((1 to 50).map(i => (51 - i).toDouble)))
+      .select("rank_corr").as[Option[Double]].collect()(0)
+    assert(down.exists(r => math.abs(r + 1.0) < 1e-12), s"antitone: $down")
+    val const = Events.rankCorrOf(ev(Seq.fill(50)(7.0)))
+      .select("rank_corr").as[Option[Double]].collect()(0)
+    assert(const.isEmpty, s"constant x must yield NULL: $const")
+  }
+
   test("mann-whitney U equals an average-rank brute force; U1+U2 = n1*n2; z negates") {
     val got = Events.mannWhitney(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Double, Option[Double])]
