@@ -797,9 +797,11 @@ object Events extends QueryPack {
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitneyOf(Tables.events(spark, dir))
 
-  private[graft] def mannWhitneyOf(ev: DataFrame): DataFrame = {
+  /** The shared rank-sum core of [[mannWhitney]] and [[rocAuc]]: per
+    * weekday, the doubled rank sum 2R₁, 2U₁, group sizes and the tie
+    * cubic sum — all exact BIGINT. */
+  private def rankSumCore(ev: DataFrame): DataFrame = {
     val cents = round(col("value") * lit(100)).cast("long")
-    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
     val byVal = ev
       .filter(col("event_type").isin("view", "purchase"))
       .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
@@ -810,7 +812,7 @@ object Events extends QueryPack {
       .withColumn("ct", col("c1") + col("c2"))
     val rankW = Window.partitionBy(col("wd")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val a = byVal
+    byVal
       .withColumn("less", coalesce(sum(col("ct")).over(rankW), lit(0L)))
       .groupBy(col("wd"))
       .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
@@ -819,6 +821,11 @@ object Events extends QueryPack {
         sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tiesum"))
       .withColumn("n", col("n1") + col("n2"))
       .withColumn("two_u1", col("two_r1") - col("n1") * (col("n1") + lit(1L)))
+  }
+
+  private[graft] def mannWhitneyOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val a = rankSumCore(ev)
       .withColumn("varu", when(col("n1") > 0 && col("n2") > 0 && col("n") > 1,
         d(col("n1")) * d(col("n2")) / lit(12.0) *
           ((d(col("n")) + lit(1.0)) -
@@ -828,6 +835,29 @@ object Events extends QueryPack {
         when(col("varu") > 0,
           d(col("two_u1") - col("n1") * col("n2")) /
             (lit(2.0) * sqrt(col("varu")))).as("z"))
+      .orderBy(col("wd"))
+  }
+
+  /** ClickHouse `arrayAUC` analogue: ROC AUC of "value predicts
+    * purchase-vs-view" per epoch-weekday, via the rank identity
+    * AUC = U₁/(n₁n₂) = P(score₊ > score₋) + ½P(score₊ = score₋) —
+    * the trapezoidal tie convention ClickHouse implements, which over
+    * average ranks is EXACT. Rides [[rankSumCore]]'s integer 2U₁
+    * unchanged, so the whole statistic is one BIGINT quotient —
+    * a single correctly-rounded division, hash-exact; no per-threshold
+    * curve materializes and the raw scores never sort globally
+    * (counts-then-window, the same plan as [[mannWhitney]]). NULL on
+    * an empty class. */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame =
+    rocAucOf(Tables.events(spark, dir))
+
+  private[graft] def rocAucOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    rankSumCore(ev)
+      .select(col("wd"), col("n1").as("n_purchase"), col("n2").as("n_view"),
+        when(col("n1") > 0 && col("n2") > 0,
+          d(col("two_u1")) / (lit(2.0) * d(col("n1") * col("n2"))))
+          .as("auc"))
       .orderBy(col("wd"))
   }
 
@@ -1376,6 +1406,7 @@ object Events extends QueryPack {
     "ev_welch_ttest"  -> welchTTest,
     "ev_mannwhitney"  -> mannWhitney,
     "ev_cramers_v"    -> cramersV,
+    "ev_roc_auc"      -> rocAuc,
     "ev_rank_corr"    -> rankCorr,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
@@ -1478,6 +1509,31 @@ object Events extends QueryPack {
         |    se * se / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
         |               se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END AS df
         |FROM c3 ORDER BY wd""".stripMargin,
+    "ev_roc_auc" ->
+      """WITH m AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |         event_type = 'purchase' AS is_p
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (
+        |  SELECT wd, c,
+        |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM m GROUP BY 1, 2),
+        |w AS (
+        |  SELECT wd, c1, c2, c1 + c2 AS ct,
+        |    COALESCE(SUM(c1 + c2) OVER (PARTITION BY wd ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+        |  FROM v),
+        |a AS (
+        |  SELECT wd, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (2 * less + ct + 1)) AS BIGINT) AS two_r1
+        |  FROM w GROUP BY 1),
+        |b AS (SELECT *, two_r1 - n1 * (n1 + 1) AS two_u1 FROM a)
+        |SELECT wd, n1 AS n_purchase, n2 AS n_view,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(two_u1 AS DOUBLE) / (2.0 * CAST(n1 * n2 AS DOUBLE)) END AS auc
+        |FROM b ORDER BY wd""".stripMargin,
     "ev_rank_corr" ->
       """WITH base AS (
         |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x,

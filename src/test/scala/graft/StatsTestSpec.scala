@@ -111,6 +111,27 @@ class StatsTestSpec extends AnyFunSuite {
     assert(vp.exists(x => x > 0.999999 && x <= 1.0), s"got $vp")
   }
 
+  test("roc auc equals brute-force pair counting; label swap complements") {
+    val got = Events.rocAuc(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val swap = Events.rocAucOf(swapped)
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty && got.keySet == swap.keySet)
+    got.foreach { case (wd, (_, n1, n2, auc)) =>
+      val p = samples.getOrElse((wd, "purchase"), Nil)
+      val v = samples.getOrElse((wd, "view"), Nil)
+      var wins = 0L; var ties = 0L
+      p.foreach(x => v.foreach { y =>
+        if (x > y) wins += 1 else if (x == y) ties += 1
+      })
+      val brute = (2 * wins + ties).toDouble / (2.0 * (n1 * n2).toDouble)
+      assert(auc.contains(brute), s"wd $wd: $auc vs $brute")
+      // AUC(pos<->neg swap) = 1 - AUC up to the shared exact rational
+      val s2 = swap(wd)._4.get
+      assert(math.abs(auc.get + s2 - 1.0) < 1e-12, s"wd $wd complement")
+    }
+  }
+
   test("rankCorr equals a BigInt doubled-rank recompute with the same split chain") {
     val got = Events.rankCorr(spark, TestSpark.Sf)
       .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
