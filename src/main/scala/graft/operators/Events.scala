@@ -1333,16 +1333,24 @@ object Events extends QueryPack {
   def quantileTiming(spark: SparkSession, dir: String): DataFrame =
     quantileTimingOf(Tables.events(spark, dir))
 
-  private[graft] def quantileTimingOf(ev: DataFrame): DataFrame = {
+  /** Per-user inter-event gaps in ms, keyed by the later event's type —
+    * the measured series shared by [[quantileTiming]] and
+    * [[hdrQuantiles]]. The per-user lag window is the only data-sized
+    * shuffle either consumer pays. */
+  private def userGapsOf(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us"), col("event_id"))
-    val gaps = ev
+    ev
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("t_us"))
       .filter(col("t_us").isNotNull) // null ts sorts differently per engine; drop pre-window
       .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"), expr("(t_us - prev_us) div 1000").as("gap_ms"))
+  }
+
+  private[graft] def quantileTimingOf(ev: DataFrame): DataFrame = {
+    val gaps = userGapsOf(ev)
     val bucketed = gaps.select(col("event_type"),
       when(col("gap_ms") < 1024, col("gap_ms"))
         .when(col("gap_ms") >= 30000, lit(30000L))
@@ -1361,6 +1369,51 @@ object Events extends QueryPack {
         min(when(col("cum") * 100 >= col("n_gaps") * 50, col("b"))).as("p50_ms"),
         min(when(col("cum") * 100 >= col("n_gaps") * 90, col("b"))).as("p90_ms"),
         min(when(col("cum") * 100 >= col("n_gaps") * 99, col("b"))).as("p99_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HDR-histogram latency quantiles — the relative-error companion to
+    * [[quantileTiming]]'s fixed three-tier contract (and the honest,
+    * oracle-pairable stand-in for `quantileDD`: DDSketch's log-γ bucket
+    * needs libm `log`, whose rounding engines don't agree on; keeping
+    * the top 6 significant BITS of each value is the same
+    * relative-error guarantee in pure integer arithmetic). Bucket map:
+    * values < 32 are exact; otherwise the value rounds DOWN to its top
+    * 6 binary digits (floor-log2 via `length(bin(x)) - 1` — engine-
+    * identical string-of-bits length, no floats), giving relative
+    * error < 2⁻⁵ ≈ 3.1% at EVERY magnitude with ≤ 32 + 32·(63−5)
+    * buckets total. Because the bucket map is monotone, the discrete
+    * type-1 quantile COMMUTES with it: reported pK is exactly the
+    * bucket floor of the true pK-th gap (HdrSpec pins that identity +
+    * the relative-error band). Same counts-then-bounded-window plan as
+    * [[quantileTiming]]: the per-user lag window is the only
+    * data-sized shuffle; the quantile state is O(buckets), not
+    * O(rows) — at 100 TB the histogram is a few KB per type. */
+  def hdrQuantiles(spark: SparkSession, dir: String): DataFrame =
+    hdrQuantilesOf(Tables.events(spark, dir))
+
+  private[graft] def hdrQuantilesOf(ev: DataFrame): DataFrame = {
+    val lb = when(col("gap_ms") < 32, col("gap_ms"))
+      .otherwise(expr(
+        """shiftleft(shiftright(gap_ms, CAST(length(bin(gap_ms)) - 6 AS INT)),
+          |          CAST(length(bin(gap_ms)) - 6 AS INT))""".stripMargin))
+    val counts = userGapsOf(ev)
+      .select(col("event_type"), lb.as("b"), col("gap_ms"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"), max(col("gap_ms")).as("mx"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(cumW))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_gaps"), max(col("mx")).as("max_ms"))
+    cum.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        min(when(col("cum") * 100 >= col("n_gaps") * 50, col("b"))).as("p50_ms"),
+        min(when(col("cum") * 100 >= col("n_gaps") * 90, col("b"))).as("p90_ms"),
+        min(when(col("cum") * 100 >= col("n_gaps") * 99, col("b"))).as("p99_ms"),
+        min(when(col("cum") * 1000 >= col("n_gaps") * 999, col("b"))).as("p999_ms"),
+        max(col("max_ms")).as("max_ms"))
       .orderBy(col("event_type"))
   }
 
@@ -1392,6 +1445,7 @@ object Events extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_quantile_timing" -> quantileTiming,
+    "ev_hdr_quantiles" -> hdrQuantiles,
     "ev_adaptive_histogram" -> adaptiveHistogram,
     "ev_rfm"          -> rfm,
     "ev_transitions"  -> transitions,
@@ -1466,6 +1520,40 @@ object Events extends QueryPack {
         |         AS p90_ms,
         |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*99 THEN b END) AS BIGINT)
         |         AS p99_ms
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_hdr_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |          LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |            PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id)) // 1000 AS gap_ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |b AS (
+        |  SELECT event_type, gap_ms,
+        |         CASE WHEN gap_ms < 32 THEN gap_ms
+        |              ELSE (gap_ms >> (length(bin(gap_ms)) - 6))
+        |                   << (length(bin(gap_ms)) - 6) END AS b
+        |  FROM g WHERE gap_ms IS NOT NULL),
+        |c AS (SELECT event_type, b, COUNT(*) AS c, MAX(gap_ms) AS mx
+        |      FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, b,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(c) OVER (PARTITION BY event_type) AS n_gaps,
+        |         MAX(mx) OVER (PARTITION BY event_type) AS max_ms
+        |  FROM c)
+        |SELECT event_type, CAST(MAX(n_gaps) AS BIGINT) AS n_gaps,
+        |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*50 THEN b END) AS BIGINT)
+        |         AS p50_ms,
+        |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*90 THEN b END) AS BIGINT)
+        |         AS p90_ms,
+        |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*99 THEN b END) AS BIGINT)
+        |         AS p99_ms,
+        |       CAST(MIN(CASE WHEN cum*1000 >= n_gaps*999 THEN b END) AS BIGINT)
+        |         AS p999_ms,
+        |       CAST(MAX(max_ms) AS BIGINT) AS max_ms
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_welch_ttest" ->
       """WITH m AS (
