@@ -350,6 +350,44 @@ object Events extends QueryPack {
       .select(col("user_id")).distinct().orderBy(col("user_id"))
   }
 
+  /** ClickHouse `sequenceMatch` with PAIRWISE time constraints — the
+    * `(?1)(?t<=g₁)(?2)(?t<=g₂)(?3)` pattern form: does the user have a
+    * view → click → purchase chain where each step lands within its
+    * gap of the PREVIOUS step (vs [[funnelSteps]]' single window
+    * anchored at step 1). Existence semantics ride the
+    * latest-admissible-prefix device of [[sequenceMatchNeg]]: a step-k
+    * event is admissible iff the running max over admissible step-(k−1)
+    * completion times strictly before it (RANGE to −1µs — the same
+    * half-open tie convention) is within gₖ₋₁ — correct because an
+    * upper-bound gap constraint is monotone in the prefix time, so if
+    * ANY admissible prefix satisfies it, the latest does. One stacked
+    * window pass per step over the (user, time) sort — no per-user
+    * event buffering, scales on the user key. */
+  def sequenceMatchTimed(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      gapsUs: Seq[Long] = Seq(3600000000L, 86400000000L)): DataFrame =
+    sequenceMatchTimedOf(Tables.events(spark, dir), steps, gapsUs)
+
+  private[graft] def sequenceMatchTimedOf(ev: DataFrame, steps: Seq[String],
+      gapsUs: Seq[Long]): DataFrame = {
+    require(steps.length >= 2 && gapsUs.length == steps.length - 1,
+      "each adjacent step pair carries one max-gap bound")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var cur = ev.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .withColumn("v1",
+        when(col("event_type") === steps.head, col("tsu")))
+    for (k <- 2 to steps.length) {
+      val prev = max(col(s"v${k - 1}")).over(w)
+      cur = cur.withColumn(s"v$k",
+        when(col("event_type") === steps(k - 1) && prev.isNotNull &&
+          prev >= col("tsu") - lit(gapsUs(k - 2)), col("tsu")))
+    }
+    cur.filter(col(s"v${steps.length}").isNotNull)
+      .select(col("user_id")).distinct().orderBy(col("user_id"))
+  }
+
   /** ClickHouse `sumMap` analogue at day grain: one row per day whose
     * value is the map event_type → (event count, sum of the integer
     * `props.k` metric) — the "aggregate a whole keyed family in one
@@ -1466,6 +1504,7 @@ object Events extends QueryPack {
     "ev_funnel_strict" -> funnelStrict,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "ev_sequence_match_neg" -> ((s: SparkSession, d: String) => sequenceMatchNeg(s, d)),
+    "ev_sequence_match_timed" -> ((s: SparkSession, d: String) => sequenceMatchTimed(s, d)),
     "ev_sequence_next_node" -> sequenceNextNode,
     "ev_sum_map"      -> sumMapDaily,
     "ev_max_concurrency" -> maxConcurrency,
@@ -1895,6 +1934,22 @@ object Events extends QueryPack {
         |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |l3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pv2 IS NOT NULL
         |         AND (f2 IS NULL OR pv2 > f2) THEN tsu END AS v3 FROM p3)
+        |SELECT DISTINCT user_id FROM l3 WHERE v3 IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
+    "ev_sequence_match_timed" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |                  event_type FROM events),
+        |l1 AS (SELECT *, CASE WHEN event_type = 'view' THEN tsu END AS v1 FROM e),
+        |p2 AS (SELECT *, MAX(v1) OVER w AS pv1 FROM l1
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l2 AS (SELECT *, CASE WHEN event_type = 'click' AND pv1 IS NOT NULL
+        |         AND pv1 >= tsu - 3600000000 THEN tsu END AS v2 FROM p2),
+        |p3 AS (SELECT *, MAX(v2) OVER w AS pv2 FROM l2
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pv2 IS NOT NULL
+        |         AND pv2 >= tsu - 86400000000 THEN tsu END AS v3 FROM p3)
         |SELECT DISTINCT user_id FROM l3 WHERE v3 IS NOT NULL
         |ORDER BY user_id""".stripMargin,
     // same s1/s2 chain as ev_sequence_match (earliest completion inside

@@ -235,6 +235,49 @@ class EventsTextSpec extends AnyFunSuite {
     assert(got == Seq(1L), s"expected only user 1, got $got")
   }
 
+  test("sequenceMatchTimed: pairwise gap bounds, late-witness, == brute force") {
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val g1 = 10L * 60000000L // 10 min in µs
+    val g2 = 30L * 60000000L
+    val ev = Seq(
+      // user 1: tight chain inside both gaps → match
+      (1L, "view", t(0)), (1L, "click", t(5)), (1L, "purchase", t(20)),
+      // user 2: click arrives 11 min after the only view → gap 1 fails
+      (2L, "view", t(0)), (2L, "click", t(11)), (2L, "purchase", t(12)),
+      // user 3: first view too early, but a LATER view re-arms the
+      //         chain (latest-admissible witness) → match
+      (3L, "view", t(0)), (3L, "view", t(8)), (3L, "click", t(15)),
+      (3L, "purchase", t(30)),
+      // user 4: purchase 31 min after the click → gap 2 fails
+      (4L, "view", t(0)), (4L, "click", t(5)), (4L, "purchase", t(36)),
+      // user 5: click tied at the view's exact µs is NOT strictly after
+      (5L, "view", t(0)), (5L, "click", t(0)), (5L, "purchase", t(10)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.sequenceMatchTimedOf(ev,
+        Seq("view", "click", "purchase"), Seq(g1, g2))
+      .select("user_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L), s"got $got")
+    // brute force over every (v, c, p) assignment on the sf fixture
+    val gaps = Seq(3600000000L, 86400000000L)
+    val evs = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    val want = evs.filter { case (_, rs) =>
+      val vs = rs.filter(_._3 == "view").map(_._2)
+      val cs = rs.filter(_._3 == "click").map(_._2)
+      val ps = rs.filter(_._3 == "purchase").map(_._2)
+      vs.exists(v => cs.exists(c => c > v && c - v <= gaps(0) &&
+        ps.exists(p => p > c && p - c <= gaps(1))))
+    }.keySet
+    val fixture = Events.sequenceMatchTimed(spark, TestSpark.Sf)
+      .select("user_id").as[Long].collect().toSet
+    assert(fixture == want,
+      s"missed=${(want -- fixture).take(3)} extra=${(fixture -- want).take(3)}")
+    assert(want.nonEmpty, "fixture must contain timed conversions")
+  }
+
   test("sequenceMatchNeg: negated gaps, adversarial witness, == brute force") {
     import graft.operators.Events
     import java.sql.Timestamp
