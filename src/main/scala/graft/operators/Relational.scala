@@ -518,7 +518,44 @@ object Relational extends QueryPack {
       .orderBy(col("o_orderpriority"), col("quartile"))
   }
 
+  /** ClickHouse `quantileExactWeighted` analogue: per return flag, the
+    * quantity-weighted p25/p50/p75 of extended price — "what price
+    * level splits the SHIPPED VOLUME into quarters", which an
+    * unweighted price quantile misstates whenever quantity correlates
+    * with price. Type-1 weighted quantile, exact: collapse to
+    * (flag, cents) with summed weights FIRST (partial-agg friendly; at
+    * 100 TB the distinct-price table is what sorts, never the fact
+    * rows), one cumulative window over distinct prices, and the
+    * integer crossing rule `4·cum ≥ k·W` — no interpolation, no
+    * floats until the final /100 display division. The same
+    * counts-then-window architecture as `ev_quantile_timing` /
+    * `ev_hdr_quantiles`, on a weighted domain. */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+    val byPrice = base.groupBy(col("flag"), col("cents"))
+      .agg(sum(col("w")).as("wsum"))
+    val cumW = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byPrice.withColumn("cum", sum(col("wsum")).over(cumW))
+    val tot = byPrice.groupBy(col("flag")).agg(sum(col("wsum")).as("tw"))
+    cum.join(broadcast(tot), "flag")
+      .groupBy(col("flag"))
+      .agg(max(col("tw")).as("total_weight"),
+        (min(when(col("cum") * 4 >= col("tw"), col("cents")))
+          .cast(DoubleType) / 100.0d).as("wp25"),
+        (min(when(col("cum") * 2 >= col("tw"), col("cents")))
+          .cast(DoubleType) / 100.0d).as("wp50"),
+        (min(when(col("cum") * 4 >= col("tw") * 3, col("cents")))
+          .cast(DoubleType) / 100.0d).as("wp75"))
+      .orderBy(col("flag"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_weighted_quantiles" -> weightedQuantiles,
     "rel_corr"             -> corrQuantityPrice,
     "rel_ntile"            -> ntileRevenue,
     "rel_argmax"           -> argMaxCustomer,
@@ -556,6 +593,29 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "rel_weighted_quantiles" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |bp AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS wsum
+        |       FROM base GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, cents, wsum,
+        |         SUM(wsum) OVER (PARTITION BY flag ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(wsum) OVER (PARTITION BY flag) AS tw
+        |  FROM bp)
+        |SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+        |  CAST(MIN(CASE WHEN cum * 4 >= tw THEN cents END) AS DOUBLE) / 100.0
+        |    AS wp25,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tw THEN cents END) AS DOUBLE) / 100.0
+        |    AS wp50,
+        |  CAST(MIN(CASE WHEN cum * 4 >= tw * 3 THEN cents END) AS DOUBLE) / 100.0
+        |    AS wp75
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_shipping_priority" ->
       s"""SELECT o.o_orderkey,
         |       CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)

@@ -288,6 +288,52 @@ object EventStream {
       }
   }
 
+  case class SeqTimedState(v1: Long, v2: Long, matched: Boolean)
+  case class SeqTimedOut(user_id: Long, matched: Boolean)
+
+  /** Streaming `sequenceMatch` with pairwise time constraints: the
+    * incremental twin of
+    * [[graft.operators.Events.sequenceMatchTimed]] (default
+    * view →(≤1h)→ click →(≤24h)→ purchase). Per-user state is the
+    * LATEST admissible completion time per prefix — two longs plus the
+    * sticky matched bit — because an upper-bound gap constraint is
+    * monotone in the prefix time (the batch form's own argument).
+    * Intra-batch simultaneous events fold per distinct timestamp
+    * against the PRE-timestamp state, reproducing the batch
+    * RANGE(−1µs) strictly-before convention. StreamingSpec pins the
+    * matched set equal to the batch query's. Same late-data trade as
+    * [[funnelLevels]]. */
+  def sequenceMatchTimed(spark: SparkSession, eventsDir: String,
+      g1Us: Long = 3600000000L, g2Us: Long = 86400000000L): Dataset[SeqTimedOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[SeqTimedState, SeqTimedOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SeqTimedState]) =>
+          var SeqTimedState(v1, v2, matched) =
+            state.getOption.getOrElse(SeqTimedState(-1L, -1L, false))
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
+            .groupBy(e => epochUs(e.ts)).toSeq.sortBy(_._1)
+            .foreach { case (ts, group) =>
+              // extensions read the state as of strictly-earlier time
+              val (o1, o2) = (v1, v2)
+              group.foreach { e =>
+                e.event_type match {
+                  case "view"     => v1 = ts
+                  case "click"    => if (o1 >= 0 && o1 >= ts - g1Us) v2 = ts
+                  case "purchase" => if (o2 >= 0 && o2 >= ts - g2Us) matched = true
+                  case _ =>
+                }
+              }
+            }
+          state.update(SeqTimedState(v1, v2, matched))
+          SeqTimedOut(user, matched)
+      }
+  }
+
   case class IvState(curStart: Long, maxEnd: Long, islands: Long,
       closedUs: Long, n: Long)
   case class IvOut(user_id: Long, active_us: Long, n_islands: Long,

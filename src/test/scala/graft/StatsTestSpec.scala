@@ -68,6 +68,29 @@ class StatsTestSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted quantiles equal a brute-force weighted type-1 recompute") {
+    val got = graft.operators.Relational.weightedQuantiles(spark, TestSpark.Sf)
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    val rows = graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    got.foreach { case (flag, (_, tw, p25, p50, p75)) =>
+      val s = rows(flag).sortBy(_._2)
+      val total = s.map(_._3).sum
+      assert(tw == total)
+      def wq(num: Long, den: Long): Double = {
+        var cum = 0L
+        s.find { r => cum += r._3; cum * den >= total * num }
+          .get._2.toDouble / 100.0
+      }
+      assert(p25 == wq(1, 4) && p50 == wq(1, 2) && p75 == wq(3, 4), s"flag $flag")
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
   test("cramers V equals a BigInt recompute of the quantized chi-square") {
     val got = Events.cramersV(spark, TestSpark.Sf)
       .as[(Long, Double, Long, Option[Double])].collect()

@@ -103,6 +103,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain clean-gap conversions")
   }
 
+  test("streaming sequenceMatchTimed matched set equals the batch windows") {
+    val q = EventStream.sequenceMatchTimed(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("seqtimed_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("seqtimed_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("matched").as("matched"))
+      .filter(org.apache.spark.sql.functions.col("matched"))
+      .select("user_id").as[Long].collect().toSet
+    val batch = Events.sequenceMatchTimed(spark, TestSpark.Sf)
+      .as[Long].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty, "fixture must contain timed conversions")
+  }
+
   test("streaming deltaSum equals the batch daily lag rollup bit-for-bit") {
     val q = EventStream.deltaSums(spark, eventsDir)
       .writeStream.outputMode("update")
