@@ -611,6 +611,60 @@ object Events extends QueryPack {
       .select(col("user_id"), col("n_matches"))
       .orderBy(col("user_id"))
 
+  /** ClickHouse `windowFunnel(..., 'strict_dedup')` analogue —
+    * completing the mode family next to [[funnelSteps]] (default) and
+    * [[funnelStrict]] (strict_order): a repeat of an ALREADY-MATCHED
+    * step's type interrupts the search, and the user's answer is the
+    * level reached at the break ("repeating event interrupts further
+    * processing" — the published strict_dedup rule, made precise here
+    * as: scanning the user's funnel events in (time, id) order with
+    * the chain anchored at its first view, an event whose type equals
+    * a matched step ends the scan; the next step must land strictly
+    * after the previous and within 7 days of the anchor; types AHEAD
+    * of the chain are ignored, as in the default mode). A
+    * break-on-condition scan is inherently sequential, so like
+    * [[sequenceCountGreedy]] it rides the per-user sorted-array
+    * `aggregate` fold — bounded by per-user event count, the same
+    * bound ClickHouse's own buffered list assumes — and is rows-only
+    * (no windowed-SQL oracle form); EventsTextSpec pins a direct
+    * Scala simulation, hand-built break cases, and level-wise
+    * dominance by the default mode. */
+  def funnelDedup(spark: SparkSession, dir: String): DataFrame =
+    funnelDedupOf(Tables.events(spark, dir))
+
+  private[graft] def funnelDedupOf(ev: DataFrame): DataFrame = {
+    val folded = ev.filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1).otherwise(2).as("sym"))))
+        .as("seq"))
+      .withColumn("level", expr(
+        """aggregate(seq,
+          |  named_struct('lv', 0, 'a', 0L, 't', 0L, 'done', false),
+          |  (a, x) -> if(a.done or a.lv = 3, a,
+          |    if(a.lv = 0,
+          |       if(x.sym = 0,
+          |          named_struct('lv', 1, 'a', x.us, 't', x.us, 'done', false),
+          |          a),
+          |       if(x.sym = a.lv and x.us > a.t
+          |            and x.us <= a.a + 604800000000L,
+          |          named_struct('lv', a.lv + 1, 'a', a.a, 't', x.us,
+          |                       'done', false),
+          |          if(x.sym < a.lv,
+          |             named_struct('lv', a.lv, 'a', a.a, 't', a.t,
+          |                          'done', true),
+          |             a)))),
+          |  a -> cast(a.lv as bigint))""".stripMargin))
+      .select(col("user_id"), col("level"))
+    ev.select(col("user_id")).distinct()
+      .join(folded, Seq("user_id"), "left")
+      .select(coalesce(col("level"), lit(0L)).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   /** ClickHouse `uniqUpTo(25)` analogue at (day × type) grain: exact
     * distinct users while ≤ 25, the sentinel 26 beyond — "has this key
     * crossed the threshold" without carrying full distinct sets. The
@@ -1502,6 +1556,7 @@ object Events extends QueryPack {
     "ev_rank_corr"    -> rankCorr,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
+    "ev_funnel_dedup" -> funnelDedup,
     "ev_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "ev_sequence_match_neg" -> ((s: SparkSession, d: String) => sequenceMatchNeg(s, d)),
     "ev_sequence_match_timed" -> ((s: SparkSession, d: String) => sequenceMatchTimed(s, d)),

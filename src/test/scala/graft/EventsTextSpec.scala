@@ -235,6 +235,63 @@ class EventsTextSpec extends AnyFunSuite {
     assert(got == Seq(1L), s"expected only user 1, got $got")
   }
 
+  test("funnelDedup: break-on-repeat cases, == direct simulation, dominated by default") {
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    def eids(rows: Seq[(Long, String, Timestamp)]) =
+      rows.zipWithIndex.map { case ((u, ty, ts), i) => (i.toLong, u, ty, ts, 0.0) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val ev = eids(Seq(
+      // user 1: clean chain → 3
+      (1L, "view", t(0)), (1L, "click", t(1)), (1L, "purchase", t(2)),
+      // user 2: second view while waiting for click → break at 1
+      (2L, "view", t(0)), (2L, "view", t(1)), (2L, "click", t(2)),
+      (2L, "purchase", t(3)),
+      // user 3: repeat CLICK while waiting for purchase → break at 2
+      (3L, "view", t(0)), (3L, "click", t(1)), (3L, "click", t(2)),
+      (3L, "purchase", t(3)),
+      // user 4: purchase while waiting for click is AHEAD of the chain
+      //         (not matched yet) → ignored, chain completes → 3
+      (4L, "view", t(0)), (4L, "purchase", t(1)), (4L, "click", t(2)),
+      (4L, "purchase", t(3)),
+      // user 5: no view at all → 0
+      (5L, "click", t(0)), (5L, "purchase", t(1))))
+    val got = Events.funnelDedupOf(ev)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
+    // direct Scala simulation over the fixture
+    val W = 7L * 24 * 3600 * 1000000L
+    val sim = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1).view.mapValues { rs =>
+        var (lv, a, tl, done) = (0L, 0L, 0L, false)
+        rs.filter(r => Set("view", "click", "purchase")(r._4))
+          .sortBy(r => (r._2, r._3)).foreach { case (_, us, _, ty) =>
+            val sym = ty match { case "view" => 0; case "click" => 1; case _ => 2 }
+            if (!done && lv < 3) {
+              if (lv == 0) { if (sym == 0) { lv = 1; a = us; tl = us } }
+              else if (sym == lv && us > tl && us <= a + W) { lv += 1; tl = us }
+              else if (sym < lv) done = true
+            }
+          }
+        lv
+      }.toMap
+    val simHist = sim.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fixture = Events.funnelDedup(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(fixture == simHist, s"fixture $fixture vs sim $simHist")
+    // cumulative >=k counts dominated by the default (loose) mode
+    val loose = Events.funnelSteps(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    for (k <- 1L to 3L) {
+      def cumAtLeast(h: Map[Long, Long]) =
+        h.filter(_._1 >= k).values.sum
+      assert(cumAtLeast(fixture) <= cumAtLeast(loose), s"level >= $k")
+    }
+  }
+
   test("sequenceMatchTimed: pairwise gap bounds, late-witness, == brute force") {
     import graft.operators.Events
     import java.sql.Timestamp
