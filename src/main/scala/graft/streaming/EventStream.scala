@@ -288,6 +288,45 @@ object EventStream {
       }
   }
 
+  case class FunnelDedupState(lv: Long, a: Long, t: Long, done: Boolean)
+  case class FunnelDedupOut(user_id: Long, level: Long)
+
+  /** Streaming `windowFunnel('strict_dedup')`: the incremental twin of
+    * [[graft.operators.Events.funnelDedup]]. The batch form's
+    * break-on-repeat DFA state is four scalars per user — level,
+    * anchor, last-step time, broken bit — folded with the identical
+    * rule set per micro-batch in (time, id) order; emits the user's
+    * current level (Update mode). StreamingSpec pins the final level
+    * histogram equal to the batch query's. Same late-data trade as
+    * [[funnelLevels]]. */
+  def funnelDedupLevels(spark: SparkSession, eventsDir: String): Dataset[FunnelDedupOut] = {
+    import spark.implicits._
+    val W = 7L * 24 * 3600 * 1000000L
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelDedupState, FunnelDedupOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[FunnelDedupState]) =>
+          var FunnelDedupState(lv, a, t, done) =
+            state.getOption.getOrElse(FunnelDedupState(0L, 0L, 0L, false))
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            val us = epochUs(e.ts)
+            val sym = e.event_type match {
+              case "view" => 0L; case "click" => 1L; case _ => 2L
+            }
+            if (!done && lv < 3) {
+              if (lv == 0) { if (sym == 0) { lv = 1; a = us; t = us } }
+              else if (sym == lv && us > t && us <= a + W) { lv += 1; t = us }
+              else if (sym < lv) done = true
+            }
+          }
+          state.update(FunnelDedupState(lv, a, t, done))
+          FunnelDedupOut(user, lv)
+      }
+  }
+
   case class SeqTimedState(v1: Long, v2: Long, matched: Boolean)
   case class SeqTimedOut(user_id: Long, matched: Boolean)
 

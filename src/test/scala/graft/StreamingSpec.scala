@@ -103,6 +103,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain clean-gap conversions")
   }
 
+  test("streaming strict_dedup funnel levels equal the batch fold histogram") {
+    val q = EventStream.funnelDedupLevels(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("fdedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("fdedup_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("level").as("level"))
+      .groupBy("level").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = Events.funnelDedup(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    // the stream sees only funnel-type events; level-0 users without
+    // any such event appear in the batch histogram only
+    val missing = batch.values.sum - streamed.values.sum
+    val streamedAll =
+      if (missing > 0 || streamed.contains(0L))
+        streamed.updated(0L, streamed.getOrElse(0L, 0L) + missing)
+      else streamed
+    assert(streamedAll == batch, s"streamed $streamedAll vs batch $batch")
+    assert(batch.keySet.contains(3L), "fixture must contain full dedup chains")
+  }
+
   test("streaming sequenceMatchTimed matched set equals the batch windows") {
     val q = EventStream.sequenceMatchTimed(spark, eventsDir)
       .writeStream.outputMode("update")
