@@ -554,7 +554,74 @@ object Relational extends QueryPack {
       .orderBy(col("flag"))
   }
 
+  /** Deterministic exact-decimal→double for moments beyond the 2⁸⁵
+    * single-split bound (see `Events.splitToDouble`): three 2³²-limbs,
+    * each exact in a double, reassembled with TWO rounded adds — the
+    * identical fixed chain in both engines, good to 2⁹⁶. The n·Sxy
+    * matrix moments cross 2⁸⁵ between sf0.1 and ×10, which is what
+    * forces the extra limb here. */
+  private def split3ToDouble(s: Column): Column = {
+    val lo = s % lit(4294967296L)
+    val r1 = (s - lo) / lit(4294967296L)
+    val mid = r1 % lit(4294967296L)
+    val hi = (r1 - mid) / lit(4294967296L)
+    hi.cast(DoubleType) * lit(1.8446744073709552e19) +
+      mid.cast(DoubleType) * lit(4294967296.0) + lo.cast(DoubleType)
+  }
+
+  /** One-pass Pearson correlation MATRIX over (quantity, price cents,
+    * discount bp) — the multivariate generalization of [[rel_corr]]:
+    * ALL k² moments (3 sums, 3 squares, 3 cross-products) accumulate
+    * in ONE partial-agg-friendly pass as exact DECIMAL(38,0), so the
+    * fact table is scanned once however many pairs are reported (a
+    * per-pair plan scans it k(k−1)/2 times). The cancellation-prone
+    * n·Sxy − SxSy subtractions stay exact; conversion rides
+    * [[split3ToDouble]] (these moments cross the one-split 2⁸⁵ bound
+    * between sf0.1 and ×10); the final r per pair is one divide + √ —
+    * hash-exact. Output: the 3 unordered pairs as rows, exploded from
+    * the single aggregate row (no second scan, no union). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("p"),
+      (col("l_discount").cast(DecimalType(18, 4)) * 10000)
+        .cast("long").as("dc"))
+    val a = base.agg(
+      count(lit(1)).as("n"),
+      sum(d0(col("q"))).as("sq"), sum(d0(col("p"))).as("sp"),
+      sum(d0(col("dc"))).as("sd"),
+      sum(d0(col("q")) * d0(col("q"))).as("sqq"),
+      sum(d0(col("p")) * d0(col("p"))).as("spp"),
+      sum(d0(col("dc")) * d0(col("dc"))).as("sdd"),
+      sum(d0(col("q")) * d0(col("p"))).as("sqp"),
+      sum(d0(col("q")) * d0(col("dc"))).as("sqd"),
+      sum(d0(col("p")) * d0(col("dc"))).as("spd"))
+    val n38 = d0(col("n"))
+    def r(sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column): Column = {
+      val num = n38 * sxy - sx * sy
+      val f1 = n38 * sxx - sx * sx
+      val f2 = n38 * syy - sy * sy
+      when(f1 > 0 && f2 > 0,
+        split3ToDouble(num) /
+          sqrt(split3ToDouble(f1) * split3ToDouble(f2)))
+    }
+    a.select(col("n"), explode(array(
+        struct(lit("quantity").as("var_x"), lit("price").as("var_y"),
+          r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("r")),
+        struct(lit("quantity").as("var_x"), lit("discount").as("var_y"),
+          r(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("r")),
+        struct(lit("price").as("var_x"), lit("discount").as("var_y"),
+          r(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("r"))))
+        .as("pair"))
+      .select(col("pair.var_x"), col("pair.var_y"), col("n"), col("pair.r"))
+      .orderBy(col("var_x"), col("var_y"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_corr_matrix"      -> corrMatrix,
     "rel_weighted_quantiles" -> weightedQuantiles,
     "rel_corr"             -> corrQuantityPrice,
     "rel_ntile"            -> ntileRevenue,
@@ -593,6 +660,63 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "rel_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS p,
+        |         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |           AS dc
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(q) AS sq, SUM(p) AS sp, SUM(dc) AS sd,
+        |         SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(dc*dc) AS sdd,
+        |         SUM(q*p) AS sqp, SUM(q*dc) AS sqd, SUM(p*dc) AS spd
+        |  FROM b),
+        |pairs AS (
+        |  SELECT 'quantity' AS var_x, 'price' AS var_y, n,
+        |         n*sqp - sq*sp AS num, n*sqq - sq*sq AS f1,
+        |         n*spp - sp*sp AS f2 FROM m
+        |  UNION ALL
+        |  SELECT 'quantity', 'discount', n,
+        |         n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM m
+        |  UNION ALL
+        |  SELECT 'price', 'discount', n,
+        |         n*spd - sp*sd, n*spp - sp*sp, n*sdd - sd*sd FROM m),
+        |l1 AS (
+        |  SELECT *,
+        |    num % 4294967296 AS num_lo,
+        |    (num - num % 4294967296) // 4294967296 AS num_r1,
+        |    f1 % 4294967296 AS f1_lo,
+        |    (f1 - f1 % 4294967296) // 4294967296 AS f1_r1,
+        |    f2 % 4294967296 AS f2_lo,
+        |    (f2 - f2 % 4294967296) // 4294967296 AS f2_r1
+        |  FROM pairs),
+        |l2 AS (
+        |  SELECT *,
+        |    num_r1 % 4294967296 AS num_mid,
+        |    (num_r1 - num_r1 % 4294967296) // 4294967296 AS num_hi,
+        |    f1_r1 % 4294967296 AS f1_mid,
+        |    (f1_r1 - f1_r1 % 4294967296) // 4294967296 AS f1_hi,
+        |    f2_r1 % 4294967296 AS f2_mid,
+        |    (f2_r1 - f2_r1 % 4294967296) // 4294967296 AS f2_hi
+        |  FROM l1),
+        |v AS (
+        |  SELECT var_x, var_y, n, f1, f2,
+        |    CAST(num_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(num_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(num_lo AS DOUBLE) AS numd,
+        |    CAST(f1_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(f1_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(f1_lo AS DOUBLE) AS f1d,
+        |    CAST(f2_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(f2_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(f2_lo AS DOUBLE) AS f2d
+        |  FROM l2)
+        |SELECT var_x, var_y, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN f1 > 0 AND f2 > 0 THEN numd / sqrt(f1d * f2d) END AS r
+        |FROM v ORDER BY 1, 2""".stripMargin,
     "rel_weighted_quantiles" ->
       """WITH base AS (
         |  SELECT l_returnflag AS flag,

@@ -68,6 +68,43 @@ class StatsTestSpec extends AnyFunSuite {
     }
   }
 
+  test("corr matrix equals a BigInt moment recompute with the 3-limb split chain") {
+    val got = graft.operators.Relational.corrMatrix(spark, TestSpark.Sf)
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 3)
+    val rows = graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_discount").cast("decimal(18,4)") * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    def split3(b: BigInt): Double = {
+      val lo = b % BigInt(4294967296L)
+      val r1 = (b - lo) / BigInt(4294967296L)
+      val mid = r1 % BigInt(4294967296L)
+      val hi = (r1 - mid) / BigInt(4294967296L)
+      hi.toDouble * 1.8446744073709552e19 + mid.toDouble * 4294967296.0 +
+        lo.toDouble
+    }
+    val n = BigInt(rows.length)
+    def pearson(x: Seq[Long], y: Seq[Long]): Double = {
+      val (sx, sy) = (x.map(BigInt(_)).sum, y.map(BigInt(_)).sum)
+      val sxx = x.map(v => BigInt(v) * v).sum
+      val syy = y.map(v => BigInt(v) * v).sum
+      val sxy = x.zip(y).map { case (a, b) => BigInt(a) * b }.sum
+      split3(n * sxy - sx * sy) /
+        math.sqrt(split3(n * sxx - sx * sx) * split3(n * syy - sy * sy))
+    }
+    val (qs, ps, ds) = (rows.map(_._1).toSeq, rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+    assert(got(("quantity", "price"))._4.contains(pearson(qs, ps)))
+    assert(got(("quantity", "discount"))._4.contains(pearson(qs, ds)))
+    assert(got(("price", "discount"))._4.contains(pearson(ps, ds)))
+    got.values.foreach { r =>
+      assert(r._3 == rows.length.toLong)
+      assert(r._4.exists(v => v >= -1.0 && v <= 1.0))
+    }
+  }
+
   test("weighted quantiles equal a brute-force weighted type-1 recompute") {
     val got = graft.operators.Relational.weightedQuantiles(spark, TestSpark.Sf)
       .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
