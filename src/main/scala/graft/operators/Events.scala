@@ -412,6 +412,30 @@ object Events extends QueryPack {
           ",").as("kv"))
       .orderBy(col("day"))
 
+  /** ClickHouse `minMap`/`maxMap` analogue at day grain — completing
+    * the Map-combinator family next to [[sumMapDaily]]: per day, the
+    * per-type (min, max, count) of the `props.k` metric for rows that
+    * CARRY the metric (min/max have no null identity, so metric-less
+    * rows are excluded — unlike sumMap's COALESCE-0 count-all
+    * convention; the spec pins the two keys' reconciliation). Same
+    * canonical sorted-string serialization and the same bounded
+    * per-day fold: the inner (day × type) aggregate is partial-agg
+    * friendly and the row count per day is capped by the type
+    * vocabulary. */
+  def minMaxMapDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("d"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("d"), col("event_type"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+        count(lit(1)).as("n"))
+      .groupBy(expr("cast(unix_date(d) as bigint)").as("day"))
+      .agg(array_join(array_sort(collect_list(
+        concat_ws(":", col("event_type"), col("mn"), col("mx"), col("n")))),
+        ",").as("kv"))
+      .orderBy(col("day"))
+
   /** The map-typed seam behind [[sumMapDaily]]: day (epoch-day int) →
     * `map<event_type, struct<n, sum_k>>`. `sum_k` is null-guarded to 0
     * so engines that drop vs keep null map entries cannot diverge. */
@@ -1562,6 +1586,7 @@ object Events extends QueryPack {
     "ev_sequence_match_timed" -> ((s: SparkSession, d: String) => sequenceMatchTimed(s, d)),
     "ev_sequence_next_node" -> sequenceNextNode,
     "ev_sum_map"      -> sumMapDaily,
+    "ev_minmax_map"   -> minMaxMapDaily,
     "ev_max_concurrency" -> maxConcurrency,
     "ev_interval_union" -> intervalUnion,
     "ev_delta_sum"    -> deltaSumDaily,
@@ -2032,6 +2057,18 @@ object Events extends QueryPack {
         |SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day,
         |       string_agg(event_type || ':' || n || ':' || sum_k, ','
         |                  ORDER BY event_type) AS kv
+        |FROM kv GROUP BY d ORDER BY day""".stripMargin,
+    "ev_minmax_map" ->
+      """WITH kv AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |         MIN(CAST(props ->> 'k' AS BIGINT)) AS mn,
+        |         MAX(CAST(props ->> 'k' AS BIGINT)) AS mx,
+        |         COUNT(*) AS n
+        |  FROM events WHERE CAST(props ->> 'k' AS BIGINT) IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day,
+        |       string_agg(event_type || ':' || mn || ':' || mx || ':' || n,
+        |                  ',' ORDER BY event_type) AS kv
         |FROM kv GROUP BY d ORDER BY day""".stripMargin,
     "ev_max_concurrency" ->
       """WITH o AS (

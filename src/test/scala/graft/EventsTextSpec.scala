@@ -235,6 +235,26 @@ class EventsTextSpec extends AnyFunSuite {
     assert(got == Seq(1L), s"expected only user 1, got $got")
   }
 
+  test("minMaxMap reconciles with sumMap: mn*n <= sum_k <= mx*n per (day, type)") {
+    import graft.operators.Events
+    def parse(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Array[Long]] =
+      df.as[(Long, String)].collect().flatMap { case (day, kv) =>
+        kv.split(",").map { cell =>
+          val p = cell.split(":")
+          (day, p(0)) -> p.drop(1).map(_.toLong)
+        }
+      }.toMap
+    val mm = parse(Events.minMaxMapDaily(spark, TestSpark.Sf)) // mn, mx, n
+    val sm = parse(Events.sumMapDaily(spark, TestSpark.Sf))    // n_all, sum_k
+    assert(mm.nonEmpty)
+    mm.foreach { case (key, Array(mn, mx, n)) =>
+      assert(mn <= mx && n > 0, s"$key bounds")
+      val Array(nAll, sumK) = sm(key)
+      assert(n <= nAll, s"$key metric rows within all rows")
+      assert(mn * n <= sumK && sumK <= mx * n, s"$key sum bracket")
+    }
+  }
+
   test("funnelDedup: break-on-repeat cases, == direct simulation, dominated by default") {
     import graft.operators.Events
     import java.sql.Timestamp
