@@ -620,7 +620,50 @@ object Relational extends QueryPack {
       .orderBy(col("var_x"), col("var_y"))
   }
 
+  /** The SQL-standard `REGR_SLOPE` / `REGR_INTERCEPT` / `REGR_R2`
+    * family (also ClickHouse `simpleLinearRegression`): ordinary
+    * least-squares of price-cents on quantity per return flag, from
+    * the same one-pass exact DECIMAL(38,0) moments as [[corrMatrix]].
+    * All three statistics are fixed chains over the exact
+    * n·Sxy − SxSy / n·Sxx − Sx² cores, converted through
+    * [[split3ToDouble]] (per-flag n·Spp crosses the one-split 2⁸⁵
+    * bound at ×10) — hash-exact; a zero-variance regressor yields
+    * NULL slope/intercept/r2 in both engines. */
+  def regression(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("q"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("p"))
+    val a = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d0(col("q"))).as("sq"), sum(d0(col("p"))).as("sp"),
+        sum(d0(col("q")) * d0(col("q"))).as("sqq"),
+        sum(d0(col("p")) * d0(col("p"))).as("spp"),
+        sum(d0(col("q")) * d0(col("p"))).as("sqp"))
+    val n38 = d0(col("n"))
+    val num = n38 * col("sqp") - col("sq") * col("sp")
+    val fxx = n38 * col("sqq") - col("sq") * col("sq")
+    val fyy = n38 * col("spp") - col("sp") * col("sp")
+    a.withColumn("numd", split3ToDouble(num))
+      .withColumn("fxxd", split3ToDouble(fxx))
+      .withColumn("fyyd", split3ToDouble(fyy))
+      .withColumn("ok", fxx > 0 && fyy > 0)
+      .withColumn("slope", when(col("ok"), col("numd") / col("fxxd")))
+      .select(col("l_returnflag"), col("n"),
+        (col("slope") / lit(100.0)).as("slope"),
+        when(col("ok"),
+          (split3ToDouble(col("sp")) -
+            col("slope") * split3ToDouble(col("sq"))) /
+            col("n").cast(DoubleType) / lit(100.0)).as("intercept"),
+        when(col("ok"),
+          (col("numd") / col("fxxd")) * (col("numd") / col("fyyd")))
+          .as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_regression"       -> regression,
     "rel_corr_matrix"      -> corrMatrix,
     "rel_weighted_quantiles" -> weightedQuantiles,
     "rel_corr"             -> corrQuantityPrice,
@@ -660,6 +703,72 @@ object Relational extends QueryPack {
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 
   override val oracles: Map[String, String] = Map(
+    "rel_regression" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS p
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT f, COUNT(*) AS n, SUM(q) AS sq, SUM(p) AS sp,
+        |         SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(q*p) AS sqp
+        |  FROM b GROUP BY 1),
+        |g AS (
+        |  SELECT f, n, sq, sp, n*sqp - sq*sp AS num,
+        |         n*sqq - sq*sq AS fxx, n*spp - sp*sp AS fyy FROM m),
+        |l1 AS (
+        |  SELECT *,
+        |    num % 4294967296 AS num_lo,
+        |    (num - num % 4294967296) // 4294967296 AS num_r1,
+        |    fxx % 4294967296 AS fxx_lo,
+        |    (fxx - fxx % 4294967296) // 4294967296 AS fxx_r1,
+        |    fyy % 4294967296 AS fyy_lo,
+        |    (fyy - fyy % 4294967296) // 4294967296 AS fyy_r1,
+        |    sq % 4294967296 AS sq_lo,
+        |    (sq - sq % 4294967296) // 4294967296 AS sq_r1,
+        |    sp % 4294967296 AS sp_lo,
+        |    (sp - sp % 4294967296) // 4294967296 AS sp_r1
+        |  FROM g),
+        |l2 AS (
+        |  SELECT *,
+        |    num_r1 % 4294967296 AS num_mid,
+        |    (num_r1 - num_r1 % 4294967296) // 4294967296 AS num_hi,
+        |    fxx_r1 % 4294967296 AS fxx_mid,
+        |    (fxx_r1 - fxx_r1 % 4294967296) // 4294967296 AS fxx_hi,
+        |    fyy_r1 % 4294967296 AS fyy_mid,
+        |    (fyy_r1 - fyy_r1 % 4294967296) // 4294967296 AS fyy_hi,
+        |    sq_r1 % 4294967296 AS sq_mid,
+        |    (sq_r1 - sq_r1 % 4294967296) // 4294967296 AS sq_hi,
+        |    sp_r1 % 4294967296 AS sp_mid,
+        |    (sp_r1 - sp_r1 % 4294967296) // 4294967296 AS sp_hi
+        |  FROM l1),
+        |v AS (
+        |  SELECT f, n, fxx, fyy,
+        |    CAST(num_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(num_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(num_lo AS DOUBLE) AS numd,
+        |    CAST(fxx_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(fxx_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(fxx_lo AS DOUBLE) AS fxxd,
+        |    CAST(fyy_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(fyy_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(fyy_lo AS DOUBLE) AS fyyd,
+        |    CAST(sq_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(sq_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(sq_lo AS DOUBLE) AS sqd,
+        |    CAST(sp_hi AS DOUBLE) * 1.8446744073709552e19
+        |      + CAST(sp_mid AS DOUBLE) * 4294967296.0
+        |      + CAST(sp_lo AS DOUBLE) AS spd
+        |  FROM l2)
+        |SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN fxx > 0 AND fyy > 0 THEN (numd / fxxd) / 100.0 END
+        |    AS slope,
+        |  CASE WHEN fxx > 0 AND fyy > 0 THEN
+        |    (spd - (numd / fxxd) * sqd) / CAST(n AS DOUBLE) / 100.0 END
+        |    AS intercept,
+        |  CASE WHEN fxx > 0 AND fyy > 0 THEN
+        |    (numd / fxxd) * (numd / fyyd) END AS r2
+        |FROM v ORDER BY 1""".stripMargin,
     "rel_corr_matrix" ->
       """WITH b AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS q,

@@ -105,6 +105,47 @@ class StatsTestSpec extends AnyFunSuite {
     }
   }
 
+  test("regression equals a BigInt OLS recompute; r2 agrees with rel_corr squared") {
+    val got = graft.operators.Relational.regression(spark, TestSpark.Sf)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    def split3(b: BigInt): Double = {
+      val lo = b % BigInt(4294967296L)
+      val r1 = (b - lo) / BigInt(4294967296L)
+      val mid = r1 % BigInt(4294967296L)
+      val hi = (r1 - mid) / BigInt(4294967296L)
+      hi.toDouble * 1.8446744073709552e19 + mid.toDouble * 4294967296.0 +
+        lo.toDouble
+    }
+    val rows = graft.sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val corr = graft.operators.Relational.corrQuantityPrice(spark, TestSpark.Sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    got.foreach { case (flag, (_, n0, slope, intercept, r2)) =>
+      val rs = rows(flag)
+      val n = BigInt(rs.length)
+      assert(n0 == rs.length.toLong)
+      val sq = rs.map(r => BigInt(r._2)).sum
+      val sp = rs.map(r => BigInt(r._3)).sum
+      val sqq = rs.map(r => BigInt(r._2) * r._2).sum
+      val spp = rs.map(r => BigInt(r._3) * r._3).sum
+      val sqp = rs.map(r => BigInt(r._2) * r._3).sum
+      val (num, fxx, fyy) = (n * sqp - sq * sp, n * sqq - sq * sq, n * spp - sp * sp)
+      val sl = split3(num) / split3(fxx)
+      assert(slope.contains(sl / 100.0), s"$flag slope")
+      assert(intercept.contains(
+        (split3(sp) - sl * split3(sq)) / n.toDouble / 100.0), s"$flag intercept")
+      val r2v = (split3(num) / split3(fxx)) * (split3(num) / split3(fyy))
+      assert(r2.contains(r2v), s"$flag r2")
+      // cross-operator identity: r2 == rel_corr's r squared (different
+      // double chains, so tolerance, not bit equality)
+      assert(math.abs(r2v - corr(flag) * corr(flag)) < 1e-12, s"$flag r2 vs corr")
+    }
+  }
+
   test("weighted quantiles equal a brute-force weighted type-1 recompute") {
     val got = graft.operators.Relational.weightedQuantiles(spark, TestSpark.Sf)
       .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
