@@ -1140,18 +1140,11 @@ object Events extends QueryPack {
     * shuffle); the quartile windows then run over |purchasing users|
     * rows. The unpartitioned NTILE is the exact-demo tier — at
     * billions of users the scores come from a threshold join against
-    * approx-quantile boundaries (the `x_approx_quantiles` machinery)
-    * rather than a global rank; here exactness is what the oracle
+    * approx-quantile boundaries — that tier is [[rfmScaled]]
+    * (`ev_rfm_scaled`); here exactness is what the oracle
     * hash-checks. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(
-        max(expr("cast(unix_date(to_date(ts)) as bigint)")).as("last_day"),
-        count(lit(1)).as("frequency"),
-        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
-          .as("monetary"))
+    val perUser = rfmPerUser(spark, dir)
     val horizon = perUser.agg(max(col("last_day")).as("horizon_day"))
     val rW = Window.orderBy(col("recency_days"), col("user_id"))
     val fW = Window.orderBy(col("frequency").desc, col("user_id"))
@@ -1163,6 +1156,60 @@ object Events extends QueryPack {
         ntile(4).over(rW).cast("long").as("r_score"),
         ntile(4).over(fW).cast("long").as("f_score"),
         ntile(4).over(mW).cast("long").as("m_score"))
+      .withColumn("rfm_segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Shared RFM per-user rollup: one shuffle collapses the purchase
+    * stream to (user, last purchase day, count, decimal-exact spend). */
+  private def rfmPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        max(expr("cast(unix_date(to_date(ts)) as bigint)")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+          .as("monetary"))
+
+  /** [[rfm]]'s 100 TB tier — `ev_rfm_scaled`: quartile scores come
+    * from a THRESHOLD JOIN against approx-quantile boundaries instead
+    * of a global NTILE. One 1-row aggregate computes the corpus
+    * horizon plus the Greenwald–Khanna 25/50/75 boundaries for all
+    * three metrics; the row broadcasts (scalar attach) and every score
+    * is three comparisons — no WindowExec at all, so the plan has NO
+    * global sort and scales embarrassingly in |users|. Semantics
+    * differ from NTILE exactly where they should: tied metric values
+    * always land in the same quartile (NTILE splits tie runs by
+    * user_id to balance buckets), which is the honest answer at scale.
+    * r_score thresholds rewrite to `last_day` comparisons
+    * (recency > H − Qlast(q) ⟺ last_day < Qlast(q)) so recency never
+    * materializes before the sketch. Rows-only — GK boundaries are
+    * partitioning-dependent within their rank-error bound; RfmSpec
+    * pins the threshold plumbing against an independent Scala
+    * recompute plus monotonicity/tie-consistency invariants, and
+    * PlanAuditSpec asserts the no-global-window shape. */
+  def rfmScaled(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = rfmPerUser(spark, dir)
+    val bounds = perUser.agg(
+      max(col("last_day")).as("horizon_day"),
+      percentile_approx(col("last_day"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("lq"),
+      percentile_approx(col("frequency"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("fq"),
+      percentile_approx(col("monetary"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("mq"))
+    def scoreDesc(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      lit(1L) + (v < q.getItem(2)).cast("long") +
+        (v < q.getItem(1)).cast("long") + (v < q.getItem(0)).cast("long")
+    perUser.join(broadcast(bounds))
+      .select(col("user_id"),
+        (col("horizon_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary"),
+        scoreDesc(col("last_day"), col("lq")).as("r_score"),
+        scoreDesc(col("frequency"), col("fq")).as("f_score"),
+        scoreDesc(col("monetary"), col("mq")).as("m_score"))
       .withColumn("rfm_segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy(col("user_id"))
@@ -1564,6 +1611,7 @@ object Events extends QueryPack {
     "ev_hdr_quantiles" -> hdrQuantiles,
     "ev_adaptive_histogram" -> adaptiveHistogram,
     "ev_rfm"          -> rfm,
+    "ev_rfm_scaled"   -> rfmScaled,
     "ev_transitions"  -> transitions,
     "ev_sequence_pairs" -> sequencePairs,
     "ev_sequence_count" -> sequenceCount,

@@ -36,6 +36,72 @@ class ExtrasAnalyticsSpec extends AnyFunSuite {
     assert(byR(1L).max <= byR(4L).min)
   }
 
+  test("ev_rfm_scaled: threshold scores match independent recompute; ties stay together") {
+    val got = Events.rfmScaled(spark, sf).collect()
+    // Independent per-user rollup in plain Scala from the raw events.
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("d"),
+        col("value").cast("decimal(38,6)").as("v")).collect()
+    val per = ev.groupBy(_.getLong(0)).map { case (u, rs) =>
+      (u, rs.map(_.getLong(1)).max, rs.length.toLong,
+        rs.map(r => BigDecimal(r.getDecimal(2))).sum.toDouble)
+    }.toSeq
+    // With n_users ≤ the sketch accuracy (10000) GK stores every sample,
+    // so percentile_approx is exact and partition-independent — the spec
+    // precondition that makes the independent boundary recompute valid.
+    assert(per.size <= 10000, "fixture outgrew the exact-sketch regime")
+    import spark.implicits._
+    val bounds = per.toDF("u", "last_day", "freq", "mon")
+      .agg(
+        percentile_approx(col("last_day"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)),
+        percentile_approx(col("freq"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)),
+        percentile_approx(col("mon"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
+      .collect()(0)
+    val lq = bounds.getSeq[Long](0)
+    val fq = bounds.getSeq[Long](1)
+    val mq = bounds.getSeq[Double](2)
+    val horizon = per.map(_._2).max
+    def scoreL(v: Long, q: Seq[Long]): Long =
+      1L + (if (v < q(2)) 1 else 0) + (if (v < q(1)) 1 else 0) +
+        (if (v < q(0)) 1 else 0)
+    def scoreD(v: Double, q: Seq[Double]): Long =
+      1L + (if (v < q(2)) 1 else 0) + (if (v < q(1)) 1 else 0) +
+        (if (v < q(0)) 1 else 0)
+    val want = per.map { case (u, lastDay, freq, mon) =>
+      val r = scoreL(lastDay, lq); val f = scoreL(freq, fq)
+      val m = scoreD(mon, mq)
+      (u, horizon - lastDay, freq, mon, r, f, m, r * 100 + f * 10 + m)
+    }.sortBy(_._1)
+    val gotT = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7))).toSeq
+    assert(gotT == want)
+    // Tie-consistency (what NTILE cannot give): equal metric ⇒ equal score.
+    Seq(("frequency", "f_score"), ("monetary", "m_score"),
+        ("recency_days", "r_score")).foreach { case (metric, score) =>
+      got.groupBy(_.getAs[Any](metric)).foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Long](score)).distinct.length == 1,
+          s"tied $metric split across $score values")
+      }
+    }
+    // Monotone: better metric never gets a worse quartile.
+    def mono(pairs: Seq[(Double, Long)]): Unit =
+      pairs.sortBy(_._1).sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 <= b._2); case _ => ()
+      }
+    mono(got.map(r => (r.getLong(1).toDouble, r.getLong(4))).toSeq)
+    mono(got.map(r => (-r.getLong(2).toDouble, r.getLong(5))).toSeq)
+    mono(got.map(r => (-r.getDouble(3), r.getLong(6))).toSeq)
+    // All four quartiles are inhabited on the fixture.
+    assert(got.map(_.getAs[Long]("r_score")).distinct.sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("x_weighted_median: matches plain-Scala weighted-median walk") {
     val got = Extras.weightedMedian(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq

@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ev_hll_daily"            -> (1, "scalar attach: horizon row"),
     "ev_kmv_overlap"          -> (1, "bounded: 5x5 type-pair sketch frame"),
     "ev_rfm"                  -> (1, "scalar attach: horizon day"),
+    "ev_rfm_scaled"           -> (1, "scalar attach: horizon + quantile boundaries row"),
     "rel_above_avg"           -> (1, "scalar attach: global average"),
     "rel_idle_customers"      -> (1, "scalar attach: global balance threshold"),
     "rel_value_concentration" -> (1, "scalar attach: total/count row"),
@@ -81,5 +82,72 @@ class PlanAuditSpec extends AnyFunSuite {
     val keys = SparkEntry.queries.keySet
     val dead = bnljAllow.keySet.diff(keys)
     assert(dead.isEmpty, s"allowlisted keys no longer exist: $dead")
+    val deadW = globalWindowAllow.keySet.diff(keys)
+    assert(deadW.isEmpty, s"window-allowlisted keys no longer exist: $deadW")
+  }
+
+  /** Keys allowed to carry UNPARTITIONED (single-partition) WindowExec
+    * nodes, each with the reason the window input is BOUNDED — a
+    * count-of-counts histogram, a per-grain totals frame, a fixed
+    * grid — never data-cardinality rows. A window over per-row data
+    * with no PARTITION BY is a global sort on one task at 100 TB; any
+    * new key that picks one up fails here (the `ev_rfm` class — its
+    * scale twin `ev_rfm_scaled` is the no-window form). Values are
+    * (max allowed global windows, reason). */
+  private val globalWindowAllow: Map[String, (Int, String)] = Map(
+    "cur_global_shuffle"  -> (1, "bounded: exclusive cumsum over 16 per-shard total rows"),
+    "cur_pack_sequences"  -> (1, "bounded: exclusive cumsum over #shards total rows"),
+    "dedup_block_stats"   -> (2, "bounded: percentile walk over bucket-size count-of-counts"),
+    "ev_max_concurrency"  -> (2, "bounded: per-day carry totals + per-day maxima argmin"),
+    "ev_rfm"              -> (3, "exact-demo oracle tier; scale twin = ev_rfm_scaled"),
+    "text_vocab_coverage" -> (1, "bounded: vocab-grain (Heaps'-law) frequency walk"),
+    "text_vocab_growth"   -> (1, "bounded: vocab-grain first-occurrence walk"),
+    "x_trailing_revenue"  -> (1, "bounded: RANGE frame over per-day total rows"))
+
+  /** Split `s` into its top-level `[...]` groups (bracket-depth aware —
+    * expression trees nest brackets freely). */
+  private def topLevelGroups(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '[' => depth += 1; if (depth == 1) cur.clear() else cur += '['
+      case ']' => depth -= 1; if (depth == 0) out += cur.result() else cur += ']'
+      case c   => if (depth >= 1) cur += c
+    }
+    out.result()
+  }
+
+  /** Count Window nodes with no partitionSpec but an orderSpec (= a
+    * single-task global sort) in a physical-plan string: a partitioned
+    * node prints `Window [fns], [part], [order]` (3 top-level groups);
+    * a 2-group node is either partition-only (fine — the 2nd group is
+    * plain attributes) or global-ordered (the 2nd group carries
+    * ASC/DESC sort directions — the shape this audit exists to catch). */
+  private def globalWindows(plan: String): Int =
+    plan.linesIterator.count { line =>
+      val m = "(?:^|[-+: ])Window (\\[.*)$".r.findFirstMatchIn(line)
+      m.exists { g =>
+        val groups = topLevelGroups(g.group(1))
+        groups.length == 2 &&
+          (groups(1).contains(" ASC") || groups(1).contains(" DESC"))
+      }
+    }
+
+  test("no data-cardinality single-partition windows outside the allowlist") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          val n = globalWindows(plan)
+          val allowed = globalWindowAllow.get(name).map(_._1).getOrElse(0)
+          if (n > allowed)
+            Seq(s"$name: $n global window(s), allowed $allowed")
+          else Nil
+        } catch {
+          case e: Throwable => Seq(s"$name: PLAN FAILED ${e.getMessage.take(80)}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
