@@ -471,23 +471,25 @@ object Curation extends QueryPack {
     // the unpersist, R rounds pin R copies of O(|E|) (the ×100 OOM).
     var core = e0.localCheckpoint()
     var coreOwned = true
-    // median initial degree from the count-of-counts histogram
-    val hist = degrees(core)
+    // Lower-median initial degree from the count-of-counts histogram.
+    // The cumulative walk runs as a WINDOW over the histogram rows and
+    // only the 1-row answer reaches the driver: #distinct degree
+    // values is O(√|E|) (k distinct degrees need ≥ k(k+1)/2 edge
+    // endpoints) — bounded for the single-partition window even on a
+    // power-law giant — where collecting the whole histogram would be
+    // O(max-degree) driver rows (the r11 verdict's hardening item).
+    val histW = Window.orderBy(col("deg"))
+    val medRow = degrees(core)
       .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("deg")).collect()
-    val total = hist.map(_.getLong(1)).sum
-    val median: Long = {
-      var cum = 0L
-      var ans = hist.lastOption.map(_.getLong(0)).getOrElse(0L)
-      var i = 0
-      var found = false
-      while (i < hist.length && !found) {
-        cum += hist(i).getLong(1)
-        if (cum * 2L >= total) { ans = hist(i).getLong(0); found = true }
-        i += 1
-      }
-      ans
-    }
+      .withColumn("cum", sum(col("cnt")).over(
+        histW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        histW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") * 2 >= col("total"))
+      .agg(min(col("deg")).as("median"), max(col("total")).as("total"))
+      .collect()(0)
+    val total = if (medRow.isNullAt(1)) 0L else medRow.getLong(1)
+    val median = if (medRow.isNullAt(0)) 0L else medRow.getLong(0)
     val k = median * 3L / 5L
     // survivor sets are ≤ |V| (= the histogram total) and shrink
     // monotonically; gate the per-round semi-join build side on that
@@ -869,6 +871,8 @@ object Curation extends QueryPack {
       .orderBy(col("doc_id"), col("chunk_id"))
 
   private val LpaRounds = 10
+  /** Max LPA rounds fused into one below-gate materialization. */
+  private val LpaBatchHops = 2
 
   /** `cur_communities`: community detection on the co-purchase graph
     * by SYNCHRONOUS label propagation (the GraphFrames/Pregel LPA
@@ -943,10 +947,24 @@ object Curation extends QueryPack {
     // destroys anyway, so src pre-partitioning buys nothing — first
     // measured as the r8 "pre-partition by src" rejection, now
     // structural.)
+    // below the gate: NARROW the working frames instead. A sub-gate
+    // graph's rounds are scheduling-bound, not compute-bound (job
+    // profile at sf0.1: 871 tasks averaging ~38 ms executor time for
+    // <1 s of real compute), so the per-round stages size to ~64k
+    // nodes per task rather than the session's full fan-out, and the
+    // edge copy re-checkpoints coalesced so every round's edge scan
+    // launches that many tasks instead of one per input partition.
+    val votePart =
+      if (nNodes > stateBroadcastMaxRows) nPart
+      else math.max(8, math.min(nPart, (nNodes / 16384L).toInt + 1))
     if (nNodes > stateBroadcastMaxRows) {
       val spread = GraftBridge.localCheckpointHashPartitioned(und, nPart, "dst")
       GraftBridge.releaseLocalCheckpoint(und)
       und = spread
+    } else if (und.rdd.getNumPartitions > 2 * votePart) {
+      val slim = und.coalesce(2 * votePart).localCheckpoint()
+      GraftBridge.releaseLocalCheckpoint(und)
+      und = slim
     }
     def gated(s: DataFrame, n: Long): DataFrame =
       if (n <= stateBroadcastMaxRows) broadcast(s) else s.hint("shuffle_hash")
@@ -969,12 +987,82 @@ object Curation extends QueryPack {
     var frontier: Option[(DataFrame, Long)] = None
     var r = 0
     var done = false
+    // Below the gate the rounds are SCHEDULING-bound: with AQE on,
+    // every exchange materializes as its own job (~6 jobs × ~100 ms
+    // driver round trip per round — 54 jobs for <1 s of executor
+    // compute at sf0.1, job-count-profiled). AQE buys nothing on
+    // sub-gate state (all joins are already hint-decided broadcasts,
+    // widths are set explicitly above), so the rounds run with it OFF
+    // and each round collapses to checkpoint-job + count-job. The
+    // giant path keeps AQE (skew joins, runtime re-plan). Sequential
+    // execution contexts only (Verify/Bench/forked tests) — restored
+    // in the finally.
+    val sess = und.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    if (!giant) sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (r < LpaRounds && !done) {
       // a round recomputes every node when the frontier spans most of
       // the graph (the semi-join filters would pass nearly everything;
       // measured on the co-purchase fixture: >50% of labels churn
       // through round 5, so the filters only arm for the tail rounds)
       val full = frontier.forall(_._2 * 2 > nNodes)
+      if (full && !giant && LpaRounds - r >= 2) {
+        // MULTI-HOP batched full rounds (below the gate only): both the
+        // compute and the state fit trivially, so the cost of a round
+        // is its materialization + count round trips, not its work —
+        // fusing up to [[LpaBatchHops]] synchronous LPA applications
+        // into ONE checkpoint cuts the co-purchase fixture from 7 to 2
+        // materializations. Every hop re-votes EVERY node from the
+        // previous hop's unmaterialized label table — the full
+        // recompute is correct for any frontier, so no changed-count
+        // is needed between hops, and a mid-batch fixpoint is
+        // self-healing (l_i == l_{i-1} forces every later hop equal,
+        // so the final diff still reads 0). Each hop's label frame
+        // broadcasts ONCE (ReuseExchange: the next vote join and the
+        // diff join reference identical canonical subplans); the
+        // builds chain driver-side but each is one small job. The
+        // giant path keeps single rounds — there a vote is real work
+        // and duplicating it inside broadcast builds is not free.
+        def vote(lbls: Option[DataFrame]): DataFrame = {
+          val base = lbls match {
+            case None => und.withColumn("lbl", col("dst"))
+            case Some(l) => und
+              .join(broadcast(l.as("lv")), col("dst") === col("lv.id"))
+              .select(col("src"), col("lv.lbl").as("lbl"))
+          }
+          base.repartition(votePart, col("src"))
+            .groupBy(col("src").as("id"))
+            .agg(mode(col("lbl"), deterministic = true).as("nlbl"))
+        }
+        val hops = math.min(LpaBatchHops, LpaRounds - r)
+        var prev = if (r == 0) None: Option[DataFrame] else Some(labels)
+        var vH: DataFrame = null
+        var lPrev: DataFrame = null
+        (1 to hops).foreach { _ =>
+          vH = vote(prev)
+          lPrev = prev.orNull
+          prev = Some(vH.select(col("id"), col("nlbl").as("lbl")))
+        }
+        // diff the LAST two hops (fixpoint ⟺ they agree); hops ≥ 2 so
+        // lPrev is hop H−1's frame (or the own-id base when H == 1
+        // never happens here)
+        val withA = vH.as("vb")
+          .join(broadcast(lPrev.as("la")), col("vb.id") === col("la.id"))
+          .select(col("vb.id"), col("vb.nlbl"), col("la.lbl").as("lbla"))
+        val next = withA.localCheckpoint()
+        val cnt = next.agg(
+          sum(when(col("nlbl") =!= col("lbla"), 1L).otherwise(0L)).as("cb"))
+          .collect()(0)
+        val nB = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+        releaseSuperseded(owned)
+        owned = Seq(next)
+        labels = next.select(col("id"), col("nlbl").as("lbl"))
+        if (nB == 0) done = true
+        else frontier =
+          Some((next.filter(col("nlbl") =!= col("lbla")).select(col("id")), nB))
+        r += hops
+      } else {
       val scoreEdges =
         if (full) und
         else {
@@ -999,12 +1087,27 @@ object Curation extends QueryPack {
       // (measured: full rounds 1.8/1.3/1.0/0.85 → 0.7/0.75/0.6/0.45 s
       // at sf0.1 under the bench session)
       // round 1 shortcut: labels start as own-id, so the neighbor's
-      // label IS the neighbor — vote over dst directly, no label join
+      // label IS the neighbor — vote over dst directly, no label join.
+      // TAIL (frontier) rounds skip the explicit re-spread: their edge
+      // slice is tiny, and the forced nPart-task merge costs more
+      // scheduling latency than AQE's coalesced ENSURE_REQUIREMENTS
+      // exchange (mode is tie-deterministic, so partitioning never
+      // changes the answer)
+      // both label joins this round reference the RAW labels frame and
+      // key on `id` via an explicit condition (no rename Project in
+      // front of the exchange): the vote join's and the diff join's
+      // broadcast plans then CANONICALIZE IDENTICALLY and ReuseExchange
+      // collapses them into one broadcast job per round (the renamed
+      // forms each built their own — one extra scheduling round trip
+      // per full round; job-count-profiled, not wall-profiled)
+      val joined =
+        if (r == 0) scoreEdges.withColumn("lbl", col("dst"))
+        else scoreEdges
+          .join(gated(labels.as("lvote"), nNodes),
+            col("dst") === col("lvote.id"))
+          .select(col("src"), col("lvote.lbl").as("lbl"))
       val voted =
-        (if (r == 0) scoreEdges.withColumn("lbl", col("dst"))
-         else scoreEdges
-           .join(gated(labels.withColumnRenamed("id", "dst"), nNodes), "dst"))
-        .repartition(nPart, col("src"))
+        (if (full) joined.repartition(votePart, col("src")) else joined)
         .groupBy(col("src").as("id"))
         .agg(mode(col("lbl"), deterministic = true).as("nlbl"))
       if (full) {
@@ -1020,9 +1123,10 @@ object Curation extends QueryPack {
         // projections over that checkpoint
         val next =
           (if (r == 0) voted.withColumn("olbl", col("id"))
-           else voted.hint("shuffle_hash")
-             .join(gated(labels.withColumnRenamed("lbl", "olbl"), nNodes),
-               "id"))
+           else voted.as("v").hint("shuffle_hash")
+             .join(gated(labels.as("ldiff"), nNodes),
+               col("v.id") === col("ldiff.id"))
+             .select(col("v.id"), col("nlbl"), col("ldiff.lbl").as("olbl")))
           .localCheckpoint()
         val changedIds = next.filter(col("nlbl") =!= col("olbl"))
           .select(col("id"))
@@ -1033,30 +1137,32 @@ object Curation extends QueryPack {
         if (nChanged == 0) done = true
         else frontier = Some((changedIds, nChanged))
       } else {
-        // voted covers affected nodes only: patch them into the label
-        // table; the changed set IS the next frontier. Hint the
-        // (smaller) voted side as hash build — the stat-less
-        // checkpointed labels otherwise plan as a per-round sort
-        val changed = voted.hint("shuffle_hash").join(labels, "id")
-          .filter(col("nlbl") =!= col("lbl"))
-          .select(col("id"), col("nlbl")).localCheckpoint()
-        val nChanged = changed.count()
-        if (nChanged == 0) {
-          // state unchanged: the probe checkpoint is the only garbage
-          GraftBridge.releaseLocalCheckpoint(changed)
-          done = true
-        } else {
-          labels = labels
-            .join(gated(changed, nChanged), Seq("id"), "left")
-            .select(col("id"),
-              coalesce(col("nlbl"), col("lbl")).as("lbl"))
-            .localCheckpoint()
-          releaseSuperseded(owned)
-          owned = Seq(changed, labels)
-          frontier = Some((changed.select(col("id")), nChanged))
-        }
+        // voted covers affected nodes only: ONE materialization patches
+        // them into the label table, carrying (id, olbl, lbl) — the
+        // changed frontier and the next labels are narrow projections
+        // over that checkpoint, exactly the full-arm shape. (The r11
+        // form checkpointed the small `changed` probe AND the patched
+        // labels separately — one extra scheduling round trip per tail
+        // round, ~0.3-0.5 s of pure fixed overhead at sf0.1 across the
+        // 751→1→0 tail.) The voted side is the hash build — broadcast
+        // below the gate, shuffle-hash above it; the stat-less
+        // checkpointed labels otherwise plan as a per-round sort.
+        val next = labels
+          .join(gated(voted, nNodes), Seq("id"), "left")
+          .select(col("id"), col("lbl").as("olbl"),
+            coalesce(col("nlbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val changedIds = next.filter(col("lbl") =!= col("olbl"))
+          .select(col("id"))
+        val nChanged = changedIds.count()
+        releaseSuperseded(owned)
+        owned = Seq(next)
+        labels = next.select(col("id"), col("lbl"))
+        if (nChanged == 0) done = true
+        else frontier = Some((changedIds, nChanged))
       }
       r += 1
+      }
     }
     // materialize the bounded (community, n) result, then free the
     // working set — und is 2|E| rows and would otherwise stay pinned
@@ -1066,6 +1172,9 @@ object Curation extends QueryPack {
       .localCheckpoint()
     (owned :+ und).foreach(GraftBridge.releaseLocalCheckpoint)
     result.orderBy(col("community"))
+    } finally {
+      if (!giant) sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    }
   }
 
   /** Corpus concentration report: the Gini coefficient of per-doc
