@@ -597,4 +597,132 @@ object EventStream {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  // ------------------------------------------------------------------
+  // Streaming statistical-test twins (incremental forms of the batch
+  // ev_welch_ttest / ev_mannwhitney / ev_roc_auc keys)
+  // ------------------------------------------------------------------
+
+  /** Exact cents conversion matching the batch `round(value*100)
+    * .cast("long")` chain bit-for-bit: Spark's Round on a double goes
+    * through `BigDecimal.valueOf` (shortest decimal representation)
+    * with HALF_UP, then the integral double truncates exactly. */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  private val DayUsStat: Long = 86400000000L
+
+  case class WelchState(n1: Long, s11: Long, s21: Long,
+      n2: Long, s12: Long, s22: Long)
+  case class WelchOut(wd: Long, n_purchase: Long, n_view: Long,
+      mean_purchase: Option[Double], mean_view: Option[Double],
+      t_stat: Option[Double], df: Option[Double])
+
+  /** Streaming `welchTTest`: the incremental twin of
+    * [[graft.operators.Events.welchTTest]]. Per-WEEKDAY state is six
+    * BIGINTs — n / Σcents / Σcents² per arm — truly bounded (the
+    * moment fold is order-free integer addition, so no sort and no
+    * event buffering); every update row recomputes the t statistic and
+    * Welch–Satterthwaite df through the identical fixed IEEE chain as
+    * the batch tail, so the final row is bit-equal to the batch
+    * answer. The state never grows with the stream — the production
+    * shape for a continuously-monitored A/B metric. */
+  def welchStream(spark: SparkSession, eventsDir: String): Dataset[WelchOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(e => epochUs(e.ts) / DayUsStat % 7)
+      .mapGroupsWithState[WelchState, WelchOut](GroupStateTimeout.NoTimeout()) {
+        (wd: Long, it: Iterator[Ev], state: GroupState[WelchState]) =>
+          var s = state.getOption.getOrElse(WelchState(0L, 0L, 0L, 0L, 0L, 0L))
+          it.foreach { e =>
+            val c = cents(e.value)
+            if (e.event_type == "purchase")
+              s = s.copy(n1 = s.n1 + 1, s11 = s.s11 + c, s21 = s.s21 + c * c)
+            else
+              s = s.copy(n2 = s.n2 + 1, s12 = s.s12 + c, s22 = s.s22 + c * c)
+          }
+          state.update(s)
+          // fixed IEEE tail, op-for-op the batch chain
+          val v1 = if (s.n1 > 1)
+            Some((s.s21.toDouble - s.s11.toDouble * s.s11.toDouble / s.n1.toDouble) /
+              (s.n1.toDouble - 1.0)) else None
+          val v2 = if (s.n2 > 1)
+            Some((s.s22.toDouble - s.s12.toDouble * s.s12.toDouble / s.n2.toDouble) /
+              (s.n2.toDouble - 1.0)) else None
+          val se1 = v1.map(_ / s.n1.toDouble)
+          val se2 = v2.map(_ / s.n2.toDouble)
+          val se = for { a <- se1; b <- se2 } yield a + b
+          WelchOut(wd, s.n1, s.n2,
+            if (s.n1 > 0) Some(s.s11.toDouble / s.n1.toDouble) else None,
+            if (s.n2 > 0) Some(s.s12.toDouble / s.n2.toDouble) else None,
+            se.filter(_ > 0).map(x =>
+              (s.s11.toDouble / s.n1.toDouble - s.s12.toDouble / s.n2.toDouble) /
+                math.sqrt(x)),
+            se.filter(_ > 0).map(x =>
+              x * x / (se1.get * se1.get / (s.n1.toDouble - 1.0) +
+                se2.get * se2.get / (s.n2.toDouble - 1.0))))
+      }
+  }
+
+  case class RankState(m: Map[Long, (Long, Long)])
+  case class RankOut(wd: Long, n_purchase: Long, n_view: Long,
+      u1: Double, z: Option[Double], auc: Option[Double])
+
+  /** Streaming rank-sum core: the incremental twin of the batch
+    * `ev_mannwhitney` AND `ev_roc_auc` keys (one state serves both —
+    * they share [[graft.operators.Events]]' rankSumCore). Per-WEEKDAY
+    * state is a (cents value → per-arm counts) map, bounded by the
+    * VALUE DOMAIN rather than the stream length — the count-map device
+    * that makes rank statistics incremental at all (ranks themselves
+    * are non-mergeable). Every update replays the doubled-rank walk
+    * over the sorted map: 2R₁/2U₁/tie cubic sum stay exact BIGINTs and
+    * the z / AUC tails are the batch's fixed IEEE chains, so final
+    * rows are bit-equal to both batch keys. A value domain too large
+    * to bound (true continuous scores) is the documented limit — there
+    * the batch counts-then-window form is the scalable path. */
+  def rankStatsStream(spark: SparkSession, eventsDir: String): Dataset[RankOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(e => epochUs(e.ts) / DayUsStat % 7)
+      .mapGroupsWithState[RankState, RankOut](GroupStateTimeout.NoTimeout()) {
+        (wd: Long, it: Iterator[Ev], state: GroupState[RankState]) =>
+          var m = state.getOption.map(_.m).getOrElse(Map.empty[Long, (Long, Long)])
+          it.foreach { e =>
+            val c = cents(e.value)
+            val (a, b) = m.getOrElse(c, (0L, 0L))
+            m = m.updated(c,
+              if (e.event_type == "purchase") (a + 1, b) else (a, b + 1))
+          }
+          state.update(RankState(m))
+          var n1 = 0L; var n2 = 0L; var twoR1 = 0L; var tiesum = 0L
+          var less = 0L
+          m.toSeq.sortBy(_._1).foreach { case (_, (c1, c2)) =>
+            val ct = c1 + c2
+            twoR1 += c1 * (2L * less + ct + 1L)
+            tiesum += ct * ct * ct - ct
+            n1 += c1; n2 += c2; less += ct
+          }
+          val n = n1 + n2
+          val twoU1 = twoR1 - n1 * (n1 + 1L)
+          val varu = if (n1 > 0 && n2 > 0 && n > 1)
+            Some(n1.toDouble * n2.toDouble / 12.0 *
+              ((n.toDouble + 1.0) -
+                tiesum.toDouble / (n.toDouble * (n.toDouble - 1.0)))) else None
+          RankOut(wd, n1, n2,
+            twoU1.toDouble / 2.0,
+            varu.filter(_ > 0).map(v =>
+              (twoU1 - n1 * n2).toDouble / (2.0 * math.sqrt(v))),
+            if (n1 > 0 && n2 > 0)
+              Some(twoU1.toDouble / (2.0 * (n1 * n2).toDouble)) else None)
+      }
+  }
 }

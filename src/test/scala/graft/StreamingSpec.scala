@@ -178,6 +178,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(r => r._4 >= 1 && r._4 <= 16), "1..16 terms per row")
   }
 
+  test("streaming Welch t equals the batch moment rollup bit-for-bit") {
+    val q = EventStream.welchStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("welch_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // one batch ⇒ the only update row per weekday is the final state
+    val streamed = spark.table("welch_out")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSet
+    val batch = Events.welchTTest(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(batch.nonEmpty)
+    assert(batch.exists(_._6.isDefined), "fixture must yield defined t stats")
+  }
+
+  test("streaming rank-sum core equals batch Mann-Whitney AND ROC AUC bit-for-bit") {
+    val q = EventStream.rankStatsStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rank_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("rank_out")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    val mw = Events.mannWhitney(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq.sortBy(_._1)
+    val auc = Events.rocAuc(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(streamed.map(r => (r._1, r._2, r._3, r._4, r._5)) == mw)
+    assert(streamed.map(r => (r._1, r._2, r._3, r._6)) == auc)
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(r => r._6.forall(a => a >= 0.0 && a <= 1.0)))
+  }
+
   test("stream-static enrichment matches the batch join, sinks via foreachBatch") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val q = EventStream.sinkToParquet(
