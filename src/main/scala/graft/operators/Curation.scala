@@ -1088,11 +1088,14 @@ object Curation extends QueryPack {
       // at sf0.1 under the bench session)
       // round 1 shortcut: labels start as own-id, so the neighbor's
       // label IS the neighbor — vote over dst directly, no label join.
-      // TAIL (frontier) rounds skip the explicit re-spread: their edge
-      // slice is tiny, and the forced nPart-task merge costs more
-      // scheduling latency than AQE's coalesced ENSURE_REQUIREMENTS
-      // exchange (mode is tie-deterministic, so partitioning never
-      // changes the answer)
+      // BELOW-GATE tail rounds skip the explicit re-spread: their edge
+      // slice is tiny, and the forced fan-out costs more scheduling
+      // latency than the coalesced ENSURE_REQUIREMENTS exchange (mode
+      // is tie-deterministic, so partitioning never changes the
+      // answer). GIANT tail rounds keep it — a sub-half frontier can
+      // still be billions of rows, and AQE sizes the merge by raw
+      // bytes, under-provisioning mode's partial map buffers (the r8
+      // measurement that introduced the re-spread).
       // both label joins this round reference the RAW labels frame and
       // key on `id` via an explicit condition (no rename Project in
       // front of the exchange): the vote join's and the diff join's
@@ -1107,7 +1110,7 @@ object Curation extends QueryPack {
             col("dst") === col("lvote.id"))
           .select(col("src"), col("lvote.lbl").as("lbl"))
       val voted =
-        (if (full) joined.repartition(votePart, col("src")) else joined)
+        (if (full || giant) joined.repartition(votePart, col("src")) else joined)
         .groupBy(col("src").as("id"))
         .agg(mode(col("lbl"), deterministic = true).as("nlbl"))
       if (full) {
