@@ -173,6 +173,16 @@ object Curation extends QueryPack {
     * giant-graph path. */
   private[graft] val StateBroadcastMaxRows = 2000000L
 
+  /** Edge-row ceiling for LPA's SMALL-graph latency levers (multi-hop
+    * batching, AQE-off rounds, narrowed stage widths): below it the
+    * rounds are scheduling-bound and the levers pay; above it a round
+    * is real compute and the single-hop path with adaptive execution
+    * wins — sub-gate NODE state alone does not imply a small graph
+    * (the ×100 co-purchase graph has |V| = 2M at the gate but
+    * 2|E| = 480M, where one batched job's chained broadcasts + dual
+    * full-graph votes exhaust the heap). */
+  private[graft] val SmallGraphEdgeRows = 16000000L
+
   /** Edge-table broadcast ceiling for the triangle census: the oriented
     * edge set broadcasts below this (the LongHashedRelation fast path —
     * ~30 MB at sf0.1, ~300 MB at ×10, both measured), and above it the
@@ -947,21 +957,27 @@ object Curation extends QueryPack {
     // destroys anyway, so src pre-partitioning buys nothing — first
     // measured as the r8 "pre-partition by src" rejection, now
     // structural.)
-    // below the gate: NARROW the working frames instead. A sub-gate
-    // graph's rounds are scheduling-bound, not compute-bound (job
-    // profile at sf0.1: 871 tasks averaging ~38 ms executor time for
-    // <1 s of real compute), so the per-round stages size to ~64k
-    // nodes per task rather than the session's full fan-out, and the
-    // edge copy re-checkpoints coalesced so every round's edge scan
-    // launches that many tasks instead of one per input partition.
+    // SMALL-graph regime: sub-gate node state AND a sub-[[SmallGraphEdgeRows]]
+    // edge list — only then are the rounds scheduling-bound, not
+    // compute-bound (job profile at sf0.1: 871 tasks averaging ~38 ms
+    // executor time for <1 s of real compute), and only then do the
+    // latency levers below arm (multi-hop batching, AQE off, narrowed
+    // widths, coalesced edge copy). Keying them on nNodes alone was
+    // the r12 ×100 OOM: |V| = 2M sits AT the gate while 2|E| = 480M —
+    // sub-gate STATE says nothing about edge volume, and a batched
+    // hop's chained 2M-row broadcasts plus full-graph votes in one job
+    // exhaust the heap. The big-but-sub-gate regime rides the proven
+    // single-hop path (AQE on, broadcast state, full-round re-spread).
+    val nEdges2 = if (nNodes > stateBroadcastMaxRows) Long.MaxValue else und.count()
+    val small = nNodes <= stateBroadcastMaxRows && nEdges2 <= SmallGraphEdgeRows
     val votePart =
-      if (nNodes > stateBroadcastMaxRows) nPart
+      if (!small) nPart
       else math.max(8, math.min(nPart, (nNodes / 16384L).toInt + 1))
     if (nNodes > stateBroadcastMaxRows) {
       val spread = GraftBridge.localCheckpointHashPartitioned(und, nPart, "dst")
       GraftBridge.releaseLocalCheckpoint(und)
       und = spread
-    } else if (und.rdd.getNumPartitions > 2 * votePart) {
+    } else if (small && und.rdd.getNumPartitions > 2 * votePart) {
       val slim = und.coalesce(2 * votePart).localCheckpoint()
       GraftBridge.releaseLocalCheckpoint(und)
       und = slim
@@ -999,7 +1015,7 @@ object Curation extends QueryPack {
     // in the finally.
     val sess = und.sparkSession
     val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    if (!giant) sess.conf.set("spark.sql.adaptive.enabled", "false")
+    if (small) sess.conf.set("spark.sql.adaptive.enabled", "false")
     try {
     while (r < LpaRounds && !done) {
       // a round recomputes every node when the frontier spans most of
@@ -1007,8 +1023,8 @@ object Curation extends QueryPack {
       // measured on the co-purchase fixture: >50% of labels churn
       // through round 5, so the filters only arm for the tail rounds)
       val full = frontier.forall(_._2 * 2 > nNodes)
-      if (full && !giant && LpaRounds - r >= 2) {
-        // MULTI-HOP batched full rounds (below the gate only): both the
+      if (full && small && LpaRounds - r >= 2) {
+        // MULTI-HOP batched full rounds (small-graph regime only): both the
         // compute and the state fit trivially, so the cost of a round
         // is its materialization + count round trips, not its work —
         // fusing up to [[LpaBatchHops]] synchronous LPA applications
@@ -1150,8 +1166,12 @@ object Curation extends QueryPack {
         // 751→1→0 tail.) The voted side is the hash build — broadcast
         // below the gate, shuffle-hash above it; the stat-less
         // checkpointed labels otherwise plan as a per-round sort.
+        // voted's true size is unknown pre-count (≤ the affected set,
+        // which can approach |V| on a big sub-gate graph), so only the
+        // small regime broadcasts it; otherwise hash-build it shuffled
         val next = labels
-          .join(gated(voted, nNodes), Seq("id"), "left")
+          .join(if (small) broadcast(voted) else voted.hint("shuffle_hash"),
+            Seq("id"), "left")
           .select(col("id"), col("lbl").as("olbl"),
             coalesce(col("nlbl"), col("lbl")).as("lbl"))
           .localCheckpoint()
@@ -1176,7 +1196,7 @@ object Curation extends QueryPack {
     (owned :+ und).foreach(GraftBridge.releaseLocalCheckpoint)
     result.orderBy(col("community"))
     } finally {
-      if (!giant) sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      if (small) sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
     }
   }
 

@@ -860,11 +860,11 @@ object Events extends QueryPack {
   def welchTTest(spark: SparkSession, dir: String): DataFrame =
     welchTTestOf(Tables.events(spark, dir))
 
-  private[graft] def welchTTestOf(ev: DataFrame): DataFrame = {
+  /** Shared per-weekday two-arm BIGINT moment core (n / Σc / Σc² per
+    * arm) of [[welchTTestOf]] and [[studentTTestOf]]. */
+  private def tTestMoments(ev: DataFrame): DataFrame = {
     val cents = round(col("value") * lit(100)).cast("long")
-    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
-    val a = ev
-      .filter(col("event_type").isin("view", "purchase"))
+    ev.filter(col("event_type").isin("view", "purchase"))
       .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
         cents.as("c"), (col("event_type") === "purchase").as("is_p"))
       .groupBy(col("wd"))
@@ -874,6 +874,11 @@ object Events extends QueryPack {
         sum(when(!col("is_p"), 1L).otherwise(0L)).as("n2"),
         sum(when(!col("is_p"), col("c")).otherwise(0L)).as("s12"),
         sum(when(!col("is_p"), col("c") * col("c")).otherwise(0L)).as("s22"))
+  }
+
+  private[graft] def welchTTestOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val a = tTestMoments(ev)
     a.withColumn("v1", when(col("n1") > 1,
         (d(col("s21")) - d(col("s11")) * d(col("s11")) / d(col("n1"))) /
           (d(col("n1")) - lit(1.0))))
@@ -893,6 +898,85 @@ object Events extends QueryPack {
           col("se") * col("se") /
             (col("se1") * col("se1") / (d(col("n1")) - lit(1.0)) +
               col("se2") * col("se2") / (d(col("n2")) - lit(1.0)))).as("df"))
+      .orderBy(col("wd"))
+  }
+
+  /** ClickHouse `studentTTest` analogue: the POOLED-variance two-sample
+    * t-test over the same purchase-vs-view moment core as
+    * [[welchTTest]] — the classical equal-variance form whose degrees
+    * of freedom are the exact INTEGER n₁+n₂−2 rather than a
+    * Welch–Satterthwaite double. sp² pools the two exact
+    * sums-of-squares (each a BIGINT-moment subtraction in doubles, the
+    * same cancellation-clean shape as Welch's v₁/v₂) and the t
+    * statistic is one fixed correctly-rounded IEEE chain mirrored in
+    * the oracle — hash-exact. Degenerate arms (either empty, or
+    * n ≤ 2, or zero pooled variance) yield NULL t in both engines.
+    * One partial-agg pass, 7 rows — scale-free. */
+  def studentTTest(spark: SparkSession, dir: String): DataFrame =
+    studentTTestOf(Tables.events(spark, dir))
+
+  private[graft] def studentTTestOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    tTestMoments(ev)
+      .withColumn("ss1", when(col("n1") > 0,
+        d(col("s21")) - d(col("s11")) * d(col("s11")) / d(col("n1"))))
+      .withColumn("ss2", when(col("n2") > 0,
+        d(col("s22")) - d(col("s12")) * d(col("s12")) / d(col("n2"))))
+      .withColumn("sp2", when(col("n1") + col("n2") > 2,
+        (col("ss1") + col("ss2")) /
+          (d(col("n1")) + d(col("n2")) - lit(2.0))))
+      .withColumn("se",
+        sqrt(col("sp2") * (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2")))))
+      .select(col("wd"), col("n1").as("n_purchase"), col("n2").as("n_view"),
+        when(col("se") > 0,
+          (d(col("s11")) / d(col("n1")) - d(col("s12")) / d(col("n2"))) /
+            col("se")).as("t_stat"),
+        (col("n1") + col("n2") - 2).as("df"))
+      .orderBy(col("wd"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test (ClickHouse
+    * `kolmogorovSmirnovTest`) of purchase vs view value distributions
+    * per epoch-weekday, with the D statistic EXACT: over the
+    * counts-then-window frame (one row per distinct cents value — raw
+    * rows never sort globally), D·n₁·n₂ = max |cum₁·n₂ − cum₂·n₁| is
+    * pure BIGINT (headroom: cum·n ≤ n² ≈ 2·10¹⁴ at the ×100 tier
+    * < 2⁶³), and only the final D division and the scaled statistic
+    * √(n₁n₂/(n₁+n₂))·D are correctly-rounded doubles mirrored in the
+    * oracle — hash-exact. The p-value needs the Kolmogorov series
+    * (exp — engine-divergent libm), so the key reports the statistics
+    * the way [[mannWhitney]] reports z rather than p. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksTestOf(Tables.events(spark, dir))
+
+  private[graft] def ksTestOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val cents = round(col("value") * lit(100)).cast("long")
+    val byVal = ev
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        cents.as("c"), (col("event_type") === "purchase").as("is_p"))
+      .groupBy(col("wd"), col("c"))
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("c2"))
+    val cumW = Window.partitionBy(col("wd")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("wd"))
+    byVal
+      .withColumn("cum1", sum(col("c1")).over(cumW))
+      .withColumn("cum2", sum(col("c2")).over(cumW))
+      .withColumn("n1", sum(col("c1")).over(totW))
+      .withColumn("n2", sum(col("c2")).over(totW))
+      .groupBy(col("wd"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("dmax"))
+      .select(col("wd"), col("n1").as("n_purchase"), col("n2").as("n_view"),
+        when(col("n1") > 0 && col("n2") > 0,
+          d(col("dmax")) / d(col("n1") * col("n2"))).as("d_stat"),
+        when(col("n1") > 0 && col("n2") > 0,
+          sqrt(d(col("n1")) * d(col("n2")) / (d(col("n1")) + d(col("n2")))) *
+            (d(col("dmax")) / d(col("n1") * col("n2")))).as("ks_stat"))
       .orderBy(col("wd"))
   }
 
@@ -995,8 +1079,10 @@ object Events extends QueryPack {
   def cramersV(spark: SparkSession, dir: String): DataFrame =
     cramersVOf(Tables.events(spark, dir))
 
-  private[graft] def cramersVOf(ev: DataFrame): DataFrame = {
-    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+  /** Shared χ² core of [[cramersVOf]] and [[contingencyOf]]: the 1-row
+    * (n, nr, nc, chi2_micro) frame with the millionth-quantized χ² sum
+    * — see [[cramersV]] for the determinism argument. */
+  private def chiSqStats(ev: DataFrame): DataFrame = {
     val base = ev.select(col("event_type"),
       expr("unix_micros(ts) div 86400000000 % 7").as("wd"))
     val cells = base.groupBy(col("event_type"), col("wd"))
@@ -1019,6 +1105,11 @@ object Events extends QueryPack {
       .withColumn("t_micro", expr("CAST((num_sq div den) AS BIGINT)"))
       .groupBy(col("n"), col("nr"), col("nc"))
       .agg(sum(col("t_micro")).as("chi2_micro"))
+  }
+
+  private[graft] def cramersVOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    chiSqStats(ev)
       .select(col("n"),
         (d(col("chi2_micro")) / lit(1e6)).as("chi2"),
         ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
@@ -1026,6 +1117,41 @@ object Events extends QueryPack {
           sqrt((d(col("chi2_micro")) / lit(1e6)) /
             (d(col("n")) * (d(least(col("nr"), col("nc"))) - lit(1.0)))))
           .as("cramers_v"))
+  }
+
+  /** Pearson's contingency coefficient C = √(χ²/(χ²+n)) and the
+    * BIAS-CORRECTED Cramér's V (Bergsma 2013 — ClickHouse
+    * `cramersVBiasCorrected`): φ²₊ = max(0, φ² − (r−1)(c−1)/(n−1)),
+    * r₊ = r − (r−1)²/(n−1), c₊ = c − (c−1)²/(n−1),
+    * V₊ = √(φ²₊ / min(r₊−1, c₊−1)). Rides the SAME quantized-χ² core
+    * as [[cramersV]] (one extra 1-row tail, no new scan), and every
+    * step past the exact integer χ² is a fixed correctly-rounded IEEE
+    * chain mirrored in the oracle — hash-exact. */
+  def contingency(spark: SparkSession, dir: String): DataFrame =
+    contingencyOf(Tables.events(spark, dir))
+
+  private[graft] def contingencyOf(ev: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    chiSqStats(ev)
+      .withColumn("chi2", d(col("chi2_micro")) / lit(1e6))
+      .withColumn("phi2", col("chi2") / d(col("n")))
+      .withColumn("phi2c",
+        greatest(lit(0.0), col("phi2") -
+          (d(col("nr")) - lit(1.0)) * (d(col("nc")) - lit(1.0)) /
+            (d(col("n")) - lit(1.0))))
+      .withColumn("nrc",
+        d(col("nr")) - (d(col("nr")) - lit(1.0)) * (d(col("nr")) - lit(1.0)) /
+          (d(col("n")) - lit(1.0)))
+      .withColumn("ncc",
+        d(col("nc")) - (d(col("nc")) - lit(1.0)) * (d(col("nc")) - lit(1.0)) /
+          (d(col("n")) - lit(1.0)))
+      .select(col("n"), col("chi2"),
+        when(col("n") > 0,
+          sqrt(col("chi2") / (col("chi2") + d(col("n")))))
+          .as("contingency_c"),
+        when(col("n") > 1 && least(col("nrc"), col("ncc")) > 1,
+          sqrt(col("phi2c") / (least(col("nrc"), col("ncc")) - lit(1.0))))
+          .as("cramers_v_corr"))
   }
 
   /** ClickHouse `rankCorr` analogue: Spearman's ρ per event type
@@ -1622,8 +1748,11 @@ object Events extends QueryPack {
     "ev_kmv_overlap"  -> kmvOverlap,
     "ev_ab_test"      -> abTest,
     "ev_welch_ttest"  -> welchTTest,
+    "ev_student_ttest" -> studentTTest,
+    "ev_ks_test"      -> ksTest,
     "ev_mannwhitney"  -> mannWhitney,
     "ev_cramers_v"    -> cramersV,
+    "ev_contingency"  -> contingency,
     "ev_roc_auc"      -> rocAuc,
     "ev_rank_corr"    -> rankCorr,
     "ev_funnel_steps" -> funnelSteps,
@@ -1764,6 +1893,123 @@ object Events extends QueryPack {
         |    se * se / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
         |               se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END AS df
         |FROM c3 ORDER BY wd""".stripMargin,
+    "ev_student_ttest" ->
+      """WITH m AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |         event_type = 'purchase' AS is_p
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |a AS (
+        |  SELECT wd,
+        |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN is_p THEN c ELSE 0 END) AS BIGINT) AS s11,
+        |    CAST(SUM(CASE WHEN is_p THEN c*c ELSE 0 END) AS BIGINT) AS s21,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN c ELSE 0 END) AS BIGINT) AS s12,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN c*c ELSE 0 END) AS BIGINT) AS s22
+        |  FROM m GROUP BY 1),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n1 > 0 THEN
+        |      CAST(s21 AS DOUBLE) -
+        |      CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    END AS ss1,
+        |    CASE WHEN n2 > 0 THEN
+        |      CAST(s22 AS DOUBLE) -
+        |      CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |    END AS ss2
+        |  FROM a),
+        |c2 AS (
+        |  SELECT *, CASE WHEN n1 + n2 > 2 THEN (ss1 + ss2) /
+        |    (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) END AS sp2 FROM b),
+        |c3 AS (
+        |  SELECT *, sqrt(sp2 * (1.0 / CAST(n1 AS DOUBLE) +
+        |                        1.0 / CAST(n2 AS DOUBLE))) AS se FROM c2)
+        |SELECT wd, n1 AS n_purchase, n2 AS n_view,
+        |  CASE WHEN se > 0 THEN
+        |    (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |     CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE)) / se END AS t_stat,
+        |  n1 + n2 - 2 AS df
+        |FROM c3 ORDER BY wd""".stripMargin,
+    "ev_ks_test" ->
+      """WITH m AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |         event_type = 'purchase' AS is_p
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (
+        |  SELECT wd, c,
+        |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM m GROUP BY 1, 2),
+        |w AS (
+        |  SELECT wd,
+        |    SUM(c1) OVER (PARTITION BY wd ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (PARTITION BY wd ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    SUM(c1) OVER (PARTITION BY wd) AS n1,
+        |    SUM(c2) OVER (PARTITION BY wd) AS n2
+        |  FROM v),
+        |a AS (
+        |  SELECT wd, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+        |    CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS dmax
+        |  FROM w GROUP BY 1)
+        |SELECT wd, n1 AS n_purchase, n2 AS n_view,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) END AS d_stat,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+        |    (CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) END AS ks_stat
+        |FROM a ORDER BY wd""".stripMargin,
+    "ev_contingency" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd
+        |  FROM events),
+        |cells AS (SELECT event_type, wd, COUNT(*) AS o FROM base GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT wd, CAST(SUM(o) AS BIGINT) AS cc FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |             COUNT(DISTINCT event_type) AS nr,
+        |             COUNT(DISTINCT wd) AS nc FROM cells),
+        |grid AS (
+        |  SELECT r.r, c.cc, COALESCE(cells.o, 0) AS o, t.n, t.nr, t.nc
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.event_type = r.event_type AND cells.wd = c.wd
+        |  CROSS JOIN t),
+        |q AS (
+        |  SELECT n, nr, nc,
+        |    CAST((CAST(o*n - r*cc AS HUGEINT) * CAST(o*n - r*cc AS HUGEINT)
+        |          * 1000000)
+        |         // (CAST(n AS HUGEINT) * CAST(r AS HUGEINT) *
+        |            CAST(cc AS HUGEINT)) AS BIGINT) AS t_micro
+        |  FROM grid),
+        |a AS (SELECT n, nr, nc, CAST(SUM(t_micro) AS BIGINT) AS chi2_micro
+        |      FROM q GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT n, nr, nc,
+        |    CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2 FROM a),
+        |g AS (
+        |  SELECT *,
+        |    chi2 / CAST(n AS DOUBLE) AS phi2,
+        |    GREATEST(0.0, chi2 / CAST(n AS DOUBLE) -
+        |      (CAST(nr AS DOUBLE) - 1.0) * (CAST(nc AS DOUBLE) - 1.0) /
+        |      (CAST(n AS DOUBLE) - 1.0)) AS phi2c,
+        |    CAST(nr AS DOUBLE) -
+        |      (CAST(nr AS DOUBLE) - 1.0) * (CAST(nr AS DOUBLE) - 1.0) /
+        |      (CAST(n AS DOUBLE) - 1.0) AS nrc,
+        |    CAST(nc AS DOUBLE) -
+        |      (CAST(nc AS DOUBLE) - 1.0) * (CAST(nc AS DOUBLE) - 1.0) /
+        |      (CAST(n AS DOUBLE) - 1.0) AS ncc
+        |  FROM f)
+        |SELECT n, chi2,
+        |  CASE WHEN n > 0 THEN
+        |    sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) END AS contingency_c,
+        |  CASE WHEN n > 1 AND LEAST(nrc, ncc) > 1 THEN
+        |    sqrt(phi2c / (LEAST(nrc, ncc) - 1.0)) END AS cramers_v_corr
+        |FROM g""".stripMargin,
     "ev_roc_auc" ->
       """WITH m AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,

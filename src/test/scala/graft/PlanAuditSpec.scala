@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "cur_token_gini"          -> (2, "scalar attach: 1-row totals + n_edges-style lit"),
     "cur_triangles"           -> (2, "scalar attach: census rows (x2)"),
     "dedup_cosine_pairs"      -> (1, "scalar attach: corpus-size row for the df cap"),
+    "ev_contingency"          -> (2, "bounded: types x weekdays marginal grid + 1-row totals"),
     "ev_cramers_v"            -> (2, "bounded: types x weekdays marginal grid + 1-row totals"),
     "ev_hll_daily"            -> (1, "scalar attach: horizon row"),
     "ev_kmv_overlap"          -> (1, "bounded: 5x5 type-pair sketch frame"),

@@ -194,6 +194,78 @@ class StatsTestSpec extends AnyFunSuite {
     assert(v.exists(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("student t equals a pooled-variance Scala recompute; |df| law vs welch") {
+    val got = Events.studentTTest(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val welchDf = Events.welchTTest(spark, TestSpark.Sf)
+      .select("wd", "df").as[(Long, Option[Double])].collect().toMap
+    got.foreach { case (wd, (_, n1, n2, t, dfv)) =>
+      val p = samples.getOrElse((wd, "purchase"), Nil)
+      val v = samples.getOrElse((wd, "view"), Nil)
+      assert(n1 == p.size.toLong && n2 == v.size.toLong)
+      assert(dfv == n1 + n2 - 2)
+      val (n1d, n2d) = (n1.toDouble, n2.toDouble)
+      val ss1 = p.map(c => c * c).sum.toDouble - p.sum.toDouble * p.sum.toDouble / n1d
+      val ss2 = v.map(c => c * c).sum.toDouble - v.sum.toDouble * v.sum.toDouble / n2d
+      val sp2 = (ss1 + ss2) / (n1d + n2d - 2.0)
+      val se = math.sqrt(sp2 * (1.0 / n1d + 1.0 / n2d))
+      assert(t.contains((p.sum.toDouble / n1d - v.sum.toDouble / n2d) / se),
+        s"wd=$wd")
+      // Welch-Satterthwaite df never exceeds the pooled df.
+      welchDf(wd).foreach(wdf => assert(wdf <= dfv.toDouble + 1e-9))
+    }
+  }
+
+  test("KS statistic equals a BigInt brute-force over the pooled value grid") {
+    val got = Events.ksTest(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (wd, (_, n1, n2, dStat, ksStat)) =>
+      val p = samples.getOrElse((wd, "purchase"), Nil)
+      val v = samples.getOrElse((wd, "view"), Nil)
+      assert(n1 == p.size.toLong && n2 == v.size.toLong)
+      val values = (p ++ v).distinct.sorted
+      val dmax = values.map { c =>
+        val cum1 = BigInt(p.count(_ <= c))
+        val cum2 = BigInt(v.count(_ <= c))
+        (cum1 * n2 - cum2 * n1).abs
+      }.max
+      val d = dmax.toDouble / (n1 * n2).toDouble
+      assert(dStat.contains(d), s"wd=$wd")
+      assert(ksStat.contains(
+        math.sqrt(n1.toDouble * n2.toDouble / (n1.toDouble + n2.toDouble)) * d))
+      assert(dStat.exists(x => x >= 0.0 && x <= 1.0))
+    }
+  }
+
+  test("contingency C and bias-corrected V equal the chi-square chain recompute") {
+    val got = Events.contingency(spark, TestSpark.Sf)
+      .as[(Long, Double, Option[Double], Option[Double])].collect()
+    assert(got.length == 1)
+    val (n0, chi2, cC, vCorr) = (got(0)._1, got(0)._2, got(0)._3, got(0)._4)
+    // same quantized chi-square as the cramers key (cross-operator identity)
+    val cv = Events.cramersV(spark, TestSpark.Sf)
+      .as[(Long, Double, Long, Option[Double])].collect()(0)
+    assert(n0 == cv._1 && chi2 == cv._2)
+    assert(cC.contains(math.sqrt(chi2 / (chi2 + n0.toDouble))))
+    val cells = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000 % 7").as("wd"))
+      .as[(String, Long)].collect().groupBy(identity).view.mapValues(_.size).toMap
+    val (nr, nc) = (cells.keySet.map(_._1).size, cells.keySet.map(_._2).size)
+    val nd = n0.toDouble
+    val phi2c = math.max(0.0, chi2 / nd -
+      (nr.toDouble - 1.0) * (nc.toDouble - 1.0) / (nd - 1.0))
+    val nrc = nr.toDouble - (nr.toDouble - 1.0) * (nr.toDouble - 1.0) / (nd - 1.0)
+    val ncc = nc.toDouble - (nc.toDouble - 1.0) * (nc.toDouble - 1.0) / (nd - 1.0)
+    assert(vCorr.contains(math.sqrt(phi2c / (math.min(nrc, ncc) - 1.0))))
+    // bias correction only ever shrinks V
+    assert(vCorr.get <= cv._4.get + 1e-12)
+    assert(cC.exists(x => x >= 0.0 && x < 1.0))
+  }
+
   test("cramers V endpoints: independence gives 0, a bijection gives ~1") {
     def ev(rows: Seq[(String, Long)]) =
       rows.toDF("event_type", "day")
