@@ -173,15 +173,16 @@ object Curation extends QueryPack {
     * giant-graph path. */
   private[graft] val StateBroadcastMaxRows = 2000000L
 
-  /** Edge-row ceiling for LPA's SMALL-graph latency levers (multi-hop
-    * batching, AQE-off rounds, narrowed stage widths): below it the
-    * rounds are scheduling-bound and the levers pay; above it a round
-    * is real compute and the single-hop path with adaptive execution
-    * wins — sub-gate NODE state alone does not imply a small graph
-    * (the ×100 co-purchase graph has |V| = 2M at the gate but
-    * 2|E| = 480M, where one batched job's chained broadcasts + dual
-    * full-graph votes exhaust the heap). */
-  private[graft] val SmallGraphEdgeRows = 16000000L
+  /** Cached-bytes ceiling for LPA's SMALL-graph latency levers
+    * (multi-hop batching, AQE-off rounds, narrowed stage widths):
+    * below it the rounds are scheduling-bound and the levers pay;
+    * above it a round is real compute and the single-hop path with
+    * adaptive execution wins — sub-gate NODE state alone does not
+    * imply a small graph (the ×100 co-purchase graph has |V| = 2M at
+    * the gate but 2|E| = 480M rows, where one batched job's chained
+    * broadcasts + dual full-graph votes exhaust the heap). Measured
+    * storage: sf0.1 und ≈ 100 MB, ×10 ≈ 1 GB, ×100 ≈ 10+ GB. */
+  private[graft] val SmallGraphEdgeBytes = 512L * 1024 * 1024
 
   /** Edge-table broadcast ceiling for the triangle census: the oriented
     * edge set broadcasts below this (the LongHashedRelation fast path —
@@ -957,7 +958,7 @@ object Curation extends QueryPack {
     // destroys anyway, so src pre-partitioning buys nothing — first
     // measured as the r8 "pre-partition by src" rejection, now
     // structural.)
-    // SMALL-graph regime: sub-gate node state AND a sub-[[SmallGraphEdgeRows]]
+    // SMALL-graph regime: sub-gate node state AND a sub-[[SmallGraphEdgeBytes]]
     // edge list — only then are the rounds scheduling-bound, not
     // compute-bound (job profile at sf0.1: 871 tasks averaging ~38 ms
     // executor time for <1 s of real compute), and only then do the
@@ -968,8 +969,14 @@ object Curation extends QueryPack {
     // hop's chained 2M-row broadcasts plus full-graph votes in one job
     // exhaust the heap. The big-but-sub-gate regime rides the proven
     // single-hop path (AQE on, broadcast state, full-round re-spread).
-    val nEdges2 = if (nNodes > stateBroadcastMaxRows) Long.MaxValue else und.count()
-    val small = nNodes <= stateBroadcastMaxRows && nEdges2 <= SmallGraphEdgeRows
+    // the edge-volume read is a FREE driver-side storage probe over the
+    // just-materialized checkpoint — sizing by df.count() cost a full
+    // cached scan per invocation (~4 s/rep at ×10, the r12 sweep's one
+    // regression before this)
+    val undBytes = GraftBridge.checkpointStorageBytes(und)
+    val small = nNodes <= stateBroadcastMaxRows && undBytes <= SmallGraphEdgeBytes
+    if (sys.env.contains("GRAFT_DEBUG_LPA"))
+      println(s"[lpa] nNodes=$nNodes undBytes=$undBytes small=$small")
     val votePart =
       if (!small) nPart
       else math.max(8, math.min(nPart, (nNodes / 16384L).toInt + 1))
