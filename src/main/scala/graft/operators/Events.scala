@@ -1154,6 +1154,106 @@ object Events extends QueryPack {
           .as("cramers_v_corr"))
   }
 
+  /** ClickHouse `theilsU` analogue — the uncertainty coefficient
+    * U(X|Y) = I(X;Y)/H(X) between event type and epoch-weekday,
+    * ORACLE-PAIRED despite being log-based: every log2 is
+    * [[graft.functions.FixedLog2]]'s pure-integer shift-and-square
+    * fixed-point log (both engines execute identical truncating
+    * integer steps — no libm in the statistic at all). The cores are
+    * exact integer sums in 2⁻²⁰ units over the shared contingency
+    * grid of [[cramersV]]:
+    *
+    *   S_I  = Σ_cells o·(L2(o) + L2(n) − L2(r) − L2(c))   (≈ n·2²⁰·I)
+    *   S_HX = Σ_rows  r·(L2(n) − L2(r))                   (≈ n·2²⁰·H(X))
+    *   S_HY = Σ_cols  c·(L2(n) − L2(c))
+    *
+    * so U(X|Y) = S_I/S_HX and U(Y|X) = S_I/S_HY are each ONE
+    * correctly-rounded double division of two exact integers — no
+    * quantized-sum boundary risk like [[cramersV]]'s χ² even. Sums
+    * accumulate as DECIMAL(38,0) (per-cell o·Δ ≤ n·68·2²⁰ ≈ 2⁸⁶ at
+    * petabyte n — far under 10³⁸) and the final BIGINT cast is safe
+    * through the ×100 tier (≤ ~10¹⁸); beyond that the oracle's BIGINT
+    * cast would need the [[splitToDouble]] device. L2 runs only on the
+    * BOUNDED grid frames (≤ r·c + r + c + 1 rows), never per event. */
+  def theilsU(spark: SparkSession, dir: String): DataFrame =
+    theilsUOf(Tables.events(spark, dir))
+
+  private[graft] def theilsUOf(ev: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val base = ev.select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000 % 7").as("wd"))
+    val cells = base.groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("o"))
+    val rowsL = FixedLog2.withLog2(
+      cells.groupBy(col("event_type")).agg(sum(col("o")).as("r")), "r", "l2r")
+    val colsL = FixedLog2.withLog2(
+      cells.groupBy(col("wd")).agg(sum(col("o")).as("cc")), "cc", "l2c")
+    val totL = FixedLog2.withLog2(cells.agg(sum(col("o")).as("n")), "n", "l2n")
+    val cellsL = FixedLog2.withLog2(cells, "o", "l2o")
+    val si = cellsL
+      .join(rowsL.select(col("event_type"), col("l2r")), Seq("event_type"))
+      .join(colsL.select(col("wd"), col("l2c")), Seq("wd"))
+      .crossJoin(broadcast(totL.select(col("l2n"))))
+      .agg(sum(dec0(col("o")) *
+        dec0(col("l2o") + col("l2n") - col("l2r") - col("l2c"))).as("s_i"))
+    val shx = rowsL.crossJoin(broadcast(totL.select(col("l2n"))))
+      .agg(sum(dec0(col("r")) * dec0(col("l2n") - col("l2r"))).as("s_hx"))
+    val shy = colsL.crossJoin(broadcast(totL.select(col("l2n"))))
+      .agg(sum(dec0(col("cc")) * dec0(col("l2n") - col("l2c"))).as("s_hy"))
+    totL.select(col("n"))
+      .crossJoin(broadcast(si)).crossJoin(broadcast(shx))
+      .crossJoin(broadcast(shy))
+      .withColumn("den", d(col("n") * lit(FixedLog2.Unit)))
+      .select(col("n"),
+        (d(col("s_hx").cast("long")) / col("den")).as("h_type"),
+        (d(col("s_hy").cast("long")) / col("den")).as("h_wd"),
+        (d(col("s_i").cast("long")) / col("den")).as("mi_bits"),
+        when(col("s_hx") > 0,
+          d(col("s_i").cast("long")) / d(col("s_hx").cast("long")))
+          .as("theils_u"),
+        when(col("s_hy") > 0,
+          d(col("s_i").cast("long")) / d(col("s_hy").cast("long")))
+          .as("theils_u_rev"))
+  }
+
+  /** ClickHouse `entropy` analogue: Shannon entropy (bits) of the
+    * `props.k` value distribution per event type — hash-exact via the
+    * same [[graft.functions.FixedLog2]] integer-log core as
+    * [[theilsU]]: h = Σ c·(L2(n) − L2(c)) / (n·2²⁰) where the sum is
+    * an exact DECIMAL(38,0) integer and the tail is two BIGINT→double
+    * casts and one division, all correctly rounded in both engines.
+    * The per-(type, k) count grid is value-domain-bounded (k is a
+    * small JSON enum), so L2's 20 squaring rounds run over ≤ a few
+    * hundred rows regardless of fact volume; the only full scan is
+    * the map-side count aggregation. */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOf(Tables.events(spark, dir))
+
+  private[graft] def entropyOf(ev: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val cells = ev
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    val grp = FixedLog2.withLog2(
+      cells.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_values")),
+      "n", "l2n")
+    FixedLog2.withLog2(cells, "c", "l2c")
+      .join(grp, Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("n_values"))
+      .agg(sum(dec0(col("c")) * dec0(col("l2n") - col("l2c"))).as("s_h"))
+      .select(col("event_type"), col("n"), col("n_values"),
+        (d(col("s_h").cast("long")) /
+          d(col("n") * lit(FixedLog2.Unit))).as("h_bits"))
+      .orderBy(col("event_type"))
+  }
+
   /** ClickHouse `rankCorr` analogue: Spearman's ρ per event type
     * between value and time-of-day — "do bigger purchases happen later
     * in the day". Average ranks over ties never materialize as
@@ -1753,6 +1853,8 @@ object Events extends QueryPack {
     "ev_mannwhitney"  -> mannWhitney,
     "ev_cramers_v"    -> cramersV,
     "ev_contingency"  -> contingency,
+    "ev_theils_u"     -> theilsU,
+    "ev_entropy"      -> entropy,
     "ev_roc_auc"      -> rocAuc,
     "ev_rank_corr"    -> rankCorr,
     "ev_funnel_steps" -> funnelSteps,
@@ -2010,6 +2112,60 @@ object Events extends QueryPack {
         |  CASE WHEN n > 1 AND LEAST(nrc, ncc) > 1 THEN
         |    sqrt(phi2c / (LEAST(nrc, ncc) - 1.0)) END AS cramers_v_corr
         |FROM g""".stripMargin,
+    "ev_theils_u" -> {
+      import graft.functions.FixedLog2.duckLog2
+      s"""WITH base AS (
+         |  SELECT event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd
+         |  FROM events),
+         |cells AS (SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS o
+         |          FROM base GROUP BY 1, 2),
+         |r0 AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+         |       FROM cells GROUP BY 1),
+         |c0 AS (SELECT wd, CAST(SUM(o) AS BIGINT) AS cc FROM cells GROUP BY 1),
+         |t0 AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         |rl AS (${duckLog2("SELECT * FROM r0", "r", "l2r")}),
+         |cl AS (${duckLog2("SELECT * FROM c0", "cc", "l2c")}),
+         |tl AS (${duckLog2("SELECT * FROM t0", "n", "l2n")}),
+         |ol AS (${duckLog2("SELECT * FROM cells", "o", "l2o")}),
+         |si AS (SELECT CAST(SUM(o::HUGEINT *
+         |                       (l2o + l2n - l2r - l2c)::HUGEINT) AS BIGINT)
+         |         AS s_i
+         |       FROM ol JOIN rl USING (event_type) JOIN cl USING (wd)
+         |       CROSS JOIN tl),
+         |hx AS (SELECT CAST(SUM(r::HUGEINT * (l2n - l2r)::HUGEINT) AS BIGINT)
+         |         AS s_hx FROM rl CROSS JOIN tl),
+         |hy AS (SELECT CAST(SUM(cc::HUGEINT * (l2n - l2c)::HUGEINT) AS BIGINT)
+         |         AS s_hy FROM cl CROSS JOIN tl)
+         |SELECT n,
+         |  CAST(s_hx AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS h_type,
+         |  CAST(s_hy AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS h_wd,
+         |  CAST(s_i AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mi_bits,
+         |  CASE WHEN s_hx > 0 THEN
+         |    CAST(s_i AS DOUBLE) / CAST(s_hx AS DOUBLE) END AS theils_u,
+         |  CASE WHEN s_hy > 0 THEN
+         |    CAST(s_i AS DOUBLE) / CAST(s_hy AS DOUBLE) END AS theils_u_rev
+         |FROM t0 CROSS JOIN si CROSS JOIN hx CROSS JOIN hy""".stripMargin
+    },
+    "ev_entropy" -> {
+      import graft.functions.FixedLog2.duckLog2
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |g0 AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         |              CAST(COUNT(*) AS BIGINT) AS n_values
+         |       FROM cells GROUP BY 1),
+         |gl AS (${duckLog2("SELECT * FROM g0", "n", "l2n")}),
+         |cl AS (${duckLog2("SELECT * FROM cells", "c", "l2c")})
+         |SELECT event_type, n, n_values,
+         |  CAST(CAST(SUM(c::HUGEINT * (l2n - l2c)::HUGEINT) AS BIGINT)
+         |       AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS h_bits
+         |FROM cl JOIN gl USING (event_type)
+         |GROUP BY event_type, n, n_values
+         |ORDER BY event_type""".stripMargin
+    },
     "ev_roc_auc" ->
       """WITH m AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,

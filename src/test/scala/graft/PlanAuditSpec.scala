@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_cosine_pairs"      -> (1, "scalar attach: corpus-size row for the df cap"),
     "ev_contingency"          -> (2, "bounded: types x weekdays marginal grid + 1-row totals"),
     "ev_cramers_v"            -> (2, "bounded: types x weekdays marginal grid + 1-row totals"),
+    "ev_theils_u"             -> (6, "scalar attach: 1-row L2(n) leg x3 + 1-row S_I/S_HX/S_HY cores"),
     "ev_hll_daily"            -> (1, "scalar attach: horizon row"),
     "ev_kmv_overlap"          -> (1, "bounded: 5x5 type-pair sketch frame"),
     "ev_rfm"                  -> (1, "scalar attach: horizon day"),
