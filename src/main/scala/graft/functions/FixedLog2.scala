@@ -47,6 +47,23 @@ object FixedLog2 {
   private val Scale = 1L << 60 // mantissa fixed-point scale
   private val Top = 1L << 61   // normalization bound: m ∈ [2^60, 2^61)
 
+  /** JVM twin of the SQL device — the IDENTICAL integer steps, so
+    * streaming twins (bounded count-map state replaying the batch
+    * tail) land bit-equal to the batch keys. FixedLog2Spec pins
+    * l2Long == withLog2 on a magnitude sweep. */
+  def l2Long(a: Long): Long = {
+    require(a >= 1, s"l2Long needs a positive count, got $a")
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(a)
+    var m = BigInt(a) << (61 - bl)
+    var f = 0L
+    (1 to FracBits).foreach { _ =>
+      val m2 = (m * m) >> 60
+      if (m2 >= (BigInt(1) << 61)) { f = f * 2 + 1; m = m2 >> 1 }
+      else { f = f * 2; m = m2 }
+    }
+    (bl - 1).toLong * Unit + f
+  }
+
   /** Adds BIGINT column `out` = L2(`in`) in 2⁻²⁰ units. `in` must be a
     * positive BIGINT column name (counts ≥ 1). */
   def withLog2(df: DataFrame, in: String, out: String): DataFrame = {

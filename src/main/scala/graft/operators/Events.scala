@@ -980,6 +980,66 @@ object Events extends QueryPack {
       .orderBy(col("wd"))
   }
 
+  /** Jensen–Shannon divergence (bits) between the purchase and view
+    * value distributions per epoch-weekday — the training-data DRIFT
+    * metric (bounded [0,1], symmetric, defined even on disjoint
+    * supports, unlike KL) — ORACLE-PAIRED via the
+    * [[graft.functions.FixedLog2]] integer log. With per-cents counts
+    * a,b and arm totals n₁,n₂, the mixture weight is the exact
+    * rational m = (a·n₂ + b·n₁)/(2n₁n₂), so each term of
+    * Σ p·log2(p/m) decomposes into L2s OF INTEGERS:
+    *
+    *   T_P = Σ_{a>0} a·(L2(a) + L2(2n₁n₂) − L2(n₁) − L2(a·n₂ + b·n₁))
+    *
+    * (T_Q symmetric), both exact BIGINTs (|T| ≤ n·61·2²⁰ ≈ 4·10¹⁶ at
+    * the ×100 tier; L2 args peak at 2n₁n₂ ≈ 7·10¹⁷ < 2⁶³), and
+    * JSD = (T_P/n₁ + T_Q/n₂)/2²¹ is a fixed chain of four
+    * correctly-rounded IEEE ops — hash-exact. L2 runs on the
+    * counts-by-value frame (value-domain-bounded, the [[ksTest]]
+    * grain), never per event. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergenceOf(Tables.events(spark, dir))
+
+  private[graft] def jsDivergenceOf(ev: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val cents = round(col("value") * lit(100)).cast("long")
+    val cells = ev
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        cents.as("c"), (col("event_type") === "purchase").as("is_p"))
+      .groupBy(col("wd"), col("c"))
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("b"))
+    val tots0 = cells.groupBy(col("wd"))
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+      .withColumn("tw", col("n1") * col("n2") * lit(2L))
+    val tots = Seq(("n1", "l2n1"), ("n2", "l2n2"), ("tw", "l2tw"))
+      .foldLeft(tots0) { case (df, (in, out)) => FixedLog2.withLog2(df, in, out) }
+    val cellsG = cells
+      .join(tots.select(col("wd"), col("n1"), col("n2"),
+        col("l2n1"), col("l2n2"), col("l2tw")), Seq("wd"))
+      .withColumn("ga", greatest(col("a"), lit(1L)))
+      .withColumn("gb", greatest(col("b"), lit(1L)))
+      .withColumn("marg", col("a") * col("n2") + col("b") * col("n1"))
+    val cellsL = Seq(("ga", "l2a"), ("gb", "l2b"), ("marg", "l2m"))
+      .foldLeft(cellsG) { case (df, (in, out)) => FixedLog2.withLog2(df, in, out) }
+    cellsL
+      .groupBy(col("wd"), col("n1"), col("n2"))
+      .agg(
+        sum(when(col("a") > 0,
+          col("a") * (col("l2a") + col("l2tw") - col("l2n1") - col("l2m")))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("b") > 0,
+          col("b") * (col("l2b") + col("l2tw") - col("l2n2") - col("l2m")))
+          .otherwise(0L)).as("tq"))
+      .select(col("wd"), col("n1").as("n_purchase"), col("n2").as("n_view"),
+        when(col("n1") > 0 && col("n2") > 0,
+          (d(col("tp")) / d(col("n1")) + d(col("tq")) / d(col("n2"))) /
+            lit(2097152.0)).as("jsd_bits"))
+      .orderBy(col("wd"))
+  }
+
   /** ClickHouse `mannWhitneyUTest` analogue: the rank-sum test of
     * purchase vs view values per epoch-weekday, with an EXACT integer
     * core end to end. Average ranks over ties never materialize as
@@ -1806,6 +1866,62 @@ object Events extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** ClickHouse `quantileDD` analogue (DDSketch — Masson, Rim, Lee,
+    * VLDB 2019): relative-error quantiles of the value column per
+    * event type over LOGARITHMIC buckets idx = ceil(32·log2(c)), i.e.
+    * γ = 2^(1/32) (relative accuracy α = (γ−1)/(γ+1) ≈ 1.1%, the
+    * quantileDD(0.01) regime) — and unlike real DDSketch
+    * implementations it is ORACLE-PAIRED, because the bucket index
+    * comes from [[graft.functions.FixedLog2]]'s integer log, so bucket
+    * assignment is deterministic in both engines by construction
+    * (ceil via `(32·L2 + 2²⁰−1) div 2²⁰` — exact at powers of two
+    * where frac ≡ 0, and a pure integer step everywhere). Per-quantile
+    * output is the bucket index plus its log2 midpoint
+    * (2·idx−1)/64 — one exact-integer division, no engine pow().
+    * Plan shape: map-side count by (type, cents) — value-domain
+    * bounded — then L2 + the cumulative walk run over ≤ ~700 bucket
+    * rows per type; sketch state is O(log(max)/log γ) regardless of
+    * fact volume, the published DDSketch bound. Sub-cent and
+    * non-positive values clamp to the c=1 bucket (DDSketch's zero
+    * bucket collapsed into the first index). */
+  def quantileDD(spark: SparkSession, dir: String): DataFrame =
+    quantileDDOf(Tables.events(spark, dir))
+
+  private[graft] def quantileDDOf(ev: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val cents = greatest(round(col("value") * lit(100)).cast("long"), lit(1L))
+    val byVal = ev.select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val buckets = FixedLog2.withLog2(byVal, "c", "l2c")
+      .withColumn("idx",
+        expr(s"(32 * l2c + ${FixedLog2.Unit - 1}) div ${FixedLog2.Unit}"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("c")).as("mx"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = buckets.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"), max(col("mx")).as("max_cents"))
+    def pick(pctNum: Int, pctDen: Int) =
+      min(when(col("cum") * pctDen >= col("n") * pctNum, col("idx")))
+    def mid(idx: org.apache.spark.sql.Column) =
+      d(idx * 2 - 1) / lit(64.0)
+    buckets
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        pick(50, 100).as("p50_idx"), pick(90, 100).as("p90_idx"),
+        pick(99, 100).as("p99_idx"), max(col("max_cents")).as("max_cents"))
+      .select(col("event_type"), col("n"),
+        col("p50_idx"), mid(col("p50_idx")).as("p50_log2"),
+        col("p90_idx"), mid(col("p90_idx")).as("p90_log2"),
+        col("p99_idx"), mid(col("p99_idx")).as("p99_log2"),
+        col("max_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** ClickHouse `histogram(n)` analogue: the streaming adaptive
     * equal-ish-mass histogram, per event type over the value column,
     * via [[graft.functions.AdaptiveHistAgg]] (bin state carries EXACT
@@ -1835,6 +1951,7 @@ object Events extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_quantile_timing" -> quantileTiming,
     "ev_hdr_quantiles" -> hdrQuantiles,
+    "ev_quantile_dd"  -> quantileDD,
     "ev_adaptive_histogram" -> adaptiveHistogram,
     "ev_rfm"          -> rfm,
     "ev_rfm_scaled"   -> rfmScaled,
@@ -1850,6 +1967,7 @@ object Events extends QueryPack {
     "ev_welch_ttest"  -> welchTTest,
     "ev_student_ttest" -> studentTTest,
     "ev_ks_test"      -> ksTest,
+    "ev_js_divergence" -> jsDivergence,
     "ev_mannwhitney"  -> mannWhitney,
     "ev_cramers_v"    -> cramersV,
     "ev_contingency"  -> contingency,
@@ -1919,6 +2037,36 @@ object Events extends QueryPack {
         |       CAST(MIN(CASE WHEN cum*100 >= n_gaps*99 THEN b END) AS BIGINT)
         |         AS p99_ms
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_quantile_dd" -> {
+      import graft.functions.FixedLog2.duckLog2
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |         GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1) AS c
+         |  FROM events),
+         |v AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM m GROUP BY 1, 2),
+         |vl AS (${duckLog2("SELECT * FROM v", "c", "l2c")}),
+         |b AS (SELECT event_type, (32 * l2c + 1048575) // 1048576 AS idx,
+         |             CAST(SUM(cnt) AS BIGINT) AS cnt, MAX(c) AS mx
+         |      FROM vl GROUP BY 1, 2),
+         |w AS (SELECT event_type, idx, mx,
+         |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |      FROM b),
+         |a AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         |        MIN(CASE WHEN cum * 100 >= n * 50 THEN idx END) AS p50_idx,
+         |        MIN(CASE WHEN cum * 100 >= n * 90 THEN idx END) AS p90_idx,
+         |        MIN(CASE WHEN cum * 100 >= n * 99 THEN idx END) AS p99_idx,
+         |        MAX(mx) AS max_cents
+         |      FROM w GROUP BY 1)
+         |SELECT event_type, n,
+         |  p50_idx, CAST(p50_idx * 2 - 1 AS DOUBLE) / 64.0 AS p50_log2,
+         |  p90_idx, CAST(p90_idx * 2 - 1 AS DOUBLE) / 64.0 AS p90_log2,
+         |  p99_idx, CAST(p99_idx * 2 - 1 AS DOUBLE) / 64.0 AS p99_log2,
+         |  max_cents
+         |FROM a ORDER BY event_type""".stripMargin
+    },
     "ev_hdr_quantiles" ->
       """WITH g AS (
         |  SELECT event_type,
@@ -2065,6 +2213,46 @@ object Events extends QueryPack {
         |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
         |    (CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) END AS ks_stat
         |FROM a ORDER BY wd""".stripMargin,
+    "ev_js_divergence" -> {
+      import graft.functions.FixedLog2.duckLog2
+      val tl = duckLog2(duckLog2(duckLog2(
+        "SELECT * FROM t0", "n1", "l2n1"), "n2", "l2n2"), "tw", "l2tw")
+      val gl = duckLog2(duckLog2(duckLog2(
+        "SELECT * FROM g0", "ga", "l2a"), "gb", "l2b"), "marg", "l2m")
+      s"""WITH m0 AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,
+         |         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         |         event_type = 'purchase' AS is_p
+         |  FROM events WHERE event_type IN ('view', 'purchase')),
+         |cells AS (
+         |  SELECT wd, c,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM m0 GROUP BY 1, 2),
+         |t0 AS (SELECT wd, CAST(SUM(a) AS BIGINT) AS n1,
+         |              CAST(SUM(b) AS BIGINT) AS n2,
+         |              CAST(SUM(a) AS BIGINT) * CAST(SUM(b) AS BIGINT) * 2 AS tw
+         |       FROM cells GROUP BY 1),
+         |tl AS ($tl),
+         |g0 AS (SELECT cells.wd, cells.c, cells.a, cells.b,
+         |              tl.n1, tl.n2, tl.l2n1, tl.l2n2, tl.l2tw,
+         |              GREATEST(cells.a, 1) AS ga, GREATEST(cells.b, 1) AS gb,
+         |              cells.a * tl.n2 + cells.b * tl.n1 AS marg
+         |       FROM cells JOIN tl ON cells.wd = tl.wd),
+         |gl AS ($gl),
+         |agg AS (SELECT wd, n1, n2,
+         |  CAST(SUM(CASE WHEN a > 0
+         |    THEN a * (l2a + l2tw - l2n1 - l2m) ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN b > 0
+         |    THEN b * (l2b + l2tw - l2n2 - l2m) ELSE 0 END) AS BIGINT) AS tq
+         |  FROM gl GROUP BY 1, 2, 3)
+         |SELECT wd, n1 AS n_purchase, n2 AS n_view,
+         |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |    (CAST(tp AS DOUBLE) / CAST(n1 AS DOUBLE) +
+         |     CAST(tq AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2097152.0
+         |  END AS jsd_bits
+         |FROM agg ORDER BY wd""".stripMargin
+    },
     "ev_contingency" ->
       """WITH base AS (
         |  SELECT event_type,

@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Text-analysis operators for LLM-data-pipeline curation over the
   * `documents` fixture (SURVEY.md §2.3 X4 + north-star surface): token
@@ -57,6 +58,64 @@ object TextAnalysis extends QueryPack {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "token").join(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("n_docs"))
+  }
+
+  /** Feature selection for a labeled corpus: mutual information (bits)
+    * between TOKEN PRESENCE and the document language — the standard
+    * MI feature ranking (Manning/Schütze IR ch. 13) — hash-exact via
+    * [[graft.functions.FixedLog2]]'s integer log. For token t with
+    * doc frequency n_t in an N-doc corpus with per-language counts
+    * n_L and per-(t, L) containment counts n_tL, the present and
+    * absent cells decompose into L2s of exact integers:
+    *
+    *   S_t = Σ_L [ n_tL·(L2(n_tL) + L2(N) − L2(n_t) − L2(n_L))
+    *             + (n_L−n_tL)·(L2(n_L−n_tL) + L2(N) − L2(N−n_t) − L2(n_L)) ]
+    *
+    * and MI = S_t/(N·2²⁰) — one correctly-rounded division per token.
+    * Scale: tokens dedupe PER DOC map-side (`array_distinct`), the MI
+    * grid is (vocab × #langs) — vocab-grain by Heaps' law, never
+    * corpus-grain — and the final rank is a bounded sort over tokens
+    * with df ≥ 5. Top 50 by (mi desc, token) with the token
+    * tie-break making the cut deterministic. */
+  def tokenMi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FixedLog2
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val docs = Tables.documents(spark, dir)
+    val present = docs
+      .select(col("lang"), explode(array_distinct(expr(toks))).as("token"))
+      .groupBy(col("token"), col("lang")).agg(count(lit(1)).as("ntl"))
+    val byLang0 = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val tot0 = docs.agg(count(lit(1)).as("n_docs"))
+    val byLang = FixedLog2.withLog2(byLang0, "nl", "l2nl")
+    val tot = FixedLog2.withLog2(tot0, "n_docs", "l2n")
+    val byTok0 = present.groupBy(col("token")).agg(sum(col("ntl")).as("nt"))
+      .filter(col("nt") >= 5)
+      .crossJoin(broadcast(tot))
+      .withColumn("ntc", greatest(col("n_docs") - col("nt"), lit(1L)))
+    val byTok = Seq(("nt", "l2nt"), ("ntc", "l2ntc"))
+      .foldLeft(byTok0) { case (df, (in, out)) => FixedLog2.withLog2(df, in, out) }
+    val grid0 = byTok.crossJoin(broadcast(byLang))
+      .join(present, Seq("token", "lang"), "left")
+      .withColumn("ntl", coalesce(col("ntl"), lit(0L)))
+      .withColumn("gp", greatest(col("ntl"), lit(1L)))
+      .withColumn("ga", greatest(col("nl") - col("ntl"), lit(1L)))
+    val grid = Seq(("gp", "l2p"), ("ga", "l2a"))
+      .foldLeft(grid0) { case (df, (in, out)) => FixedLog2.withLog2(df, in, out) }
+    grid
+      .groupBy(col("token"), col("nt"), col("n_docs"))
+      .agg(sum(
+        when(col("ntl") > 0,
+          col("ntl") * (col("l2p") + col("l2n") - col("l2nt") - col("l2nl")))
+          .otherwise(0L) +
+        when(col("nl") - col("ntl") > 0,
+          (col("nl") - col("ntl")) *
+            (col("l2a") + col("l2n") - col("l2ntc") - col("l2nl")))
+          .otherwise(0L)).as("s_t"))
+      .select(col("token"), col("nt").as("n_docs_with"),
+        (d(col("s_t")) / d(col("n_docs") * lit(FixedLog2.Unit)))
+          .as("mi_bits"))
+      .orderBy(col("mi_bits").desc, col("token"))
+      .limit(50)
   }
 
   /** Top-5 characteristic terms per doc: rank by (tf desc, df asc, token)
@@ -583,6 +642,7 @@ object TextAnalysis extends QueryPack {
     "text_token_stats"   -> tokenStats,
     "text_term_freq"     -> termFreq,
     "text_tfidf_counts"  -> tfidfCounts,
+    "text_token_mi"      -> tokenMi,
     "text_top_terms"     -> topTermsPerDoc,
     "text_char_trigrams" -> charTrigrams,
     "text_langid"        -> langId,
@@ -597,6 +657,50 @@ object TextAnalysis extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    "text_token_mi" -> {
+      import graft.functions.FixedLog2.duckLog2
+      val bt = duckLog2(duckLog2(
+        "SELECT * FROM bt0", "nt", "l2nt"), "ntc", "l2ntc")
+      val g = duckLog2(duckLog2(
+        "SELECT * FROM g0", "gp", "l2p"), "ga", "l2a")
+      s"""WITH pres AS (
+         |  SELECT lang, unnest(list_distinct($dToks)) AS token
+         |  FROM documents),
+         |cellt AS (SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS ntl
+         |          FROM pres GROUP BY 1, 2),
+         |bl0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+         |        FROM documents GROUP BY 1),
+         |t0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |bl AS (${duckLog2("SELECT * FROM bl0", "nl", "l2nl")}),
+         |tl AS (${duckLog2("SELECT * FROM t0", "n_docs", "l2n")}),
+         |bt0 AS (SELECT token, CAST(SUM(ntl) AS BIGINT) AS nt,
+         |               tl.n_docs, tl.l2n,
+         |               GREATEST(tl.n_docs - CAST(SUM(ntl) AS BIGINT), 1) AS ntc
+         |        FROM cellt CROSS JOIN tl
+         |        GROUP BY token, tl.n_docs, tl.l2n
+         |        HAVING CAST(SUM(ntl) AS BIGINT) >= 5),
+         |bt AS ($bt),
+         |g0 AS (SELECT bt.token, bt.nt, bt.n_docs, bt.l2n, bt.l2nt,
+         |              bt.l2ntc, bl.lang, bl.nl, bl.l2nl,
+         |              COALESCE(cellt.ntl, 0) AS ntl,
+         |              GREATEST(COALESCE(cellt.ntl, 0), 1) AS gp,
+         |              GREATEST(bl.nl - COALESCE(cellt.ntl, 0), 1) AS ga
+         |       FROM bt CROSS JOIN bl
+         |       LEFT JOIN cellt
+         |         ON cellt.token = bt.token AND cellt.lang = bl.lang),
+         |g AS ($g),
+         |agg AS (SELECT token, nt, n_docs,
+         |  CAST(SUM(
+         |    CASE WHEN ntl > 0
+         |      THEN ntl * (l2p + l2n - l2nt - l2nl) ELSE 0 END +
+         |    CASE WHEN nl - ntl > 0
+         |      THEN (nl - ntl) * (l2a + l2n - l2ntc - l2nl) ELSE 0 END)
+         |    AS BIGINT) AS s_t
+         |  FROM g GROUP BY 1, 2, 3)
+         |SELECT token, nt AS n_docs_with,
+         |  CAST(s_t AS DOUBLE) / CAST(n_docs * 1048576 AS DOUBLE) AS mi_bits
+         |FROM agg ORDER BY mi_bits DESC, token LIMIT 50""".stripMargin
+    },
     "text_vocab_growth" ->
       s"""WITH b AS (
          |  SELECT doc_id,

@@ -725,4 +725,96 @@ object EventStream {
               Some(twoU1.toDouble / (2.0 * (n1 * n2).toDouble)) else None)
       }
   }
+
+  case class EntEv(event_type: String, k: Option[Long])
+  case class EntState(m: Map[Long, Long])
+  case class EntOut(event_type: String, n: Long, n_values: Long,
+      h_bits: Double)
+
+  /** Null-k sentinel: the batch key groups a NULL extraction as its
+    * own cell; no real k collides with MinValue. */
+  private val NullK: Long = Long.MinValue
+
+  /** Streaming twin of `ev_entropy`: per-type state is the (k → count)
+    * map — bounded by the JSON field's VALUE DOMAIN, the same
+    * count-map device as [[rankStatsStream]]. Each update recomputes
+    * h = Σ c·(L2(n) − L2(c)) / (n·2²⁰) with
+    * [[graft.functions.FixedLog2.l2Long]] — the JVM twin of the SQL
+    * integer log — so the final row is BIT-EQUAL to the batch key
+    * (integer core + one correctly-rounded division, no libm in
+    * either engine). */
+  def entropyStream(spark: SparkSession, eventsDir: String): Dataset[EntOut] = {
+    import spark.implicits._
+    import graft.functions.FixedLog2
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .as[EntEv]
+    evs.groupByKey(_.event_type)
+      .mapGroupsWithState[EntState, EntOut](GroupStateTimeout.NoTimeout()) {
+        (t: String, it: Iterator[EntEv], state: GroupState[EntState]) =>
+          var m = state.getOption.map(_.m).getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val key = e.k.getOrElse(NullK)
+            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+          }
+          state.update(EntState(m))
+          val n = m.values.sum
+          val sh = m.values
+            .map(c => BigInt(c) * (FixedLog2.l2Long(n) - FixedLog2.l2Long(c)))
+            .sum
+          EntOut(t, n, m.size.toLong,
+            sh.toLong.toDouble / (n * FixedLog2.Unit).toDouble)
+      }
+  }
+
+  case class TuEv(event_type: String, ts: java.sql.Timestamp)
+  case class TuState(m: Map[String, Long])
+  case class TuOut(n: Long, h_type: Double, h_wd: Double, mi_bits: Double,
+      theils_u: Option[Double], theils_u_rev: Option[Double])
+
+  /** Streaming twin of `ev_theils_u`: ONE global state — the
+    * contingency count map over (event type × weekday), bounded by
+    * both grids' value domains (≤ a few dozen cells). Each update
+    * replays the exact integer cores S_I / S_HX / S_HY with
+    * [[graft.functions.FixedLog2.l2Long]] and emits the batch tail's
+    * single-division doubles — bit-equal to the batch key. The map key
+    * is the encoded "type:wd" string (Spark state encoders don't take
+    * tuple map keys). */
+  def theilsUStream(spark: SparkSession, eventsDir: String): Dataset[TuOut] = {
+    import spark.implicits._
+    import graft.functions.FixedLog2
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_type"), col("ts")).as[TuEv]
+    evs.groupByKey(_ => 0)
+      .mapGroupsWithState[TuState, TuOut](GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[TuEv], state: GroupState[TuState]) =>
+          var m = state.getOption.map(_.m).getOrElse(Map.empty[String, Long])
+          it.foreach { e =>
+            val wd = epochUs(e.ts) / DayUsStat % 7
+            val key = s"${e.event_type}:$wd"
+            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+          }
+          state.update(TuState(m))
+          val cells = m.toSeq.map { case (k, o) =>
+            val i = k.lastIndexOf(':')
+            (k.substring(0, i), k.substring(i + 1).toLong, o)
+          }
+          val nn = cells.map(_._3).sum
+          val r = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+          val c = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+          def l2(a: Long) = FixedLog2.l2Long(a)
+          val sI = cells.map { case (t, w, o) =>
+            BigInt(o) * (l2(o) + l2(nn) - l2(r(t)) - l2(c(w))) }.sum
+          val sHx = r.values.map(v => BigInt(v) * (l2(nn) - l2(v))).sum
+          val sHy = c.values.map(v => BigInt(v) * (l2(nn) - l2(v))).sum
+          val den = (nn * FixedLog2.Unit).toDouble
+          TuOut(nn,
+            sHx.toLong.toDouble / den,
+            sHy.toLong.toDouble / den,
+            sI.toLong.toDouble / den,
+            if (sHx > 0) Some(sI.toLong.toDouble / sHx.toLong.toDouble) else None,
+            if (sHy > 0) Some(sI.toLong.toDouble / sHy.toLong.toDouble) else None)
+      }
+  }
 }

@@ -12,19 +12,7 @@ class FixedLog2Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** The Scala twin of the SQL device — identical integer steps. */
-  private def l2(a: Long): Long = {
-    require(a >= 1)
-    val bl = 64 - java.lang.Long.numberOfLeadingZeros(a)
-    var m = BigInt(a) << (61 - bl)
-    var f = 0L
-    (1 to 20).foreach { _ =>
-      val m2 = (m * m) >> 60
-      if (m2 >= (BigInt(1) << 61)) { f = f * 2 + 1; m = m2 >> 1 }
-      else { f = f * 2; m = m2 }
-    }
-    (bl - 1).toLong * FixedLog2.Unit + f
-  }
+  private def l2(a: Long): Long = FixedLog2.l2Long(a)
 
   test("L2 is within 2^-20 + 2^-40 of true log2 across magnitudes") {
     val vals = Seq(1L, 2L, 3L, 5L, 7L, 10L, 63L, 64L, 65L, 999L,
@@ -93,5 +81,128 @@ class FixedLog2Spec extends AnyFunSuite {
     // U(X|Y)·H(X) == U(Y|X)·H(Y) == I
     assert(math.abs(u.get * hType - mi) < 1e-9)
     assert(math.abs(uRev.get * hWd - mi) < 1e-9)
+  }
+
+  test("JS divergence: libm recompute, [0,1] bounds, symmetry, self-zero") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    val got = Events.jsDivergence(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    val cells = ev.filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        round(col("value") * lit(100)).cast("long").as("c"),
+        (col("event_type") === "purchase").as("is_p"))
+      .as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        val byC = rs.groupBy(_._2).view.mapValues { vs =>
+          (vs.count(_._3).toLong, vs.count(!_._3).toLong) }.toMap
+        byC
+      }.toMap
+    got.foreach { case (wd, n1, n2, jsd) =>
+      val m = cells(wd)
+      assert(n1 == m.values.map(_._1).sum && n2 == m.values.map(_._2).sum)
+      val ln2 = math.log(2.0)
+      val libm = m.values.map { case (a, b) =>
+        val p = a.toDouble / n1; val q = b.toDouble / n2
+        val mid = (p + q) / 2.0
+        (if (a > 0) p * math.log(p / mid) / ln2 else 0.0) / 2.0 +
+          (if (b > 0) q * math.log(q / mid) / ln2 else 0.0) / 2.0
+      }.sum
+      assert(jsd.isDefined && math.abs(jsd.get - libm) < 1e-4,
+        s"wd $wd: ${jsd.get} vs libm $libm")
+      // 1 bit is attainable on disjoint supports; L2 truncation can
+      // overshoot by ~4 units of 2^-20 per term
+      assert(jsd.get >= -1e-9 && jsd.get <= 1.0 + 1e-5)
+    }
+    // symmetry: swapping the arms leaves JSD unchanged
+    val swapped = ev.withColumn("event_type",
+      when(col("event_type") === "purchase", "view")
+        .when(col("event_type") === "view", "purchase")
+        .otherwise(col("event_type")))
+    val sw = Events.jsDivergenceOf(swapped)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(sw.map(r => (r._1, r._4)) == got.map(r => (r._1, r._4)))
+    assert(sw.map(r => (r._2, r._3)) == got.map(r => (r._3, r._2)))
+    // identical arms: relabel every view as a purchase duplicate set
+    val views = ev.filter(col("event_type") === "view")
+    val selfEv = views.union(
+      views.withColumn("event_type", lit("purchase")))
+    Events.jsDivergenceOf(selfEv)
+      .as[(Long, Long, Long, Option[Double])].collect().foreach { r =>
+        assert(r._2 == r._3)
+        assert(math.abs(r._4.getOrElse(1.0)) < 1e-5, s"self-JSD wd ${r._1}")
+      }
+  }
+
+  test("token MI: integer-core recompute row-exact + libm cross-check") {
+    val got = graft.operators.TextAnalysis.tokenMi(spark, TestSpark.Sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.size <= 50)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .select(col("lang"), split(col("text"), " ").as("t"))
+      .as[(String, Seq[String])].collect()
+    val nDocs = docs.size.toLong
+    val nl = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ntl = docs.flatMap { case (lg, t) => t.distinct.map(tok => (tok, lg)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = ntl.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    got.foreach { case (tok, ndw, mi) =>
+      assert(ndw == nt(tok) && ndw >= 5)
+      val sT = nl.keys.map { lg =>
+        val p = ntl.getOrElse((tok, lg), 0L)
+        val a = nl(lg) - p
+        val pres = if (p > 0)
+          BigInt(p) * (l2(p) + l2(nDocs) - l2(nt(tok)) - l2(nl(lg)))
+        else BigInt(0)
+        val abs = if (a > 0)
+          BigInt(a) * (l2(a) + l2(nDocs) - l2(nDocs - nt(tok)) - l2(nl(lg)))
+        else BigInt(0)
+        pres + abs
+      }.sum
+      assert(mi == sT.toLong.toDouble /
+        (nDocs * graft.functions.FixedLog2.Unit).toDouble, s"token $tok")
+      val ln2 = math.log(2.0)
+      val libm = nl.keys.map { lg =>
+        val p = ntl.getOrElse((tok, lg), 0L); val a = nl(lg) - p
+        (if (p > 0) p.toDouble / nDocs * math.log(
+          p.toDouble * nDocs / (nt(tok).toDouble * nl(lg))) / ln2 else 0.0) +
+          (if (a > 0) a.toDouble / nDocs * math.log(
+            a.toDouble * nDocs / ((nDocs - nt(tok)).toDouble * nl(lg))) / ln2
+          else 0.0)
+      }.sum
+      assert(math.abs(mi - libm) < 1e-4, s"token $tok vs libm")
+    }
+    // the MI ranking surfaces language markers: top tokens must skew
+    // heavily into one language (sanity that the statistic ranks signal)
+    val top = got.head
+    val shares = nl.keys.map(lg =>
+      ntl.getOrElse((top._1, lg), 0L).toDouble / nt(top._1))
+    assert(shares.max > 1.5 / nl.size,
+      s"top token ${top._1} not language-skewed: max share ${shares.max}")
+  }
+
+  test("quantileDD: each picked bucket midpoint is within the DDSketch bound") {
+    val rows = Events.quantileDD(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Double, Long, Double, Long, Double, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    val byType = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        greatest(round(col("value") * lit(100)).cast("long"), lit(1L)).as("c"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    rows.foreach { case (t, n, _, p50lg, _, p90lg, _, p99lg, mx) =>
+      val cs = byType(t)
+      assert(n == cs.size.toLong && mx == cs.last)
+      Seq((50, p50lg), (90, p90lg), (99, p99lg)).foreach { case (q, lg) =>
+        // the bucket picked by the cumulative walk contains the
+        // ceil(q·n/100)-th smallest value (bucket index is monotone in
+        // value), so its midpoint is within half a bucket of its log2
+        val rank = (n * q + 99) / 100
+        val truth = math.log(cs((rank - 1).toInt).toDouble) / math.log(2.0)
+        assert(math.abs(truth - lg) <= 1.0 / 64 + 1e-4,
+          s"type $t p$q: true log2 $truth vs midpoint $lg")
+      }
+    }
   }
 }

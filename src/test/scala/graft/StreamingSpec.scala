@@ -461,4 +461,33 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup diverged: $streamed vs $batch")
     assert(batch.values.sum > 0)
   }
+
+  test("streaming entropy equals the batch integer-log core bit-for-bit") {
+    val q = EventStream.entropyStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ent_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ent_out")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val batch = Events.entropy(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming Theil's U equals the batch contingency core bit-for-bit") {
+    val q = EventStream.theilsUStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tu_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("tu_out")
+      .as[(Long, Double, Double, Double, Option[Double], Option[Double])]
+      .collect().toSet
+    val batch = Events.theilsU(spark, TestSpark.Sf)
+      .as[(Long, Double, Double, Double, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.nonEmpty)
+  }
 }
