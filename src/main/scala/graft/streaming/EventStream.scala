@@ -726,6 +726,231 @@ object EventStream {
       }
   }
 
+  case class StudentOut(wd: Long, n_purchase: Long, n_view: Long,
+      t_stat: Option[Double], df: Long)
+
+  /** Streaming twin of `ev_student_ttest`: the SAME six-BIGINT moment
+    * state as [[welchStream]] (the two keys share the batch moment
+    * core), with the pooled-variance tail replayed op-for-op — final
+    * rows bit-equal to the batch key. */
+  def studentStream(spark: SparkSession, eventsDir: String): Dataset[StudentOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(e => epochUs(e.ts) / DayUsStat % 7)
+      .mapGroupsWithState[WelchState, StudentOut](GroupStateTimeout.NoTimeout()) {
+        (wd: Long, it: Iterator[Ev], state: GroupState[WelchState]) =>
+          var s = state.getOption.getOrElse(WelchState(0L, 0L, 0L, 0L, 0L, 0L))
+          it.foreach { e =>
+            val c = cents(e.value)
+            if (e.event_type == "purchase")
+              s = s.copy(n1 = s.n1 + 1, s11 = s.s11 + c, s21 = s.s21 + c * c)
+            else
+              s = s.copy(n2 = s.n2 + 1, s12 = s.s12 + c, s22 = s.s22 + c * c)
+          }
+          state.update(s)
+          val ss1 = if (s.n1 > 0)
+            Some(s.s21.toDouble - s.s11.toDouble * s.s11.toDouble / s.n1.toDouble)
+          else None
+          val ss2 = if (s.n2 > 0)
+            Some(s.s22.toDouble - s.s12.toDouble * s.s12.toDouble / s.n2.toDouble)
+          else None
+          val sp2 = if (s.n1 + s.n2 > 2)
+            for { a <- ss1; b <- ss2 } yield
+              (a + b) / (s.n1.toDouble + s.n2.toDouble - 2.0)
+          else None
+          val se = sp2.map(v =>
+            math.sqrt(v * (1.0 / s.n1.toDouble + 1.0 / s.n2.toDouble)))
+          StudentOut(wd, s.n1, s.n2,
+            se.filter(_ > 0).map(x =>
+              (s.s11.toDouble / s.n1.toDouble - s.s12.toDouble / s.n2.toDouble) / x),
+            s.n1 + s.n2 - 2)
+      }
+  }
+
+  case class KsOut(wd: Long, n_purchase: Long, n_view: Long,
+      d_stat: Option[Double], ks_stat: Option[Double])
+
+  /** Streaming twin of `ev_ks_test`: the SAME value-domain-bounded
+    * per-weekday count map as [[rankStatsStream]] (KS and rank stats
+    * both live on the per-cents two-arm counts); each update replays
+    * the cumulative walk — D·n₁n₂ stays an exact BIGINT max — and the
+    * two-double tail lands bit-equal to the batch key. */
+  def ksStream(spark: SparkSession, eventsDir: String): Dataset[KsOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(e => epochUs(e.ts) / DayUsStat % 7)
+      .mapGroupsWithState[RankState, KsOut](GroupStateTimeout.NoTimeout()) {
+        (wd: Long, it: Iterator[Ev], state: GroupState[RankState]) =>
+          var m = state.getOption.map(_.m).getOrElse(Map.empty[Long, (Long, Long)])
+          it.foreach { e =>
+            val c = cents(e.value)
+            val (a, b) = m.getOrElse(c, (0L, 0L))
+            m = m.updated(c,
+              if (e.event_type == "purchase") (a + 1, b) else (a, b + 1))
+          }
+          state.update(RankState(m))
+          val n1 = m.values.map(_._1).sum
+          val n2 = m.values.map(_._2).sum
+          var cum1 = 0L; var cum2 = 0L; var dmax = 0L
+          m.toSeq.sortBy(_._1).foreach { case (_, (a, b)) =>
+            cum1 += a; cum2 += b
+            dmax = math.max(dmax, math.abs(cum1 * n2 - cum2 * n1))
+          }
+          val ok = n1 > 0 && n2 > 0
+          val dStat = if (ok) Some(dmax.toDouble / (n1 * n2).toDouble) else None
+          KsOut(wd, n1, n2, dStat,
+            if (ok) Some(
+              math.sqrt(n1.toDouble * n2.toDouble / (n1.toDouble + n2.toDouble)) *
+                (dmax.toDouble / (n1 * n2).toDouble)) else None)
+      }
+  }
+
+  case class JsdOut(wd: Long, n_purchase: Long, n_view: Long,
+      jsd_bits: Option[Double])
+
+  /** Streaming twin of `ev_js_divergence`: same per-weekday two-arm
+    * count map; each update replays the exact T_P/T_Q integer cores
+    * with [[graft.functions.FixedLog2.l2Long]] and the 4-op IEEE tail
+    * — bit-equal to the batch key. */
+  def jsdStream(spark: SparkSession, eventsDir: String): Dataset[JsdOut] = {
+    import spark.implicits._
+    import graft.functions.FixedLog2.l2Long
+    val evs = readEvents(spark, eventsDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    evs.groupByKey(e => epochUs(e.ts) / DayUsStat % 7)
+      .mapGroupsWithState[RankState, JsdOut](GroupStateTimeout.NoTimeout()) {
+        (wd: Long, it: Iterator[Ev], state: GroupState[RankState]) =>
+          var m = state.getOption.map(_.m).getOrElse(Map.empty[Long, (Long, Long)])
+          it.foreach { e =>
+            val c = cents(e.value)
+            val (a, b) = m.getOrElse(c, (0L, 0L))
+            m = m.updated(c,
+              if (e.event_type == "purchase") (a + 1, b) else (a, b + 1))
+          }
+          state.update(RankState(m))
+          val n1 = m.values.map(_._1).sum
+          val n2 = m.values.map(_._2).sum
+          val ok = n1 > 0 && n2 > 0
+          val jsd = if (!ok) None else {
+            val tw = 2L * n1 * n2
+            var tp = BigInt(0); var tq = BigInt(0)
+            m.values.foreach { case (a, b) =>
+              val marg = a * n2 + b * n1
+              if (a > 0)
+                tp += BigInt(a) * (l2Long(a) + l2Long(tw) - l2Long(n1) - l2Long(marg))
+              if (b > 0)
+                tq += BigInt(b) * (l2Long(b) + l2Long(tw) - l2Long(n2) - l2Long(marg))
+            }
+            Some((tp.toLong.toDouble / n1.toDouble +
+              tq.toLong.toDouble / n2.toDouble) / 2097152.0)
+          }
+          JsdOut(wd, n1, n2, jsd)
+      }
+  }
+
+  case class CramersOut(n: Long, chi2: Double, dof: Long,
+      cramers_v: Option[Double])
+  case class ContingencyOut(n: Long, chi2: Double,
+      contingency_c: Option[Double], cramers_v_corr: Option[Double])
+
+  /** Shared replay of the batch `chiSqStats` core from the global
+    * contingency count map: the quantized-χ² sum over the COMPLETED
+    * grid (zero cells included, as the batch cross join does), each
+    * term the identical truncating BigInt step. Returns
+    * (n, nr, nc, chi2_micro). */
+  private def chiSqReplay(m: Map[String, Long]): (Long, Long, Long, Long) = {
+    val cells = m.toSeq.map { case (k, o) =>
+      val i = k.lastIndexOf(':')
+      (k.substring(0, i), k.substring(i + 1), o)
+    }
+    val r = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val c = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum
+    var chi2Micro = 0L
+    r.foreach { case (tk, rv) =>
+      c.foreach { case (wk, cv) =>
+        val o = m.getOrElse(s"$tk:$wk", 0L)
+        val num = BigInt(o * n - rv * cv)
+        chi2Micro += ((num * num * 1000000) /
+          (BigInt(n) * rv * cv)).toLong
+      }
+    }
+    (n, r.size.toLong, c.size.toLong, chi2Micro)
+  }
+
+  /** Streaming twin of `ev_cramers_v`: ONE global (type × weekday)
+    * count-map state — [[theilsUStream]]'s device — replaying the
+    * quantized-χ² core per update; bit-equal to the batch key. */
+  def cramersVStream(spark: SparkSession, eventsDir: String): Dataset[CramersOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_type"), col("ts")).as[TuEv]
+    evs.groupByKey(_ => 0)
+      .mapGroupsWithState[TuState, CramersOut](GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[TuEv], state: GroupState[TuState]) =>
+          val m = foldContingency(it,
+            state.getOption.map(_.m).getOrElse(Map.empty))
+          state.update(TuState(m))
+          val (n, nr, nc, chi2Micro) = chiSqReplay(m)
+          CramersOut(n, chi2Micro.toDouble / 1e6, (nr - 1) * (nc - 1),
+            if (n > 0 && math.min(nr, nc) > 1)
+              Some(math.sqrt((chi2Micro.toDouble / 1e6) /
+                (n.toDouble * (math.min(nr, nc).toDouble - 1.0))))
+            else None)
+      }
+  }
+
+  /** Streaming twin of `ev_contingency` (Pearson's C + bias-corrected
+    * Cramér's V): same global count-map state, the Bergsma tail
+    * replayed op-for-op — bit-equal to the batch key. */
+  def contingencyStream(spark: SparkSession, eventsDir: String): Dataset[ContingencyOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_type"), col("ts")).as[TuEv]
+    evs.groupByKey(_ => 0)
+      .mapGroupsWithState[TuState, ContingencyOut](GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[TuEv], state: GroupState[TuState]) =>
+          val m = foldContingency(it,
+            state.getOption.map(_.m).getOrElse(Map.empty))
+          state.update(TuState(m))
+          val (n, nr, nc, chi2Micro) = chiSqReplay(m)
+          val chi2 = chi2Micro.toDouble / 1e6
+          val phi2 = chi2 / n.toDouble
+          val phi2c = math.max(0.0, phi2 -
+            (nr.toDouble - 1.0) * (nc.toDouble - 1.0) / (n.toDouble - 1.0))
+          val nrc = nr.toDouble -
+            (nr.toDouble - 1.0) * (nr.toDouble - 1.0) / (n.toDouble - 1.0)
+          val ncc = nc.toDouble -
+            (nc.toDouble - 1.0) * (nc.toDouble - 1.0) / (n.toDouble - 1.0)
+          ContingencyOut(n, chi2,
+            if (n > 0) Some(math.sqrt(chi2 / (chi2 + n.toDouble))) else None,
+            if (n > 1 && math.min(nrc, ncc) > 1)
+              Some(math.sqrt(phi2c / (math.min(nrc, ncc) - 1.0))) else None)
+      }
+  }
+
+  private def foldContingency(it: Iterator[TuEv],
+      m0: Map[String, Long]): Map[String, Long] = {
+    var m = m0
+    it.foreach { e =>
+      val wd = epochUs(e.ts) / DayUsStat % 7
+      val key = s"${e.event_type}:$wd"
+      m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+    }
+    m
+  }
+
   case class EntEv(event_type: String, k: Option[Long])
   case class EntState(m: Map[Long, Long])
   case class EntOut(event_type: String, n: Long, n_values: Long,
@@ -789,12 +1014,8 @@ object EventStream {
     evs.groupByKey(_ => 0)
       .mapGroupsWithState[TuState, TuOut](GroupStateTimeout.NoTimeout()) {
         (_: Int, it: Iterator[TuEv], state: GroupState[TuState]) =>
-          var m = state.getOption.map(_.m).getOrElse(Map.empty[String, Long])
-          it.foreach { e =>
-            val wd = epochUs(e.ts) / DayUsStat % 7
-            val key = s"${e.event_type}:$wd"
-            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
-          }
+          val m = foldContingency(it,
+            state.getOption.map(_.m).getOrElse(Map.empty))
           state.update(TuState(m))
           val cells = m.toSeq.map { case (k, o) =>
             val i = k.lastIndexOf(':')

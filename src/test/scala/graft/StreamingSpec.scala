@@ -462,6 +462,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.sum > 0)
   }
 
+  test("streaming pooled t equals the batch student key bit-for-bit") {
+    val q = EventStream.studentStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("student_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("student_out")
+      .as[(Long, Long, Long, Option[Double], Long)].collect().toSet
+    val batch = Events.studentTTest(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double], Long)].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming KS equals the batch counts-then-window key bit-for-bit") {
+    val q = EventStream.ksStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ks_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ks_out")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSet
+    val batch = Events.ksTest(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming JSD equals the batch integer-core key bit-for-bit") {
+    val q = EventStream.jsdStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("jsd_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("jsd_out")
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    val batch = Events.jsDivergence(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming quantized-chi2 equals batch cramersV AND contingency bit-for-bit") {
+    val q1 = EventStream.cramersVStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cram_out").start()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    val s1 = spark.table("cram_out")
+      .as[(Long, Double, Long, Option[Double])].collect().toSet
+    val b1 = Events.cramersV(spark, TestSpark.Sf)
+      .as[(Long, Double, Long, Option[Double])].collect().toSet
+    assert(s1 == b1, s"cramersV: streamed=$s1 batch=$b1")
+    val q2 = EventStream.contingencyStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cont_out").start()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val s2 = spark.table("cont_out")
+      .as[(Long, Double, Option[Double], Option[Double])].collect().toSet
+    val b2 = Events.contingency(spark, TestSpark.Sf)
+      .as[(Long, Double, Option[Double], Option[Double])].collect().toSet
+    assert(s2 == b2, s"contingency: streamed=$s2 batch=$b2")
+    assert(b1.nonEmpty && b2.nonEmpty)
+  }
+
   test("streaming entropy equals the batch integer-log core bit-for-bit") {
     val q = EventStream.entropyStream(spark, eventsDir)
       .writeStream.outputMode("update")
