@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProductFloat
+import graft.functions.{DotProductFloat, Log2Fix}
 import graft.plans.DateRangeRewrite
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_log2fix"),
+      new ExpressionInfo(classOf[Log2Fix].getName, "graft_log2fix"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Log2Fix(exprs(0))))
   }
 }

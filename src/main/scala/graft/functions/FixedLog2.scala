@@ -1,7 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Deterministic fixed-point base-2 logarithm of a positive BIGINT —
   * the device that lets LOG-based statistics (entropy, mutual
@@ -36,8 +40,10 @@ import org.apache.spark.sql.functions.expr
   *
   * Scale: callers apply this to BOUNDED frames only (contingency
   * cells, per-group counts — dozens to value-domain-bounded rows),
-  * never per fact row; the 60 generated projections collapse to one
-  * codegen stage under CollapseProject. */
+  * never per fact row. Spark-side the device is the codegen'd
+  * [[Log2Fix]] expression (one projection per application); the
+  * DuckDB oracle keeps the 20-round integer SQL chain, so the hash
+  * gate cross-verifies two independent implementations. */
 object FixedLog2 {
 
   /** 2²⁰ — one unit of the returned fixed-point log. */
@@ -64,31 +70,51 @@ object FixedLog2 {
     (bl - 1).toLong * Unit + f
   }
 
-  /** Adds BIGINT column `out` = L2(`in`) in 2⁻²⁰ units. `in` must be a
-    * positive BIGINT column name (counts ≥ 1). */
-  def withLog2(df: DataFrame, in: String, out: String): DataFrame = {
-    val m = s"__m_$out"
-    val f = s"__f_$out"
-    val m2 = s"__m2_$out"
-    var d = df
-      .withColumn(m, expr(s"shiftleft(CAST($in AS BIGINT), 61 - length(bin($in)))"))
-      .withColumn(f, expr("CAST(0 AS BIGINT)"))
-    (1 to FracBits).foreach { _ =>
-      d = d
-        .withColumn(m2, expr(
-          s"CAST((CAST($m AS DECIMAL(38,0)) * CAST($m AS DECIMAL(38,0))) div CAST($Scale AS DECIMAL(38,0)) AS BIGINT)"))
-        .withColumn(f, expr(s"$f * 2 + IF($m2 >= $Top, 1, 0)"))
-        .withColumn(m, expr(s"IF($m2 >= $Top, $m2 div 2, $m2)"))
+  /** The pure-long core behind [[Log2Fix]]'s codegen: the identical 20
+    * truncating rounds with the 122-bit square carried as
+    * `Math.multiplyHigh` high/low limbs — m < 2⁶¹ so m² < 2¹²², the
+    * signed high limb stays < 2⁵⁸, and m²/2⁶⁰ is exactly
+    * `(hi << 4) | (lo >>> 60)`. Bit-equal to [[l2Long]]'s BigInt
+    * reference (FixedLog2Spec sweeps both) and to the oracle's
+    * HUGEINT chain (the hash gate). */
+  def l2LongFast(a: Long): Long = {
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(a)
+    var m = a << (61 - bl)
+    var f = 0L
+    var i = 0
+    while (i < FracBits) {
+      val hi = Math.multiplyHigh(m, m)
+      val lo = m * m
+      var m2 = (hi << 4) | (lo >>> 60)
+      if (m2 >= Top) { f = f * 2 + 1; m2 >>= 1 } else f *= 2
+      m = m2
+      i += 1
     }
-    d.withColumn(out,
-        expr(s"(CAST(length(bin($in)) AS BIGINT) - 1) * ${Unit}L + $f"))
-      .drop(m, f, m2)
+    (bl - 1).toLong * Unit + f
   }
+
+  /** Adds BIGINT column `out` = L2(`in`) in 2⁻²⁰ units via the
+    * codegen'd [[Log2Fix]] expression. `in` must be a positive BIGINT
+    * column name (counts ≥ 1).
+    *
+    * This first shipped as a 62-projection SQL chain (20 × squaring /
+    * bit / renormalize `withColumn`s in DECIMAL(38,0)) — semantically
+    * identical, but chaining it 4–6 times per query put ~7 s of PURE
+    * Catalyst work (analyze/optimize/codegen over hundreds of Project
+    * nodes) on every invocation, measured at sf0.001 where the data is
+    * negligible. One native expression collapses each application to a
+    * single projection; the DuckDB oracle keeps the integer chain
+    * ([[duckLog2]]), so the hash gate still cross-verifies the
+    * algorithm in two independent implementations. */
+  def withLog2(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn(out,
+      GraftBridge.column(Log2Fix(GraftBridge.expression(col(in).cast("long")))))
 
   /** DuckDB mirror: wraps subquery `from` (which must yield positive
     * BIGINT column `in`), returning SQL that yields every column of
-    * `from` plus BIGINT `out` — the identical integer steps, so the
-    * value matches [[withLog2]] bit for bit. */
+    * `from` plus BIGINT `out` — the identical integer steps (HUGEINT
+    * squares, truncating `//`), so the value matches [[withLog2]] bit
+    * for bit while being a fully independent implementation. */
   def duckLog2(from: String, in: String, out: String): String = {
     var q = s"SELECT *, ($in << (61 - length(bin($in))))::BIGINT AS __m," +
       s" 0::BIGINT AS __f FROM ($from)"
@@ -102,4 +128,31 @@ object FixedLog2 {
     s"SELECT * EXCLUDE (__m, __f)," +
       s" (length(bin($in)) - 1)::BIGINT * $Unit + __f AS $out FROM ($q)"
   }
+}
+
+/** Native Catalyst form of [[FixedLog2]]: BIGINT → BIGINT fixed-point
+  * log2 in 2⁻²⁰ units as ONE codegen'd expression (a static call to
+  * [[FixedLog2.l2LongFast]] — a 20-iteration long-only loop, no
+  * allocation). Registered as `graft_log2fix` by
+  * [[graft.GraftExtensions]]. Inputs must be ≥ 1 (callers clamp with
+  * `greatest(c, 1)` and gate zero cells out of the statistic). */
+case class Log2Fix(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_log2fix expects bigint, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_log2fix"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FixedLog2.l2LongFast(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FixedLog2.l2LongFast($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Log2Fix =
+    copy(child = newChild)
 }
