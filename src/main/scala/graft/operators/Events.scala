@@ -1040,6 +1040,68 @@ object Events extends QueryPack {
       .orderBy(col("wd"))
   }
 
+  /** One-sided drift: KL(P‖Q̃) in bits between the purchase (P) and
+    * view (Q) value distributions per weekday, with Laplace-smoothed Q̃
+    * over the observed UNION support (Q̃(c) = (b+1)/(n₂+V), V = distinct
+    * values either arm hit — a proper distribution, so Gibbs gives
+    * KL ≥ 0). The asymmetric complement of [[jsDivergence]]: "how
+    * surprised is the view model by purchase data" ≠ the reverse, so
+    * both directions are reported. Same [[graft.functions.FixedLog2]]
+    * decomposition — every term is a·(L2(a) + L2(n₂+V) − L2(n₁) −
+    * L2(b+1)) over exact integers, the sums are exact BIGINTs, and
+    * each output is one correctly-rounded division — hash-exact.
+    * Counts-by-value grain, like [[ksTest]]. */
+  def klDivergence(spark: SparkSession, dir: String): DataFrame =
+    klDivergenceOf(Tables.events(spark, dir))
+
+  private[graft] def klDivergenceOf(ev: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val cents = round(col("value") * lit(100)).cast("long")
+    val cells = ev
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        cents.as("c"), (col("event_type") === "purchase").as("is_p"))
+      .groupBy(col("wd"), col("c"))
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("b"))
+    val tots0 = cells.groupBy(col("wd"))
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+        count(lit(1)).as("v"))
+      .withColumn("n1v", col("n1") + col("v"))
+      .withColumn("n2v", col("n2") + col("v"))
+    val tots = Seq(("n1", "l2n1"), ("n2", "l2n2"), ("n1v", "l2n1v"),
+        ("n2v", "l2n2v"))
+      .foldLeft(tots0) { case (df, (in, out)) => FixedLog2.withLog2(df, in, out) }
+    val grid0 = cells
+      .join(tots.select(col("wd"), col("n1"), col("n2"), col("v"),
+        col("l2n1"), col("l2n2"), col("l2n1v"), col("l2n2v")), Seq("wd"))
+      .withColumn("ga", greatest(col("a"), lit(1L)))
+      .withColumn("gb", greatest(col("b"), lit(1L)))
+      .withColumn("ap1", col("a") + lit(1L))
+      .withColumn("bp1", col("b") + lit(1L))
+    val grid = Seq(("ga", "l2a"), ("gb", "l2b"), ("ap1", "l2ap1"),
+        ("bp1", "l2bp1"))
+      .foldLeft(grid0) { case (df, (in, out)) => FixedLog2.withLog2(df, in, out) }
+    grid
+      .groupBy(col("wd"), col("n1"), col("n2"), col("v"))
+      .agg(
+        sum(when(col("a") > 0,
+          col("a") * (col("l2a") + col("l2n2v") - col("l2n1") - col("l2bp1")))
+          .otherwise(0L)).as("t"),
+        sum(when(col("b") > 0,
+          col("b") * (col("l2b") + col("l2n1v") - col("l2n2") - col("l2ap1")))
+          .otherwise(0L)).as("t_rev"))
+      .select(col("wd"), col("n1").as("n_purchase"), col("n2").as("n_view"),
+        col("v").as("n_support"),
+        when(col("n1") > 0,
+          d(col("t")) / d(col("n1") * lit(FixedLog2.Unit))).as("kl_bits"),
+        when(col("n2") > 0,
+          d(col("t_rev")) / d(col("n2") * lit(FixedLog2.Unit)))
+          .as("kl_rev_bits"))
+      .orderBy(col("wd"))
+  }
+
   /** ClickHouse `mannWhitneyUTest` analogue: the rank-sum test of
     * purchase vs view values per epoch-weekday, with an EXACT integer
     * core end to end. Average ranks over ties never materialize as
@@ -1968,6 +2030,7 @@ object Events extends QueryPack {
     "ev_student_ttest" -> studentTTest,
     "ev_ks_test"      -> ksTest,
     "ev_js_divergence" -> jsDivergence,
+    "ev_kl_divergence" -> klDivergence,
     "ev_mannwhitney"  -> mannWhitney,
     "ev_cramers_v"    -> cramersV,
     "ev_contingency"  -> contingency,
@@ -2251,6 +2314,60 @@ object Events extends QueryPack {
          |    (CAST(tp AS DOUBLE) / CAST(n1 AS DOUBLE) +
          |     CAST(tq AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2097152.0
          |  END AS jsd_bits
+         |FROM agg ORDER BY wd""".stripMargin
+    },
+    "ev_kl_divergence" -> {
+      import graft.functions.FixedLog2.duckLog2
+      // eight L2 applications would nest duckLog2 ~170 subqueries deep
+      // (the DuckDB PARSER exhausts memory past ~130); instead L2 runs
+      // ONCE over the distinct union of every argument and joins back
+      s"""WITH m0 AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS wd,
+         |         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         |         event_type = 'purchase' AS is_p
+         |  FROM events WHERE event_type IN ('view', 'purchase')),
+         |cells AS (
+         |  SELECT wd, c,
+         |    CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM m0 GROUP BY 1, 2),
+         |t0 AS (SELECT wd, CAST(SUM(a) AS BIGINT) AS n1,
+         |              CAST(SUM(b) AS BIGINT) AS n2,
+         |              CAST(COUNT(*) AS BIGINT) AS v,
+         |              CAST(SUM(a) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS n1v,
+         |              CAST(SUM(b) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS n2v
+         |       FROM cells GROUP BY 1),
+         |vals AS (SELECT DISTINCT val FROM (
+         |  SELECT GREATEST(a, 1) AS val FROM cells
+         |  UNION SELECT GREATEST(b, 1) FROM cells
+         |  UNION SELECT a + 1 FROM cells UNION SELECT b + 1 FROM cells
+         |  UNION SELECT n1 FROM t0 UNION SELECT n2 FROM t0
+         |  UNION SELECT n1v FROM t0 UNION SELECT n2v FROM t0)),
+         |lv AS (${duckLog2("SELECT * FROM vals", "val", "l2")}),
+         |agg AS (SELECT cells.wd, t0.n1, t0.n2, t0.v,
+         |  CAST(SUM(CASE WHEN a > 0
+         |    THEN a * (la.l2 + lnv2.l2 - ln1.l2 - lbp.l2) ELSE 0 END)
+         |    AS BIGINT) AS t,
+         |  CAST(SUM(CASE WHEN b > 0
+         |    THEN b * (lb.l2 + lnv1.l2 - ln2.l2 - lap.l2) ELSE 0 END)
+         |    AS BIGINT) AS t_rev
+         |  FROM cells
+         |  JOIN t0 ON cells.wd = t0.wd
+         |  JOIN lv la ON la.val = GREATEST(cells.a, 1)
+         |  JOIN lv lb ON lb.val = GREATEST(cells.b, 1)
+         |  JOIN lv lap ON lap.val = cells.a + 1
+         |  JOIN lv lbp ON lbp.val = cells.b + 1
+         |  JOIN lv ln1 ON ln1.val = t0.n1
+         |  JOIN lv ln2 ON ln2.val = t0.n2
+         |  JOIN lv lnv1 ON lnv1.val = t0.n1v
+         |  JOIN lv lnv2 ON lnv2.val = t0.n2v
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT wd, n1 AS n_purchase, n2 AS n_view, v AS n_support,
+         |  CASE WHEN n1 > 0 THEN
+         |    CAST(t AS DOUBLE) / CAST(n1 * 1048576 AS DOUBLE) END AS kl_bits,
+         |  CASE WHEN n2 > 0 THEN
+         |    CAST(t_rev AS DOUBLE) / CAST(n2 * 1048576 AS DOUBLE)
+         |  END AS kl_rev_bits
          |FROM agg ORDER BY wd""".stripMargin
     },
     "ev_contingency" ->

@@ -134,6 +134,47 @@ class FixedLog2Spec extends AnyFunSuite {
       }
   }
 
+  test("KL divergence: libm recompute, Gibbs non-negativity, swap law") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    val got = Events.klDivergence(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    val cells = ev.filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+        round(col("value") * lit(100)).cast("long").as("c"),
+        (col("event_type") === "purchase").as("is_p"))
+      .as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        rs.groupBy(_._2).view.mapValues { vs =>
+          (vs.count(_._3).toLong, vs.count(!_._3).toLong) }.toMap
+      }.toMap
+    val ln2 = math.log(2.0)
+    got.foreach { case (wd, n1, n2, v, kl, klRev) =>
+      val m = cells(wd)
+      assert(n1 == m.values.map(_._1).sum && n2 == m.values.map(_._2).sum &&
+        v == m.size.toLong)
+      val libm = m.values.map { case (a, b) =>
+        if (a > 0) a.toDouble / n1 * math.log(
+          a.toDouble * (n2 + v) / (n1.toDouble * (b + 1))) / ln2 else 0.0
+      }.sum
+      assert(kl.isDefined && math.abs(kl.get - libm) < 1e-4,
+        s"wd $wd: ${kl.get} vs libm $libm")
+      // Q-tilde is a proper distribution over the union support, so
+      // Gibbs gives KL >= 0 (minus L2 truncation slop)
+      assert(kl.get >= -1e-5 && klRev.get >= -1e-5)
+    }
+    // swapping the arms exchanges the two directions exactly
+    val swapped = ev.withColumn("event_type",
+      when(col("event_type") === "purchase", "view")
+        .when(col("event_type") === "view", "purchase")
+        .otherwise(col("event_type")))
+    val sw = Events.klDivergenceOf(swapped)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(sw.map(r => (r._1, r._5, r._6)) == got.map(r => (r._1, r._6, r._5)))
+  }
+
   test("token MI: integer-core recompute row-exact + libm cross-check") {
     val got = graft.operators.TextAnalysis.tokenMi(spark, TestSpark.Sf)
       .as[(String, Long, Double)].collect().toSeq
