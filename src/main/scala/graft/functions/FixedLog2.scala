@@ -53,12 +53,22 @@ object FixedLog2 {
   private val Scale = 1L << 60 // mantissa fixed-point scale
   private val Top = 1L << 61   // normalization bound: m ∈ [2^60, 2^61)
 
+  /** Domain ceiling (exclusive): the mantissa normalization shifts a
+    * LEFT to [2⁶⁰, 2⁶¹), so any input with more than 61 bits would
+    * need a negative shift — which Java wraps mod 64 and DuckDB's
+    * `<<` does not, so past this bound the two engines would silently
+    * diverge. Every entry point rejects a ∉ [1, 2⁶¹) loudly instead.
+    * Consumers' worst-case arguments (2·n₁·n₂ rank products ≈ 7×10¹⁷)
+    * sit ~3× under this 2⁶¹ ≈ 2.3×10¹⁸ ceiling. */
+  val MaxInputExclusive: Long = 1L << 61
+
   /** JVM twin of the SQL device — the IDENTICAL integer steps, so
     * streaming twins (bounded count-map state replaying the batch
     * tail) land bit-equal to the batch keys. FixedLog2Spec pins
     * l2Long == withLog2 on a magnitude sweep. */
   def l2Long(a: Long): Long = {
-    require(a >= 1, s"l2Long needs a positive count, got $a")
+    require(a >= 1 && a < MaxInputExclusive,
+      s"l2Long domain is [1, 2^61), got $a")
     val bl = 64 - java.lang.Long.numberOfLeadingZeros(a)
     var m = BigInt(a) << (61 - bl)
     var f = 0L
@@ -76,8 +86,13 @@ object FixedLog2 {
     * signed high limb stays < 2⁵⁸, and m²/2⁶⁰ is exactly
     * `(hi << 4) | (lo >>> 60)`. Bit-equal to [[l2Long]]'s BigInt
     * reference (FixedLog2Spec sweeps both) and to the oracle's
-    * HUGEINT chain (the hash gate). */
+    * HUGEINT chain (the hash gate). Inputs outside [1, 2⁶¹) throw
+    * ArithmeticException — a negative shift count would wrap mod 64
+    * on the JVM and yield silent garbage otherwise. */
   def l2LongFast(a: Long): Long = {
+    if (a < 1 || a >= MaxInputExclusive)
+      throw new ArithmeticException(
+        s"graft_log2fix domain is [1, 2^61), got $a")
     val bl = 64 - java.lang.Long.numberOfLeadingZeros(a)
     var m = a << (61 - bl)
     var f = 0L
@@ -134,8 +149,11 @@ object FixedLog2 {
   * log2 in 2⁻²⁰ units as ONE codegen'd expression (a static call to
   * [[FixedLog2.l2LongFast]] — a 20-iteration long-only loop, no
   * allocation). Registered as `graft_log2fix` by
-  * [[graft.GraftExtensions]]. Inputs must be ≥ 1 (callers clamp with
-  * `greatest(c, 1)` and gate zero cells out of the statistic). */
+  * [[graft.GraftExtensions]]. Domain is [1, 2⁶¹): callers clamp with
+  * `greatest(c, 1)` and gate zero cells out of the statistic;
+  * out-of-domain input throws ArithmeticException from the core
+  * rather than returning silent garbage (the SQL registration shares
+  * this guard). */
 case class Log2Fix(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -933,7 +933,16 @@ object Curation extends QueryPack {
   /** LPA over a simple undirected edge list (u < v, distinct);
     * returns (community, n_nodes) with community = the shared label.
     * `stateBroadcastMaxRows` gates the node-set broadcasts (tests
-    * force 0 to exercise the all-shuffle giant-graph path). */
+    * force 0 to exercise the all-shuffle giant-graph path).
+    *
+    * INVARIANT — sequential execution only: the sub-gate round loop
+    * toggles the SESSION-global `spark.sql.adaptive.enabled` for its
+    * duration (restored in a finally), so any query planned
+    * concurrently on the same SparkSession would silently run with
+    * AQE off. Every in-library caller (Verify/Bench/forked tests) is
+    * sequential; a re-entrancy guard below fails loudly if two
+    * AQE-toggling loops ever overlap rather than corrupting each
+    * other's restore value. */
   private[graft] def communitiesOf(e0: DataFrame,
       stateBroadcastMaxRows: Long = StateBroadcastMaxRows): DataFrame = {
     val nPart = e0.sparkSession.sessionState.conf.numShufflePartitions
@@ -1022,7 +1031,15 @@ object Curation extends QueryPack {
     // in the finally.
     val sess = und.sparkSession
     val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    if (small) sess.conf.set("spark.sql.adaptive.enabled", "false")
+    if (small) {
+      // re-entrancy guard for the session-global toggle (see the
+      // entry-point invariant): overlapping loops would restore a
+      // mid-toggle "previous" value — fail loudly instead
+      require(aqeToggleHeld.compareAndSet(false, true),
+        "communitiesOf: concurrent AQE-toggling round loops on one " +
+          "session — the sub-gate path requires sequential execution")
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     try {
     while (r < LpaRounds && !done) {
       // a round recomputes every node when the frontier spans most of
@@ -1203,9 +1220,15 @@ object Curation extends QueryPack {
     (owned :+ und).foreach(GraftBridge.releaseLocalCheckpoint)
     result.orderBy(col("community"))
     } finally {
-      if (small) sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      if (small) {
+        sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+        aqeToggleHeld.set(false)
+      }
     }
   }
+
+  /** Guard for [[communitiesOf]]'s session-global AQE toggle. */
+  private val aqeToggleHeld = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Corpus concentration report: the Gini coefficient of per-doc
     * token counts plus the share held by the largest 1% of documents —

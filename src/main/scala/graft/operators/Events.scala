@@ -992,7 +992,10 @@ object Events extends QueryPack {
     *   T_P = Σ_{a>0} a·(L2(a) + L2(2n₁n₂) − L2(n₁) − L2(a·n₂ + b·n₁))
     *
     * (T_Q symmetric), both exact BIGINTs (|T| ≤ n·61·2²⁰ ≈ 4·10¹⁶ at
-    * the ×100 tier; L2 args peak at 2n₁n₂ ≈ 7·10¹⁷ < 2⁶³), and
+    * the ×100 tier; L2 args peak at 2n₁n₂ ≈ 7·10¹⁷, a ~3× margin
+    * under the L2 domain ceiling of 2⁶¹ ≈ 2.3·10¹⁸ — the mantissa
+    * normalization needs 61 bits, and the core now REJECTS anything
+    * past it rather than wrapping), and
     * JSD = (T_P/n₁ + T_Q/n₂)/2²¹ is a fixed chain of four
     * correctly-rounded IEEE ops — hash-exact. L2 runs on the
     * counts-by-value frame (value-domain-bounded, the [[ksTest]]
@@ -1534,8 +1537,9 @@ object Events extends QueryPack {
     * r_score thresholds rewrite to `last_day` comparisons
     * (recency > H − Qlast(q) ⟺ last_day < Qlast(q)) so recency never
     * materializes before the sketch. Rows-only — GK boundaries are
-    * partitioning-dependent within their rank-error bound; RfmSpec
-    * pins the threshold plumbing against an independent Scala
+    * partitioning-dependent within their rank-error bound;
+    * ExtrasAnalyticsSpec pins the threshold plumbing against an
+    * independent Scala
     * recompute plus monotonicity/tie-consistency invariants, and
     * PlanAuditSpec asserts the no-global-window shape. */
   def rfmScaled(spark: SparkSession, dir: String): DataFrame = {

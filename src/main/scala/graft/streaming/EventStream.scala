@@ -881,7 +881,11 @@ object EventStream {
     r.foreach { case (tk, rv) =>
       c.foreach { case (wk, cv) =>
         val o = m.getOrElse(s"$tk:$wk", 0L)
-        val num = BigInt(o * n - rv * cv)
+        // Lift BEFORE multiplying: o·n and rv·cv overflow Long past
+        // n ≈ 3·10⁹, and the batch core carries this very product in
+        // DECIMAL(38,0) — a Long intermediate would silently break
+        // the documented bit-equality at that scale.
+        val num = BigInt(o) * n - BigInt(rv) * cv
         chi2Micro += ((num * num * 1000000) /
           (BigInt(n) * rv * cv)).toLong
       }

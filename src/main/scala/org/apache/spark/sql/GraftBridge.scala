@@ -81,8 +81,21 @@ object GraftBridge {
     val ids = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
-    df.sparkSession.sparkContext.getRDDStorageInfo
-      .filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+    // Fail LOUDLY on the unknown-size cases instead of returning 0:
+    // callers size-gate on this value and 0 reads as "small", which is
+    // the unsafe direction — a not-yet-checkpointed frame or evicted
+    // blocks would arm small-graph levers (chained broadcasts, AQE
+    // off) on a graph of unknown size.
+    require(ids.nonEmpty,
+      "checkpointStorageBytes: frame has no LogicalRDD — call it on an " +
+        "eagerly localCheckpoint()ed frame, not an arbitrary plan")
+    val infos = df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+    require(infos.nonEmpty,
+      s"checkpointStorageBytes: no storage blocks reported for RDD(s) " +
+        s"${ids.mkString(",")} — blocks evicted or never materialized; " +
+        "size unknown, refusing to report 0 (callers treat small as safe)")
+    infos.map(i => i.memSize + i.diskSize).sum
   }
 
   /** Actually free a `localCheckpoint`ed frame's pinned blocks.

@@ -29,6 +29,25 @@ class FixedLog2Spec extends AnyFunSuite {
     }
   }
 
+  test("L2 domain [1, 2^61) is guarded loudly at both cores and the edges agree") {
+    val top = FixedLog2.MaxInputExclusive - 1 // 2^61 - 1, largest legal input
+    assert(FixedLog2.l2Long(top) == FixedLog2.l2LongFast(top))
+    assert(FixedLog2.l2Long(1L) == 0L && FixedLog2.l2LongFast(1L) == 0L)
+    // out-of-domain: a negative shift count would wrap mod 64 on the
+    // JVM (a << -1 == a << 63) and silently diverge from DuckDB —
+    // both cores must refuse instead of returning garbage
+    Seq(0L, -1L, -(1L << 20), FixedLog2.MaxInputExclusive, Long.MaxValue)
+      .foreach { a =>
+        intercept[IllegalArgumentException](FixedLog2.l2Long(a))
+        intercept[ArithmeticException](FixedLog2.l2LongFast(a))
+      }
+    // the registered SQL expression routes through the guarded core
+    val err = intercept[Exception] {
+      FixedLog2.withLog2(Seq(0L).toDF("a"), "a", "l").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("entropy matches an independent integer-core recompute and libm") {
     val rows = Events.entropy(spark, TestSpark.Sf)
       .as[(String, Long, Long, Double)].collect()

@@ -19,6 +19,14 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - deliberate bounded product: the brute-force similarity tier
   *     (corpus × fixed query set, the documented oracle tier) and the
   *     banded range join (corpus × fixed band table).
+  *
+  * Scope note: the sweep audits the FINAL frame each key returns.
+  * Eagerly-executed sub-jobs inside an operator (k-core's bounded
+  * per-iteration degree-median window, ExactRank's partition-offset
+  * collect, LPA's round checkpoints) never appear in that plan and are
+  * outside this gate — each is individually reasoned at its call site
+  * (bounded frames / 1-row collects, see Curation.scala and
+  * ExactRank.scala scaladoc) rather than swept here.
   */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
