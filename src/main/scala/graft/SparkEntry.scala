@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All operator packs; each contributes queries + DuckDB oracles. */
   def packs: Seq[QueryPack] =
-    Seq(Ssb, Relational, Tpch, TextAnalysis, Dedup, Similarity, Events,
+    Seq(Ssb, Relational, Tpch, TextAnalysis, Dedup, Similarity, Events, Stats,
       Multimodal, Extras, Curation, Pipeline, Warehouse, Analytics)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -620,7 +620,7 @@ object EventStream {
       t_stat: Option[Double], df: Option[Double])
 
   /** Streaming `welchTTest`: the incremental twin of
-    * [[graft.operators.Events.welchTTest]]. Per-WEEKDAY state is six
+    * [[graft.operators.Stats.welchTTest]]. Per-WEEKDAY state is six
     * BIGINTs — n / Σcents / Σcents² per arm — truly bounded (the
     * moment fold is order-free integer addition, so no sort and no
     * event buffering); every update row recomputes the t statistic and

@@ -78,20 +78,25 @@ object GraftBridge {
     * on the ×10 co-purchase edge list), while the storage info is
     * already on the driver the moment the eager checkpoint returns. */
   def checkpointStorageBytes(df: DataFrame): Long = {
-    val ids = df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
     // Fail LOUDLY on the unknown-size cases instead of returning 0:
     // callers size-gate on this value and 0 reads as "small", which is
     // the unsafe direction — a not-yet-checkpointed frame or evicted
     // blocks would arm small-graph levers (chained broadcasts, AQE
     // off) on a graph of unknown size.
-    require(ids.nonEmpty,
+    require(rdds.nonEmpty,
       "checkpointStorageBytes: frame has no LogicalRDD — call it on an " +
         "eagerly localCheckpoint()ed frame, not an arbitrary plan")
+    val ids = rdds.map(_.id).toSet
     val infos = df.sparkSession.sparkContext.getRDDStorageInfo
       .filter(i => ids.contains(i.id))
-    require(infos.nonEmpty,
+    // An EMPTY checkpoint (0 partitions, e.g. AQE-coalesced empty
+    // frame) legitimately stores no blocks — size 0 is the truth, not
+    // an unknown. Any nonempty checkpoint with no reported blocks is
+    // the unknown case: refuse rather than read as small.
+    require(infos.nonEmpty || rdds.forall(_.getNumPartitions == 0),
       s"checkpointStorageBytes: no storage blocks reported for RDD(s) " +
         s"${ids.mkString(",")} — blocks evicted or never materialized; " +
         "size unknown, refusing to report 0 (callers treat small as safe)")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.FixedLog2
-import graft.operators.Events
+import graft.operators.{Events, Stats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -49,7 +49,7 @@ class FixedLog2Spec extends AnyFunSuite {
   }
 
   test("entropy matches an independent integer-core recompute and libm") {
-    val rows = Events.entropy(spark, TestSpark.Sf)
+    val rows = Stats.entropy(spark, TestSpark.Sf)
       .as[(String, Long, Long, Double)].collect()
     assert(rows.nonEmpty)
     val cells = graft.sources.Tables.events(spark, TestSpark.Sf)
@@ -72,7 +72,7 @@ class FixedLog2Spec extends AnyFunSuite {
 
   test("theils U: integer-core recompute, bounds, and the MI identity") {
     val Seq((n, hType, hWd, mi, u, uRev)) =
-      Events.theilsU(spark, TestSpark.Sf)
+      Stats.theilsU(spark, TestSpark.Sf)
         .as[(Long, Double, Double, Double, Option[Double], Option[Double])]
         .collect().toSeq
     val grid = graft.sources.Tables.events(spark, TestSpark.Sf)
@@ -104,7 +104,7 @@ class FixedLog2Spec extends AnyFunSuite {
 
   test("JS divergence: libm recompute, [0,1] bounds, symmetry, self-zero") {
     val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
-    val got = Events.jsDivergence(spark, TestSpark.Sf)
+    val got = Stats.jsDivergence(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
     assert(got.nonEmpty)
     val cells = ev.filter(col("event_type").isin("view", "purchase"))
@@ -138,7 +138,7 @@ class FixedLog2Spec extends AnyFunSuite {
       when(col("event_type") === "purchase", "view")
         .when(col("event_type") === "view", "purchase")
         .otherwise(col("event_type")))
-    val sw = Events.jsDivergenceOf(swapped)
+    val sw = Stats.jsDivergenceOf(swapped)
       .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
     assert(sw.map(r => (r._1, r._4)) == got.map(r => (r._1, r._4)))
     assert(sw.map(r => (r._2, r._3)) == got.map(r => (r._3, r._2)))
@@ -146,7 +146,7 @@ class FixedLog2Spec extends AnyFunSuite {
     val views = ev.filter(col("event_type") === "view")
     val selfEv = views.union(
       views.withColumn("event_type", lit("purchase")))
-    Events.jsDivergenceOf(selfEv)
+    Stats.jsDivergenceOf(selfEv)
       .as[(Long, Long, Long, Option[Double])].collect().foreach { r =>
         assert(r._2 == r._3)
         assert(math.abs(r._4.getOrElse(1.0)) < 1e-5, s"self-JSD wd ${r._1}")
@@ -155,7 +155,7 @@ class FixedLog2Spec extends AnyFunSuite {
 
   test("KL divergence: libm recompute, Gibbs non-negativity, swap law") {
     val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
-    val got = Events.klDivergence(spark, TestSpark.Sf)
+    val got = Stats.klDivergence(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
       .collect().toSeq.sortBy(_._1)
     assert(got.nonEmpty)
@@ -188,7 +188,7 @@ class FixedLog2Spec extends AnyFunSuite {
       when(col("event_type") === "purchase", "view")
         .when(col("event_type") === "view", "purchase")
         .otherwise(col("event_type")))
-    val sw = Events.klDivergenceOf(swapped)
+    val sw = Stats.klDivergenceOf(swapped)
       .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
       .collect().toSeq.sortBy(_._1)
     assert(sw.map(r => (r._1, r._5, r._6)) == got.map(r => (r._1, r._6, r._5)))
@@ -239,6 +239,31 @@ class FixedLog2Spec extends AnyFunSuite {
       ntl.getOrElse((top._1, lg), 0L).toDouble / nt(top._1))
     assert(shares.max > 1.5 / nl.size,
       s"top token ${top._1} not language-skewed: max share ${shares.max}")
+  }
+
+  test("log histogram: exact recompute, conservation, and bucket-edge law") {
+    val got = Events.logHistogram(spark, TestSpark.Sf)
+      .as[(String, Long, Double, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val cents = graft.sources.Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        greatest(round(col("value") * lit(100)).cast("long"), lit(1L)).as("c"))
+      .as[(String, Long)].collect().toSeq
+    // independent recompute through the BigInt reference core
+    val oct = FixedLog2.Unit / 8
+    val exp = cents.groupBy { case (t, c) => (t, FixedLog2.l2Long(c) / oct) }
+      .map { case ((t, b), rows) =>
+        val cs = rows.map(_._2)
+        (t, b, b.toDouble / 8.0, cs.size.toLong, cs.min, cs.max, cs.sum)
+      }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got.sortBy(r => (r._1, r._2)) == exp)
+    // conservation + edge law: both extremes of a bucket re-bucket to it
+    got.foreach { case (t, b, lo, n, mn, mx, s) =>
+      assert(lo == b.toDouble / 8.0 && n > 0 && mn <= mx &&
+        s >= n * mn && s <= n * mx, s"bucket ($t,$b)")
+      assert(FixedLog2.l2Long(mn) / oct == b && FixedLog2.l2Long(mx) / oct == b)
+    }
+    assert(got.map(_._4).sum == cents.size.toLong)
   }
 
   test("quantileDD: each picked bucket midpoint is within the DDSketch bound") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Events
+import graft.operators.Stats
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -31,7 +31,7 @@ class StatsTestSpec extends AnyFunSuite {
       .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSeq).toMap
 
   test("welch t equals an independent Scala recompute, row-exact") {
-    val got = Events.welchTTest(spark, TestSpark.Sf)
+    val got = Stats.welchTTest(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
       .collect().map(r => r._1 -> r).toMap
     assert(got.nonEmpty)
@@ -55,10 +55,10 @@ class StatsTestSpec extends AnyFunSuite {
   }
 
   test("welch antisymmetry: swapping the arms negates t, keeps df") {
-    val a = Events.welchTTestOf(graft.sources.Tables.events(spark, TestSpark.Sf))
+    val a = Stats.welchTTestOf(graft.sources.Tables.events(spark, TestSpark.Sf))
       .select("wd", "t_stat", "df")
       .as[(Long, Option[Double], Option[Double])].collect().map(r => r._1 -> r).toMap
-    val b = Events.welchTTestOf(swapped)
+    val b = Stats.welchTTestOf(swapped)
       .select("wd", "t_stat", "df")
       .as[(Long, Option[Double], Option[Double])].collect().map(r => r._1 -> r).toMap
     assert(a.keySet == b.keySet && a.nonEmpty)
@@ -170,7 +170,7 @@ class StatsTestSpec extends AnyFunSuite {
   }
 
   test("cramers V equals a BigInt recompute of the quantized chi-square") {
-    val got = Events.cramersV(spark, TestSpark.Sf)
+    val got = Stats.cramersV(spark, TestSpark.Sf)
       .as[(Long, Double, Long, Option[Double])].collect()
     assert(got.length == 1)
     val (n0, chi2, dof, v) = (got(0)._1, got(0)._2, got(0)._3, got(0)._4)
@@ -195,11 +195,11 @@ class StatsTestSpec extends AnyFunSuite {
   }
 
   test("student t equals a pooled-variance Scala recompute; |df| law vs welch") {
-    val got = Events.studentTTest(spark, TestSpark.Sf)
+    val got = Stats.studentTTest(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double], Long)]
       .collect().map(r => r._1 -> r).toMap
     assert(got.nonEmpty)
-    val welchDf = Events.welchTTest(spark, TestSpark.Sf)
+    val welchDf = Stats.welchTTest(spark, TestSpark.Sf)
       .select("wd", "df").as[(Long, Option[Double])].collect().toMap
     got.foreach { case (wd, (_, n1, n2, t, dfv)) =>
       val p = samples.getOrElse((wd, "purchase"), Nil)
@@ -219,7 +219,7 @@ class StatsTestSpec extends AnyFunSuite {
   }
 
   test("KS statistic equals a BigInt brute-force over the pooled value grid") {
-    val got = Events.ksTest(spark, TestSpark.Sf)
+    val got = Stats.ksTest(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double], Option[Double])]
       .collect().map(r => r._1 -> r).toMap
     assert(got.nonEmpty)
@@ -242,12 +242,12 @@ class StatsTestSpec extends AnyFunSuite {
   }
 
   test("contingency C and bias-corrected V equal the chi-square chain recompute") {
-    val got = Events.contingency(spark, TestSpark.Sf)
+    val got = Stats.contingency(spark, TestSpark.Sf)
       .as[(Long, Double, Option[Double], Option[Double])].collect()
     assert(got.length == 1)
     val (n0, chi2, cC, vCorr) = (got(0)._1, got(0)._2, got(0)._3, got(0)._4)
     // same quantized chi-square as the cramers key (cross-operator identity)
-    val cv = Events.cramersV(spark, TestSpark.Sf)
+    val cv = Stats.cramersV(spark, TestSpark.Sf)
       .as[(Long, Double, Long, Option[Double])].collect()(0)
     assert(n0 == cv._1 && chi2 == cv._2)
     assert(cC.contains(math.sqrt(chi2 / (chi2 + n0.toDouble))))
@@ -274,20 +274,20 @@ class StatsTestSpec extends AnyFunSuite {
     // uniform grid: o = r*c/n exactly for every cell => chi2 = 0
     val indep = for { t <- Seq("a", "b", "c"); d <- 0L until 7L; _ <- 1 to 4 }
       yield (t, d)
-    val vi = Events.cramersVOf(ev(indep))
+    val vi = Stats.cramersVOf(ev(indep))
       .select("cramers_v").as[Option[Double]].collect()(0)
     assert(vi.contains(0.0))
     // each type on exactly one weekday => perfect association
     val perfect = for { i <- 0L until 5L; _ <- 1 to 9 } yield (s"t$i", i)
-    val vp = Events.cramersVOf(ev(perfect))
+    val vp = Stats.cramersVOf(ev(perfect))
       .select("cramers_v").as[Option[Double]].collect()(0)
     assert(vp.exists(x => x > 0.999999 && x <= 1.0), s"got $vp")
   }
 
   test("roc auc equals brute-force pair counting; label swap complements") {
-    val got = Events.rocAuc(spark, TestSpark.Sf)
+    val got = Stats.rocAuc(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
-    val swap = Events.rocAucOf(swapped)
+    val swap = Stats.rocAucOf(swapped)
       .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
     assert(got.nonEmpty && got.keySet == swap.keySet)
     got.foreach { case (wd, (_, n1, n2, auc)) =>
@@ -306,7 +306,7 @@ class StatsTestSpec extends AnyFunSuite {
   }
 
   test("rankCorr equals a BigInt doubled-rank recompute with the same split chain") {
-    val got = Events.rankCorr(spark, TestSpark.Sf)
+    val got = Stats.rankCorr(spark, TestSpark.Sf)
       .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
     assert(got.nonEmpty)
     val rows = graft.sources.Tables.events(spark, TestSpark.Sf)
@@ -350,22 +350,22 @@ class StatsTestSpec extends AnyFunSuite {
     }.toDF("event_type", "value", "i")
       .select(col("event_type"), col("value"),
         expr("timestamp_micros(i * 1000000)").as("ts"))
-    val up = Events.rankCorrOf(ev((1 to 50).map(_.toDouble)))
+    val up = Stats.rankCorrOf(ev((1 to 50).map(_.toDouble)))
       .select("rank_corr").as[Option[Double]].collect()(0)
     assert(up.exists(r => math.abs(r - 1.0) < 1e-12), s"monotone: $up")
-    val down = Events.rankCorrOf(ev((1 to 50).map(i => (51 - i).toDouble)))
+    val down = Stats.rankCorrOf(ev((1 to 50).map(i => (51 - i).toDouble)))
       .select("rank_corr").as[Option[Double]].collect()(0)
     assert(down.exists(r => math.abs(r + 1.0) < 1e-12), s"antitone: $down")
-    val const = Events.rankCorrOf(ev(Seq.fill(50)(7.0)))
+    val const = Stats.rankCorrOf(ev(Seq.fill(50)(7.0)))
       .select("rank_corr").as[Option[Double]].collect()(0)
     assert(const.isEmpty, s"constant x must yield NULL: $const")
   }
 
   test("mann-whitney U equals an average-rank brute force; U1+U2 = n1*n2; z negates") {
-    val got = Events.mannWhitney(spark, TestSpark.Sf)
+    val got = Stats.mannWhitney(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Double, Option[Double])]
       .collect().map(r => r._1 -> r).toMap
-    val swap = Events.mannWhitneyOf(swapped)
+    val swap = Stats.mannWhitneyOf(swapped)
       .as[(Long, Long, Long, Double, Option[Double])]
       .collect().map(r => r._1 -> r).toMap
     assert(got.nonEmpty && got.keySet == swap.keySet)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Events, Pipeline}
+import graft.operators.{Events, Pipeline, Stats}
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -187,7 +187,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("welch_out")
       .as[(Long, Long, Long, Option[Double], Option[Double],
         Option[Double], Option[Double])].collect().toSet
-    val batch = Events.welchTTest(spark, TestSpark.Sf)
+    val batch = Stats.welchTTest(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double], Option[Double],
         Option[Double], Option[Double])].collect().toSet
     assert(streamed == batch,
@@ -204,9 +204,9 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("rank_out")
       .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
       .collect().toSeq.sortBy(_._1)
-    val mw = Events.mannWhitney(spark, TestSpark.Sf)
+    val mw = Stats.mannWhitney(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq.sortBy(_._1)
-    val auc = Events.rocAuc(spark, TestSpark.Sf)
+    val auc = Stats.rocAuc(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
     assert(streamed.map(r => (r._1, r._2, r._3, r._4, r._5)) == mw)
     assert(streamed.map(r => (r._1, r._2, r._3, r._6)) == auc)
@@ -469,7 +469,7 @@ class StreamingSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val streamed = spark.table("student_out")
       .as[(Long, Long, Long, Option[Double], Long)].collect().toSet
-    val batch = Events.studentTTest(spark, TestSpark.Sf)
+    val batch = Stats.studentTTest(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double], Long)].collect().toSet
     assert(streamed == batch,
       s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
@@ -483,7 +483,7 @@ class StreamingSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val streamed = spark.table("ks_out")
       .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSet
-    val batch = Events.ksTest(spark, TestSpark.Sf)
+    val batch = Stats.ksTest(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSet
     assert(streamed == batch,
       s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
@@ -497,7 +497,7 @@ class StreamingSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val streamed = spark.table("jsd_out")
       .as[(Long, Long, Long, Option[Double])].collect().toSet
-    val batch = Events.jsDivergence(spark, TestSpark.Sf)
+    val batch = Stats.jsDivergence(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Option[Double])].collect().toSet
     assert(streamed == batch,
       s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
@@ -511,7 +511,7 @@ class StreamingSpec extends AnyFunSuite {
     try { q1.processAllAvailable() } finally { q1.stop() }
     val s1 = spark.table("cram_out")
       .as[(Long, Double, Long, Option[Double])].collect().toSet
-    val b1 = Events.cramersV(spark, TestSpark.Sf)
+    val b1 = Stats.cramersV(spark, TestSpark.Sf)
       .as[(Long, Double, Long, Option[Double])].collect().toSet
     assert(s1 == b1, s"cramersV: streamed=$s1 batch=$b1")
     val q2 = EventStream.contingencyStream(spark, eventsDir)
@@ -520,7 +520,7 @@ class StreamingSpec extends AnyFunSuite {
     try { q2.processAllAvailable() } finally { q2.stop() }
     val s2 = spark.table("cont_out")
       .as[(Long, Double, Option[Double], Option[Double])].collect().toSet
-    val b2 = Events.contingency(spark, TestSpark.Sf)
+    val b2 = Stats.contingency(spark, TestSpark.Sf)
       .as[(Long, Double, Option[Double], Option[Double])].collect().toSet
     assert(s2 == b2, s"contingency: streamed=$s2 batch=$b2")
     assert(b1.nonEmpty && b2.nonEmpty)
@@ -533,7 +533,7 @@ class StreamingSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val streamed = spark.table("ent_out")
       .as[(String, Long, Long, Double)].collect().toSet
-    val batch = Events.entropy(spark, TestSpark.Sf)
+    val batch = Stats.entropy(spark, TestSpark.Sf)
       .as[(String, Long, Long, Double)].collect().toSet
     assert(streamed == batch,
       s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
@@ -548,7 +548,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("tu_out")
       .as[(Long, Double, Double, Double, Option[Double], Option[Double])]
       .collect().toSet
-    val batch = Events.theilsU(spark, TestSpark.Sf)
+    val batch = Stats.theilsU(spark, TestSpark.Sf)
       .as[(Long, Double, Double, Double, Option[Double], Option[Double])]
       .collect().toSet
     assert(streamed == batch, s"streamed=$streamed batch=$batch")

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Dev tooling (NOT part of the library): self-arbitrating clean bench.
+#
+# Cross-round clean benches (BENCH_CLEAN_r*.json) have repeatedly been
+# confounded by box-window drift: one window inflated untouched control
+# keys 15-30% on identical code (r12 verdict). This recipe makes each
+# clean pin SELF-ARBITRATING by also timing a fixed set of frozen
+# control keys from a PINNED OLD WORKTREE in the same window and
+# recording both; box drift then divides out of the comparison.
+#
+# Usage: tools/clean_bench.sh <out.json> [pinned_worktree] [pinned_sha]
+#   pinned_worktree defaults to /tmp/wt_r11 (git worktree add ... b3e3a2d,
+#   pre-compiled). Controls are SSB/relational keys untouched since r8.
+set -eu
+OUT=${1:?usage: clean_bench.sh <out.json> [worktree] [sha]}
+WT=${2:-/tmp/wt_r11}
+SHA=${3:-$(git -C "$WT" rev-parse --short HEAD)}
+CONTROLS="ssb_q1_1 ssb_q3_3_city_pair rel_market_share rel_brand_top3"
+SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+
+echo "[clean_bench] HEAD bench ($(git rev-parse --short HEAD)) on $SF" >&2
+HEAD_LINE=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"')
+
+echo "[clean_bench] control keys from pinned worktree $WT ($SHA)" >&2
+CTRL_RAW=$(cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_REPS=2 sbt -batch "runMain graft.BenchOne $CONTROLS" \
+  2>/dev/null | grep -E 'rep2:')
+
+python3 - "$OUT" "$SHA" <<EOF
+import json, re, sys
+out, sha = sys.argv[1], sys.argv[2]
+head = json.loads('''$HEAD_LINE''')
+ctrl = {}
+for line in '''$CTRL_RAW'''.strip().splitlines():
+    m = re.match(r'(\S+) rep2: ([0-9.]+) s', line.strip())
+    if m:
+        ctrl[m.group(1)] = float(m.group(2))
+head['control'] = {'worktree_sha': sha, 'reps': 'warm (rep2)', 'keys': ctrl,
+  'head_same_keys': {k: head['queries'][k] for k in ctrl if k in head.get('queries', {})}}
+with open(out, 'w') as f:
+    f.write(json.dumps(head) + '\n')
+print(f"[clean_bench] wrote {out}: total {head['value']}s / "
+      f"{len(head.get('queries', {}))} keys; controls {ctrl}", file=sys.stderr)
+EOF
