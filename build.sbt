@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Dev diagnostics: SPARK_GRAFT_GC_LOG=/path enables unified GC logging
+// on forked mains — used to attribute in-sweep vs standalone bench
+// deltas to JVM heap state (SCALE.md in-sweep elevation note).
+javaOptions ++= sys.env.get("SPARK_GRAFT_GC_LOG")
+  .map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq
