@@ -207,7 +207,7 @@ object Similarity extends QueryPack {
     * meaningful cosine neighbors. (The fixture corpus contains none; a
     * production ingest should drop or impute them upstream, mirroring
     * the nullif guard in quantizeInt8.) */
-  private def assignedCentId(cents: Seq[(Int, Array[Float])],
+  private def assignedCentBest(cents: Seq[(Int, Array[Float])],
       eCol: String, nCol: String): Column =
     aggregate(centArray(cents),
       struct(lit(Double.MinValue).as("best"), lit(-1).as("cid")),
@@ -216,7 +216,11 @@ object Similarity extends QueryPack {
           (col(nCol) * c.getField("_3"))
         when(cos > acc.getField("best"),
           struct(cos.as("best"), c.getField("_1").as("cid"))).otherwise(acc)
-      }).getField("cid")
+      })
+
+  private def assignedCentId(cents: Seq[(Int, Array[Float])],
+      eCol: String, nCol: String): Column =
+    assignedCentBest(cents, eCol, nCol).getField("cid")
 
   /** Lloyd-refined IVF centroids: deterministic every-20th-vector seeds,
     * then `iters` k-means rounds — assignment by cosine (ties to the
@@ -560,7 +564,78 @@ object Similarity extends QueryPack {
           .cast("double") / count(lit(1))).as("mean_x"))
       .orderBy(col("label"), col("dim"))
 
+  private[graft] val SemTau = 0.45
+  private[graft] val SemSeedStride = SeedStride
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by embedding, then within each
+    * cluster drop every document that has a cosine-≥-τ neighbor of higher
+    * keep-priority, where priority = LOWEST similarity to the cluster
+    * centroid first (the paper's keeper choice: the example farthest from
+    * the centroid is the "hardest", most diverse one). Output is the KEPT
+    * corpus — the first dedup key whose result is the deduplicated
+    * dataset itself rather than a pair list.
+    *
+    * Drop rule, stated relationally (one pass, no iteration): x is
+    * dropped iff ∃ y in the same cluster with cos(x,y) ≥ τ and
+    * (ccos_y, vec_id_y) < (ccos_x, vec_id_x) lexicographically. This is
+    * the order-free superset of sequential greedy pruning (a dropped
+    * witness still disqualifies its neighbors); kept∪dropped partitions
+    * the corpus, and no two kept members of a cluster are within τ — both
+    * invariants recomputed brute-force in DedupSimilaritySpec.
+    *
+    * ORACLE-PAIRED, which no float-k-means semantic dedup can be: the
+    * public key clusters by the 25 deterministic exemplar seeds
+    * (`lloydCentroids` at 0 iterations — every [[SeedStride]]-th vector,
+    * i.e. rows DuckDB can select), and every cosine follows the
+    * [[VectorOps]] bit-exact fold contract, so the entire decision —
+    * assignment, priority, drops — hash-matches an independent SQL
+    * replay. Lloyd-refined clustering is the same operator one parameter
+    * away ([[semanticDedupIters]]); the spec pins the refined variant's
+    * invariants too, since its centroids (driver floats) are not
+    * SQL-expressible.
+    *
+    * Scale posture: assignment is the map-side argmax fold (no join, no
+    * shuffle); the only exchange is ONE embedding shuffle keyed by
+    * cluster_id, then pair evaluation stays inside cluster partitions
+    * with the priority predicate halving the pairs. Within-cluster work
+    * is O(Σ c²); at production scale k grows ∝ n (SemDeDup runs 50k
+    * clusters for 1B examples) so mean cluster size — and per-partition
+    * cost — stays constant; the fixture's fixed k=25 is the knob, not
+    * the design. Balance measured on the fixture: cluster sizes 10–31
+    * (median 21) at sf0.01. τ = 0.45 = the family's [[CosineT]] bar
+    * (4/500 dropped at sf0.01 — the fixture's near-uniform vectors are
+    * the sparse-duplicate regime; production corpora run τ ≥ 0.9 with
+    * far denser drop sets). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupIters(spark, dir, 0)
+
+  /** [[semanticDedup]] with `iters` Lloyd refinement rounds (0 = the
+    * oracle-pairable exemplar clustering). */
+  private[graft] def semanticDedupIters(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = lloydCentroids(spark, c, iters)
+    val asn = c
+      .withColumn("a", assignedCentBest(cents, "embedding", "nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("a.cid").cast("long").as("cluster_id"), col("a.best").as("ccos"))
+    val hi = asn.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("ccos").as("ca"))
+    val lo = asn.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("ccos").as("cb"))
+    val dropped = hi.join(lo, Seq("cluster_id"))
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .filter(VectorOps.dot("ea", "eb") / (col("na") * col("nb")) >= SemTau)
+      .select(col("id_a").as("vec_id")).distinct()
+    asn.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"), col("ccos").as("centroid_cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic"      -> semanticDedup,
     "sim_topk_bruteforce" -> topKBruteForce,
     "sim_range_search"    -> rangeSearch,
     "sim_topk_codegen"    -> topKCodegen,
@@ -585,6 +660,32 @@ object Similarity extends QueryPack {
          |WHERE rank <= $K""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "dedup_semantic" ->
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |             ${VectorOps.duckNorm("embedding")} AS nrm
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id // $SeedStride AS cid, embedding AS se, nrm AS sn
+         |          FROM c
+         |          WHERE vec_id % $SeedStride = 0
+         |            AND vec_id < ${SeedStride * NCentroids}),
+         |asn AS (SELECT vec_id, cid, ccos FROM (
+         |  SELECT c.vec_id, s.cid,
+         |         ${VectorOps.duckDot("c.embedding", "s.se")} / (c.nrm * s.sn) AS ccos,
+         |         ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |           ORDER BY ${VectorOps.duckDot("c.embedding", "s.se")} / (c.nrm * s.sn) DESC,
+         |                    s.cid) AS rn
+         |  FROM c CROSS JOIN seeds s) t WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM asn a JOIN asn b ON a.cid = b.cid
+         |   AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+         |  JOIN c ca ON ca.vec_id = a.vec_id
+         |  JOIN c cb ON cb.vec_id = b.vec_id
+         |  WHERE ${VectorOps.duckDot("ca.embedding", "cb.embedding")}
+         |          / (ca.nrm * cb.nrm) >= $SemTau)
+         |SELECT vec_id, cid AS cluster_id, ccos AS centroid_cosine
+         |FROM asn WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
     "sim_topk_bruteforce" -> bruteForceOracle,
     "sim_range_search" ->
       s"""WITH c AS (SELECT vec_id, embedding,

@@ -202,4 +202,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
     }
   }
+
+  test("semantic dedup matches a brute-force Scala recompute (exemplar + Lloyd)") {
+    // Independent re-derivation of the whole SemDeDup decision in plain
+    // Scala, same left-to-right double fold as the VectorOps contract.
+    val raw = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = raw.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val emb = raw.toMap
+    val cDf = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.norm("embedding").as("nrm"))
+    for (iters <- Seq(0, 2)) {
+      val cents = Similarity.lloydCentroids(spark, cDf, iters)
+      val cn = cents.map { case (cid, v) =>
+        cid -> math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)) }.toMap
+      // map-side argmax replay: strict > keeps the lowest cid on ties
+      val asn = raw.map { case (id, e) =>
+        var best = Double.MinValue; var bcid = -1
+        cents.foreach { case (cid, cv) =>
+          val cos = dot(cv, e) / (nrm(id) * cn(cid))
+          if (cos > best) { best = cos; bcid = cid }
+        }
+        (id, bcid.toLong, best)
+      }
+      val byCluster = asn.groupBy(_._2)
+      val dropped: Set[Long] = byCluster.values.flatMap { members =>
+        for {
+          (ida, _, ca) <- members.toSeq
+          (idb, _, cb) <- members.toSeq
+          if (cb < ca || (cb == ca && idb < ida)) &&
+            dot(emb(ida), emb(idb)) / (nrm(ida) * nrm(idb)) >= Similarity.SemTau
+        } yield ida
+      }.toSet
+      val expect = asn.filterNot(r => dropped(r._1))
+        .map(r => (r._1, r._2, r._3)).toSet
+      val got = Similarity.semanticDedupIters(spark, TestSpark.Sf, iters)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expect, s"kept set diverged at iters=$iters")
+      // structural invariants of the relational drop rule
+      assert(got.map(_._1).intersect(dropped).isEmpty)
+      assert(got.size + dropped.size == raw.length, "kept+dropped must partition")
+      val keptByCluster = got.toSeq.groupBy(_._2)
+      keptByCluster.values.foreach { ks =>
+        for { (a, _, _) <- ks; (b, _, _) <- ks if a < b }
+          assert(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)) < Similarity.SemTau,
+            s"kept pair ($a,$b) within tau at iters=$iters")
+      }
+      if (iters == 0)
+        assert(dropped.nonEmpty, "fixture should exercise the drop path")
+    }
+  }
 }
