@@ -587,11 +587,45 @@ object Stats extends QueryPack {
   def rankCorr(spark: SparkSession, dir: String): DataFrame =
     rankCorrOf(Tables.events(spark, dir))
 
-  private[graft] def rankCorrOf(ev: DataFrame): DataFrame = {
-    val d0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-    val base = ev.select(col("event_type"),
+  private[graft] def rankCorrOf(ev: DataFrame): DataFrame =
+    rankCorrCore(ev.select(col("event_type"),
       round(col("value") * lit(100)).cast("long").as("x"),
-      expr("unix_micros(ts) % 86400000000").as("y"))
+      expr("unix_micros(ts) % 86400000000").as("y")))
+
+  /** Spearman's ρ per event type between log-bucketed value and
+    * HOUR-of-day — the honest STREAMING-CAPABLE member of the
+    * rank-correlation family. `ev_rank_corr`'s axes cannot be bounded:
+    * its µs time axis is per-event-unique on the fixtures and even the
+    * raw cents axis barely compresses (measured 49k distinct cents at
+    * 100k rows — near-continuous values), so SCALE.md closes the exact
+    * twin BY MEASUREMENT and names this estimator — ρ over bucketed
+    * axes — as the streaming alternative. Stated as its OWN key, not
+    * smuggled into the exact one: x = the eighth-octave FixedLog2
+    * bucket (L2(cents) div 2¹⁷, the `ev_log_histogram` grain — ≤ 488
+    * buckets at ANY data volume, and a monotone transform of value, so
+    * only tie-merging separates this ρ from the exact one), y = hour
+    * (24 values). The joint grid is ≤ 488·24 cells per type FOREVER —
+    * that hard bound is what gives
+    * [[graft.streaming.EventStream.rankCorrStream]] a bounded
+    * count-map state with bit-equal emissions. Massive tie groups are
+    * where this variant earns its keep: the doubled-rank device keeps
+    * every moment exact. L2 runs on DISTINCT cents only (the device
+    * contract — never per fact row), joined back; the oracle replays
+    * the independent HUGEINT chain on the same distinct frame —
+    * hash-exact. */
+  def rankCorrBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FixedLog2
+    val rows = Tables.events(spark, dir).select(col("event_type"),
+      greatest(round(col("value") * lit(100)).cast("long"), lit(1L)).as("c"),
+      expr("(unix_micros(ts) % 86400000000) div 3600000000").as("y"))
+    val buckets = FixedLog2.withLog2(rows.select(col("c")).distinct(), "c", "l2c")
+      .select(col("c"), expr(s"l2c div ${FixedLog2.Unit / 8}").as("x"))
+    rankCorrCore(rows.join(buckets, Seq("c"))
+      .select(col("event_type"), col("x"), col("y")))
+  }
+
+  private def rankCorrCore(base: DataFrame): DataFrame = {
+    val d0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     val pairs = base.groupBy(col("event_type"), col("x"), col("y"))
       .agg(count(lit(1)).as("cnt"))
     def ranks(v: String) = {
@@ -637,7 +671,58 @@ object Stats extends QueryPack {
     "ev_theils_u"     -> theilsU,
     "ev_entropy"      -> entropy,
     "ev_roc_auc"      -> rocAuc,
-    "ev_rank_corr"    -> rankCorr)
+    "ev_rank_corr"    -> rankCorr,
+    "ev_rank_corr_bucketed" -> rankCorrBucketed)
+
+  /** The full doubled-rank Spearman oracle with the y axis as a knob —
+    * shared by `ev_rank_corr` (µs time-of-day) and
+    * `ev_rank_corr_bucketed` (hour grain, the streaming-capable
+    * estimator). */
+  private def rankCorrOracleSql(basePrefix: String): String =
+    s"""WITH $basePrefix,
+        |pairs AS (
+        |  SELECT event_type, x, y, COUNT(*) AS cnt FROM base GROUP BY 1, 2, 3),
+        |rx AS (
+        |  SELECT event_type, x,
+        |    2 * COALESCE(SUM(cv) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
+        |      AS r2x
+        |  FROM (SELECT event_type, x, SUM(cnt) AS cv FROM pairs GROUP BY 1, 2)),
+        |ry AS (
+        |  SELECT event_type, y,
+        |    2 * COALESCE(SUM(cv) OVER (PARTITION BY event_type ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
+        |      AS r2y
+        |  FROM (SELECT event_type, y, SUM(cnt) AS cv FROM pairs GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT p.event_type, CAST(p.cnt AS HUGEINT) AS cnt,
+        |         CAST(rx.r2x AS HUGEINT) AS r2x, CAST(ry.r2y AS HUGEINT) AS r2y
+        |  FROM pairs p
+        |  JOIN rx ON rx.event_type = p.event_type AND rx.x = p.x
+        |  JOIN ry ON ry.event_type = p.event_type AND ry.y = p.y),
+        |s AS (
+        |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+        |         SUM(cnt * r2x) AS sx, SUM(cnt * r2y) AS sy,
+        |         SUM(cnt * r2x * r2x) AS sxx, SUM(cnt * r2y * r2y) AS syy,
+        |         SUM(cnt * r2x * r2y) AS sxy
+        |  FROM j GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |         CAST(n AS HUGEINT) * sxx - sx * sx AS f1,
+        |         CAST(n AS HUGEINT) * syy - sy * sy AS f2
+        |  FROM s)
+        |SELECT event_type, n,
+        |  CASE WHEN f1 > 0 AND f2 > 0 THEN
+        |    (CAST((num - num % 4294967296) // 4294967296 AS DOUBLE)
+        |       * 4294967296.0 + CAST(num % 4294967296 AS DOUBLE))
+        |    / sqrt(
+        |      (CAST((f1 - f1 % 4294967296) // 4294967296 AS DOUBLE)
+        |         * 4294967296.0 + CAST(f1 % 4294967296 AS DOUBLE))
+        |      * (CAST((f2 - f2 % 4294967296) // 4294967296 AS DOUBLE)
+        |         * 4294967296.0 + CAST(f2 % 4294967296 AS DOUBLE)))
+        |  END AS rank_corr
+        |FROM f ORDER BY event_type""".stripMargin
 
   override lazy val oracles: Map[String, String] = Map(
     "ev_welch_ttest" ->
@@ -973,53 +1058,24 @@ object Stats extends QueryPack {
         |    CAST(two_u1 AS DOUBLE) / (2.0 * CAST(n1 * n2 AS DOUBLE)) END AS auc
         |FROM b ORDER BY wd""".stripMargin,
     "ev_rank_corr" ->
-      """WITH base AS (
-        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS y
-        |  FROM events),
-        |pairs AS (
-        |  SELECT event_type, x, y, COUNT(*) AS cnt FROM base GROUP BY 1, 2, 3),
-        |rx AS (
-        |  SELECT event_type, x,
-        |    2 * COALESCE(SUM(cv) OVER (PARTITION BY event_type ORDER BY x
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
-        |      AS r2x
-        |  FROM (SELECT event_type, x, SUM(cnt) AS cv FROM pairs GROUP BY 1, 2)),
-        |ry AS (
-        |  SELECT event_type, y,
-        |    2 * COALESCE(SUM(cv) OVER (PARTITION BY event_type ORDER BY y
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
-        |      AS r2y
-        |  FROM (SELECT event_type, y, SUM(cnt) AS cv FROM pairs GROUP BY 1, 2)),
-        |j AS (
-        |  SELECT p.event_type, CAST(p.cnt AS HUGEINT) AS cnt,
-        |         CAST(rx.r2x AS HUGEINT) AS r2x, CAST(ry.r2y AS HUGEINT) AS r2y
-        |  FROM pairs p
-        |  JOIN rx ON rx.event_type = p.event_type AND rx.x = p.x
-        |  JOIN ry ON ry.event_type = p.event_type AND ry.y = p.y),
-        |s AS (
-        |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
-        |         SUM(cnt * r2x) AS sx, SUM(cnt * r2y) AS sy,
-        |         SUM(cnt * r2x * r2x) AS sxx, SUM(cnt * r2y * r2y) AS syy,
-        |         SUM(cnt * r2x * r2y) AS sxy
-        |  FROM j GROUP BY 1),
-        |f AS (
-        |  SELECT event_type, n,
-        |         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
-        |         CAST(n AS HUGEINT) * sxx - sx * sx AS f1,
-        |         CAST(n AS HUGEINT) * syy - sy * sy AS f2
-        |  FROM s)
-        |SELECT event_type, n,
-        |  CASE WHEN f1 > 0 AND f2 > 0 THEN
-        |    (CAST((num - num % 4294967296) // 4294967296 AS DOUBLE)
-        |       * 4294967296.0 + CAST(num % 4294967296 AS DOUBLE))
-        |    / sqrt(
-        |      (CAST((f1 - f1 % 4294967296) // 4294967296 AS DOUBLE)
-        |         * 4294967296.0 + CAST(f1 % 4294967296 AS DOUBLE))
-        |      * (CAST((f2 - f2 % 4294967296) // 4294967296 AS DOUBLE)
-        |         * 4294967296.0 + CAST(f2 % 4294967296 AS DOUBLE)))
-        |  END AS rank_corr
-        |FROM f ORDER BY event_type""".stripMargin,
+      rankCorrOracleSql(
+        """base AS (
+          |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x,
+          |         epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS y
+          |  FROM events)""".stripMargin),
+    "ev_rank_corr_bucketed" ->
+      rankCorrOracleSql(
+        s"""c0 AS (
+          |  SELECT event_type,
+          |         GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1) AS c,
+          |         (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+          |           // 3600000000 AS y
+          |  FROM events),
+          |v AS (SELECT DISTINCT c FROM c0),
+          |l AS (${graft.functions.FixedLog2.duckLog2("SELECT * FROM v", "c", "l2c")}),
+          |base AS (
+          |  SELECT c0.event_type, l.l2c // ${graft.functions.FixedLog2.Unit / 8} AS x, c0.y AS y
+          |  FROM c0 JOIN l ON l.c = c0.c)""".stripMargin),
     "ev_cramers_v" ->
       """WITH base AS (
         |  SELECT event_type,

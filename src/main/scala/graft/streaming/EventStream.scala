@@ -1042,4 +1042,79 @@ object EventStream {
             if (sHy > 0) Some(sI.toLong.toDouble / sHy.toLong.toDouble) else None)
       }
   }
+
+  case class GridState(m: Map[Long, Long])
+  case class RankCorrOut(event_type: String, n: Long,
+      rank_corr: Option[Double])
+
+  /** Streaming twin of `ev_rank_corr_bucketed` — the key that finally
+    * gives the rank-correlation family an incremental form. The EXACT
+    * key (`ev_rank_corr`, µs time axis) is batch-only BY MEASUREMENT
+    * (SCALE.md: its joint histogram has cardinality = n, 0%
+    * compression); the bucketed estimator's joint (log2-bucket × hour)
+    * grid is HARD-bounded at ≤ 488·24 cells per type at any data
+    * volume, so per-type state is ONE count map keyed by the Euclidean
+    * composite bucket·24+hour (floorDiv/floorMod decode; both factors
+    * non-negative by construction — cents clamp to ≥ 1 before the
+    * log). The bucket comes from [[graft.functions.FixedLog2.l2Long]],
+    * the JVM twin of the codegen'd batch expression. Every update
+    * replays both doubled-rank walks over the sorted marginals and the
+    * five Pearson moments as exact BigInts, then the batch tail's
+    * 2³²-split → one multiply + √ + divide — emissions bit-equal to
+    * the batch key (StreamingSpec). */
+  def rankCorrStream(spark: SparkSession,
+      eventsDir: String): Dataset[RankCorrOut] = {
+    import spark.implicits._
+    val evs = readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    val B = 4294967296L
+    def split(v: BigInt): Double = {
+      val lo = v % B // truncated %, the batch/oracle convention
+      val hi = (v - lo) / B // < 2^53 by the rankCorr headroom bound
+      hi.toDouble * 4294967296.0 + lo.toDouble
+    }
+    evs.groupByKey(_.event_type)
+      .mapGroupsWithState[GridState, RankCorrOut](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[GridState]) =>
+          var m = state.getOption.map(_.m).getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val h = epochUs(e.ts) % DayUsStat / 3600000000L
+            val b = graft.functions.FixedLog2.l2Long(
+              math.max(cents(e.value), 1L)) / (graft.functions.FixedLog2.Unit / 8)
+            m = m.updated(b * 24L + h, m.getOrElse(b * 24L + h, 0L) + 1L)
+          }
+          state.update(GridState(m))
+          val cells = m.toSeq.map { case (k, cnt) =>
+            (Math.floorDiv(k, 24L), Math.floorMod(k, 24L), cnt) }
+          def doubledRanks(tot: Seq[(Long, Long)]): Map[Long, Long] = {
+            var less = 0L
+            tot.sortBy(_._1).map { case (v, cv) =>
+              val r = 2L * less + cv + 1L; less += cv; v -> r
+            }.toMap
+          }
+          val r2x = doubledRanks(
+            cells.groupMapReduce(_._1)(_._3)(_ + _).toSeq)
+          val r2y = doubledRanks(
+            cells.groupMapReduce(_._2)(_._3)(_ + _).toSeq)
+          var n = 0L
+          var sx, sy, sxx, syy, sxy = BigInt(0)
+          cells.foreach { case (c, h, cnt) =>
+            n += cnt
+            val rx = BigInt(r2x(c)); val ry = BigInt(r2y(h))
+            val ct = BigInt(cnt)
+            sx += ct * rx; sy += ct * ry
+            sxx += ct * rx * rx; syy += ct * ry * ry; sxy += ct * rx * ry
+          }
+          val nB = BigInt(n)
+          val num = nB * sxy - sx * sy
+          val f1 = nB * sxx - sx * sx
+          val f2 = nB * syy - sy * sy
+          RankCorrOut(tpe, n,
+            if (f1 > 0 && f2 > 0)
+              Some(split(num) / math.sqrt(split(f1) * split(f2)))
+            else None)
+      }
+  }
 }

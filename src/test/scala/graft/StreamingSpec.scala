@@ -554,4 +554,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(batch.nonEmpty)
   }
+
+  test("streaming bucketed Spearman equals the batch doubled-rank key bit-for-bit") {
+    val q = EventStream.rankCorrStream(spark, eventsDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rc_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("rc_out")
+      .as[(String, Long, Option[Double])].collect().toSet
+    val batch = Stats.rankCorrBucketed(spark, TestSpark.Sf)
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(batch.nonEmpty)
+    // the bounded-state law that justifies this estimator: the joint
+    // grid per type is capped by construction (≤ 488 log buckets × 24
+    // hours) at ANY data volume — where the exact key's grid is n
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    val worstType = ev.selectExpr("event_type",
+        "graft_log2fix(greatest(cast(round(value * 100) as long), 1)) div 131072 as b",
+        "(unix_micros(ts) % 86400000000) div 3600000000 as h")
+      .distinct().groupBy("event_type").count()
+      .agg(max("count")).as[Long].head()
+    assert(worstType <= 488L * 24L,
+      s"per-type grid $worstType must respect the hard bound")
+  }
 }
