@@ -30,10 +30,12 @@ CTRL_RAW=$(cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
 python3 - "$OUT" "$SHA" <<EOF
 import json, re, sys
 out, sha = sys.argv[1], sys.argv[2]
-head = json.loads('''$HEAD_LINE''')
+# the stdout JSON line abbreviates to the slowest keys; the full map is
+# the BENCH_FULL.json the Bench main just wrote into this cwd
+head = json.load(open('BENCH_FULL.json'))
 ctrl = {}
 for line in '''$CTRL_RAW'''.strip().splitlines():
-    m = re.match(r'(\S+) rep2: ([0-9.]+) s', line.strip())
+    m = re.search(r'(\S+) rep2: ([0-9.]+) s', line)
     if m:
         ctrl[m.group(1)] = float(m.group(2))
 head['control'] = {'worktree_sha': sha, 'reps': 'warm (rep2)', 'keys': ctrl,
