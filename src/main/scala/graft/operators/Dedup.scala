@@ -625,7 +625,46 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-document mapping over near-dup CLUSTERS — the artifact a
+    * production dedup actually ships: every doc mapped to the lowest
+    * doc_id of its connected component in the verified pair graph
+    * (`canon_id`, = itself for unique docs), with the component size and
+    * a canonical flag. Pairwise keys answer "who is similar"; this one
+    * answers "which copy do we keep" when near-duplication is
+    * TRANSITIVE (A≈B≈C ⇒ one keeper for all three, even if A≉C
+    * directly) — the cluster-granularity complement of
+    * [[graft.operators.Similarity.semanticDedup]]'s embedding-space
+    * kept-corpus.
+    *
+    * ORACLE-PAIRED end to end, which few dedup clusterings can be: the
+    * edge set is [[ngramJaccard]]'s exact PPJoin pair set (already
+    * hash-exact vs DuckDB), components over it are pure integer
+    * min-label fixpoints ([[Curation.componentsOf]]'s pointer-jumping
+    * propagation — O(log diameter) rounds), and the oracle recomputes
+    * reachability with a recursive CTE — two entirely different
+    * component algorithms agreeing bit-for-bit on the mapping.
+    *
+    * Scale posture: the edge list is the near-dup pair output (scale-
+    * bounded by the PPJoin/LSH machinery upstream); labels shuffle by
+    * doc_id only; near-dup clusters are threshold-cliques in practice,
+    * so the min-label loop converges in 2–3 rounds and the transitive
+    * closure the ORACLE builds (fine at fixture SF) is never what the
+    * Spark side materializes. */
+  def canonicalMap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comp = Curation.componentsOf(docs, pairs)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component").as("canon_id"),
+        col("n_members"),
+        (col("doc_id") === col("component")).cast("long").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical_map" -> canonicalMap,
     "dedup_incremental"   -> incremental,
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -701,6 +740,33 @@ object Dedup extends QueryPack {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_canonical_map" ->
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, $dShingles AS s FROM documents),
+         |e0 AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+         |             any_value(a.n) AS na, any_value(b.n) AS nb
+         |      FROM e0 a JOIN e0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |prs AS (SELECT doc_a, doc_b FROM p
+         |        WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+         |canon AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canon_id
+         |          FROM reach GROUP BY u),
+         |lab AS (SELECT d.doc_id, COALESCE(c.canon_id, d.doc_id) AS canon_id
+         |        FROM (SELECT doc_id FROM documents) d
+         |        LEFT JOIN canon c ON c.doc_id = d.doc_id),
+         |sz AS (SELECT canon_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
+         |SELECT lab.doc_id, lab.canon_id, sz.n_members,
+         |       CAST(CASE WHEN lab.doc_id = lab.canon_id THEN 1 ELSE 0 END
+         |            AS BIGINT) AS is_canonical
+         |FROM lab JOIN sz USING (canon_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $dShingles AS s FROM documents),
          |e AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),

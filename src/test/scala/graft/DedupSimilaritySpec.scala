@@ -203,6 +203,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("canonical map equals an independent union-find over the exact pair set") {
+    val pairs = Dedup.ngramJaccard(spark, TestSpark.Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id").as[Long].collect()
+    // union-find with union-by-min: the final root of every set is its
+    // minimum id — a third algorithm, independent of both the Spark
+    // pointer-jumping propagation and the oracle's recursive closure
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val canon = docs.map(d => d -> find(d)).toMap
+    val sizes = canon.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expect = docs.map(d =>
+      (d, canon(d), sizes(canon(d)), if (d == canon(d)) 1L else 0L)).toSet
+    val got = Dedup.canonicalMap(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect,
+      s"missed=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(got.forall { case (d, c, n, f) => c <= d && n >= 1 && (f == 1L) == (c == d) })
+    assert(got.exists(_._3 > 1), "fixture should contain a non-trivial cluster")
+    assert(pairs.forall { case (a, b) => canon(a) == canon(b) },
+      "pair endpoints must share a canonical")
+  }
+
   test("semantic dedup matches a brute-force Scala recompute (exemplar + Lloyd)") {
     // Independent re-derivation of the whole SemDeDup decision in plain
     // Scala, same left-to-right double fold as the VectorOps contract.
