@@ -650,10 +650,14 @@ object Dedup extends QueryPack {
     * so the min-label loop converges in 2–3 rounds and the transitive
     * closure the ORACLE builds (fine at fixture SF) is never what the
     * Spark side materializes. */
-  def canonicalMap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val comp = Curation.componentsOf(docs, pairs)
+  def canonicalMap(spark: SparkSession, dir: String): DataFrame =
+    canonicalMapOf(Tables.documents(spark, dir))
+
+  private[graft] def canonicalMapOf(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val pairs = ngramJaccardOf(hashedShinglesOf(docs))
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Curation.componentsOf(ids, pairs)
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
     comp.join(sizes, Seq("component"))

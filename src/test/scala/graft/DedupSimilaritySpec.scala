@@ -237,6 +237,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "pair endpoints must share a canonical")
   }
 
+  test("canonical map is transitive: an A~B~C chain shares one keeper though A!~C") {
+    // 30 unique words; doc2 edits INTERIOR word 25 of doc1, doc3 further
+    // edits interior word 6 (an interior edit kills 3 trigrams; an edge
+    // edit only 1). J(1,2)=J(2,3)=25/31 ≈ 0.806 ≥ 0.8 but
+    // J(1,3)=22/34 ≈ 0.647 < 0.8 — a true chain.
+    val base = (1 to 30).map(i => s"a$i")
+    val d1 = base.mkString(" ")
+    val d2 = base.updated(24, "zz").mkString(" ")
+    val d3 = base.updated(24, "zz").updated(5, "yy").mkString(" ")
+    val d4 = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq((10L, d1), (11L, d2), (12L, d3), (13L, d4))
+      .toDF("doc_id", "text")
+    val chainPairs = pairSet(Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(docs)))
+    assert(chainPairs == Set((10L, 11L), (11L, 12L)),
+      s"planted chain must produce exactly the two adjacent pairs, got $chainPairs")
+    val got = Dedup.canonicalMapOf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 10L, 3L, 1L), (11L, 10L, 3L, 0L),
+      (12L, 10L, 3L, 0L), (13L, 13L, 1L, 1L)))
+  }
+
   test("semantic dedup matches a brute-force Scala recompute (exemplar + Lloyd)") {
     // Independent re-derivation of the whole SemDeDup decision in plain
     // Scala, same left-to-right double fold as the VectorOps contract.
