@@ -258,10 +258,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (12L, 10L, 3L, 0L), (13L, 13L, 1L, 1L)))
   }
 
-  test("semantic dedup matches a brute-force Scala recompute (exemplar + Lloyd)") {
-    // Independent re-derivation of the whole SemDeDup decision in plain
-    // Scala, same left-to-right double fold as the VectorOps contract.
-    val raw = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+  /** Brute-force Scala re-derivation of the whole SemDeDup decision for
+    * the embeddings under `dir` (same left-to-right double fold as the
+    * VectorOps contract); asserts equality with the operator plus the
+    * structural laws, and returns the dropped count. */
+  private def semDedupCheck(dir: String, iters: Int): Int = {
+    val raw = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
       .sortBy(_._1)
     def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -271,47 +273,65 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     val nrm = raw.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
     val emb = raw.toMap
-    val cDf = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+    val cDf = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorOps.norm("embedding").as("nrm"))
-    for (iters <- Seq(0, 2)) {
-      val cents = Similarity.lloydCentroids(spark, cDf, iters)
-      val cn = cents.map { case (cid, v) =>
-        cid -> math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)) }.toMap
-      // map-side argmax replay: strict > keeps the lowest cid on ties
-      val asn = raw.map { case (id, e) =>
-        var best = Double.MinValue; var bcid = -1
-        cents.foreach { case (cid, cv) =>
-          val cos = dot(cv, e) / (nrm(id) * cn(cid))
-          if (cos > best) { best = cos; bcid = cid }
-        }
-        (id, bcid.toLong, best)
+    val cents = Similarity.lloydCentroids(spark, cDf, iters)
+    val cn = cents.map { case (cid, v) =>
+      cid -> math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)) }.toMap
+    // map-side argmax replay: strict > keeps the lowest cid on ties
+    val asn = raw.map { case (id, e) =>
+      var best = Double.MinValue; var bcid = -1
+      cents.foreach { case (cid, cv) =>
+        val cos = dot(cv, e) / (nrm(id) * cn(cid))
+        if (cos > best) { best = cos; bcid = cid }
       }
-      val byCluster = asn.groupBy(_._2)
-      val dropped: Set[Long] = byCluster.values.flatMap { members =>
-        for {
-          (ida, _, ca) <- members.toSeq
-          (idb, _, cb) <- members.toSeq
-          if (cb < ca || (cb == ca && idb < ida)) &&
-            dot(emb(ida), emb(idb)) / (nrm(ida) * nrm(idb)) >= Similarity.SemTau
-        } yield ida
-      }.toSet
-      val expect = asn.filterNot(r => dropped(r._1))
-        .map(r => (r._1, r._2, r._3)).toSet
-      val got = Similarity.semanticDedupIters(spark, TestSpark.Sf, iters)
-        .as[(Long, Long, Double)].collect().toSet
-      assert(got == expect, s"kept set diverged at iters=$iters")
-      // structural invariants of the relational drop rule
-      assert(got.map(_._1).intersect(dropped).isEmpty)
-      assert(got.size + dropped.size == raw.length, "kept+dropped must partition")
-      val keptByCluster = got.toSeq.groupBy(_._2)
-      keptByCluster.values.foreach { ks =>
-        for { (a, _, _) <- ks; (b, _, _) <- ks if a < b }
-          assert(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)) < Similarity.SemTau,
-            s"kept pair ($a,$b) within tau at iters=$iters")
-      }
-      if (iters == 0)
-        assert(dropped.nonEmpty, "fixture should exercise the drop path")
+      (id, bcid.toLong, best)
     }
+    val byCluster = asn.groupBy(_._2)
+    val dropped: Set[Long] = byCluster.values.flatMap { members =>
+      for {
+        (ida, _, ca) <- members.toSeq
+        (idb, _, cb) <- members.toSeq
+        if (cb < ca || (cb == ca && idb < ida)) &&
+          dot(emb(ida), emb(idb)) / (nrm(ida) * nrm(idb)) >= Similarity.SemTau
+      } yield ida
+    }.toSet
+    val expect = asn.filterNot(r => dropped(r._1))
+      .map(r => (r._1, r._2, r._3)).toSet
+    val got = Similarity.semanticDedupIters(spark, dir, iters)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect, s"kept set diverged at iters=$iters in $dir")
+    // structural invariants of the relational drop rule
+    assert(got.map(_._1).intersect(dropped).isEmpty)
+    assert(got.size + dropped.size == raw.length, "kept+dropped must partition")
+    val keptByCluster = got.toSeq.groupBy(_._2)
+    keptByCluster.values.foreach { ks =>
+      for { (a, _, _) <- ks; (b, _, _) <- ks if a < b }
+        assert(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)) < Similarity.SemTau,
+          s"kept pair ($a,$b) within tau at iters=$iters")
+    }
+    dropped.size
+  }
+
+  test("semantic dedup matches a brute-force Scala recompute (exemplar + Lloyd)") {
+    val drops0 = semDedupCheck(TestSpark.Sf, 0)
+    semDedupCheck(TestSpark.Sf, 2)
+    assert(drops0 > 0, "fixture should exercise the drop path")
+  }
+
+  test("semantic dedup on a CLUSTERED corpus prunes densely and still equals the recompute") {
+    // the near-uniform fixture is the sparse-duplicate regime (4/500
+    // dropped); production embeddings are clustered — the regime
+    // SemDeDup is FOR. Deterministic mixture-of-Gaussians corpus
+    // (sigma 0.15 ⇒ within-Gaussian cosine ≈ 0.9+): the operator must
+    // prune most of every dense cluster and still match the
+    // brute-force recompute exactly, at both clustering variants.
+    val dir = java.nio.file.Files.createTempDirectory("graft-semclu").toString
+    graft.sources.SyntheticEmbeddings.writeFixture(spark, dir, 500)
+    val drops0 = semDedupCheck(dir, 0)
+    val drops2 = semDedupCheck(dir, 2)
+    assert(drops0 > 250, s"dense regime should drop most docs, got $drops0")
+    assert(drops2 > 250, s"dense regime should drop most docs (Lloyd), got $drops2")
   }
 }
