@@ -237,6 +237,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "pair endpoints must share a canonical")
   }
 
+  test("canonical map collapses exact duplicates before the pair stage") {
+    // 1000 identical docs would feed the PPJoin ~500k J=1 pairs without
+    // the digest collapse; with it the near-dup stage sees 3 distinct
+    // texts. Result must equal the naive semantics: the identical block
+    // plus its near-dup form ONE cluster keyed by the global min id.
+    val base = (1 to 30).map(i => s"c$i")
+    val t = base.mkString(" ")
+    val near = base.updated(14, "zz").mkString(" ") // J = 25/31 ≥ 0.8
+    val other = (1 to 30).map(i => s"d$i").mkString(" ")
+    val docs = ((1L to 1000L).map(i => (i, t)) ++
+      Seq((2000L, near), (3000L, other))).toDF("doc_id", "text")
+    val got = Dedup.canonicalMapOf(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 1002)
+    val m = got.map(r => r._1 -> r).toMap
+    assert((1L to 1000L).forall(i =>
+      m(i) == ((i, 1L, 1001L, if (i == 1L) 1L else 0L))))
+    assert(m(2000L) == ((2000L, 1L, 1001L, 0L)))
+    assert(m(3000L) == ((3000L, 3000L, 1L, 1L)))
+  }
+
   test("canonical map is transitive: an A~B~C chain shares one keeper though A!~C") {
     // 30 unique words; doc2 edits INTERIOR word 25 of doc1, doc3 further
     // edits interior word 6 (an interior edit kills 3 trigrams; an edge
