@@ -1033,9 +1033,15 @@ object Curation extends QueryPack {
     val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
     if (small) {
       // re-entrancy guard for the session-global toggle (see the
-      // entry-point invariant): overlapping loops would restore a
-      // mid-toggle "previous" value — fail loudly instead
-      require(aqeToggleHeld.compareAndSet(false, true),
+      // entry-point invariant): overlapping loops on the SAME session
+      // would restore a mid-toggle "previous" value — fail loudly
+      // instead. Keyed by sessionUUID, not JVM-global: two sequential
+      // loops on two different sessions in one JVM (parallel suites)
+      // touch disjoint session configs and must not trip each other.
+      // Scope honesty: this protects against overlapping TOGGLERS only;
+      // a concurrent non-toggling reader on the same session still
+      // silently plans with AQE off for the toggle window.
+      require(aqeToggleSessions.add(GraftBridge.sessionUUID(sess)),
         "communitiesOf: concurrent AQE-toggling round loops on one " +
           "session — the sub-gate path requires sequential execution")
       sess.conf.set("spark.sql.adaptive.enabled", "false")
@@ -1222,13 +1228,16 @@ object Curation extends QueryPack {
     } finally {
       if (small) {
         sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
-        aqeToggleHeld.set(false)
+        aqeToggleSessions.remove(GraftBridge.sessionUUID(sess))
       }
     }
   }
 
-  /** Guard for [[communitiesOf]]'s session-global AQE toggle. */
-  private val aqeToggleHeld = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Sessions currently holding [[communitiesOf]]'s AQE toggle — the
+    * re-entrancy guard is per SparkSession (the unit the config toggle
+    * actually mutates), not JVM-global. */
+  private val aqeToggleSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Corpus concentration report: the Gini coefficient of per-doc
     * token counts plus the share held by the largest 1% of documents —

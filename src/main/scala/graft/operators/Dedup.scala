@@ -653,7 +653,10 @@ object Dedup extends QueryPack {
   def canonicalMap(spark: SparkSession, dir: String): DataFrame =
     canonicalMapOf(Tables.documents(spark, dir))
 
-  private[graft] def canonicalMapOf(docs: DataFrame): DataFrame = {
+  private[graft] def canonicalMapOf(docs: DataFrame,
+      pairsOf: DataFrame => DataFrame =
+        d => ngramJaccardOf(hashedShinglesOf(d))
+          .select(col("doc_a"), col("doc_b"))): DataFrame = {
     // Exact-digest collapse BEFORE the near-dup stage: identical texts
     // have J = 1 ≥ t, so they are already in their representative's
     // component, and each digest group's rep is its min doc_id — the
@@ -672,14 +675,25 @@ object Dedup extends QueryPack {
     // pair list is Θ(dup²) — a completes-vs-dies trade, not a tuning
     // knob. The per-group min(doc_id) aggregate and the fp/rep joins
     // are all narrow-currency (16-byte digest + two longs).
+    //
+    // The collapse is restricted to docs the pair stage could RE-DERIVE
+    // as duplicates: "J = 1 ≥ t so provably same component" needs a
+    // NON-EMPTY shingle set, i.e. ≥ 3 tokens. A sub-width doc gets a
+    // per-doc fingerprint (its own group), so identical 2-token texts
+    // stay separate singleton components — exactly what the uncollapsed
+    // oracle's pair-graph closure computes. The same guard keeps
+    // NULL-text docs in the output (their md5 key would be NULL and
+    // silently fall out of every fp equi-join below); coalesce makes
+    // the width predicate itself null-safe (size(split(NULL)) is NULL).
+    val widthOk = coalesce(expr("size(split(text, ' ')) >= 3"), lit(false))
     val withD = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("fp"))
+      when(widthOk, md5(col("text").cast("binary")))
+        .otherwise(concat(lit("doc:"), col("doc_id"))).as("fp"))
     val reps = withD.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep"))
     val repDocs = docs.join(
       reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val pairs = ngramJaccardOf(hashedShinglesOf(repDocs))
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = pairsOf(repDocs)
     val repComp = Curation
       .componentsOf(reps.select(col("rep").as("doc_id")), pairs)
       .select(col("doc_id").as("rep"), col("component"))
@@ -694,8 +708,28 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** [[canonicalMap]] with the edge set swapped from the exact PPJoin
+    * pairs to the MinHash-LSH VERIFIED pair set ([[minhashLsh]]) — the
+    * form a 100 TB corpus actually runs: signatures are fixed-size, the
+    * bucket join is banded, and the hot-bucket guard bounds degenerate
+    * boilerplate, so the edge stage stays linear where PPJoin's inverted
+    * index is merely sub-quadratic. Everything downstream is shared:
+    * the same width-gated exact-digest collapse, the same
+    * pointer-jumping components, the same doc → keeper output shape.
+    *
+    * Rows-only (the banding is xxhash64-based, no DuckDB counterpart);
+    * DedupSimilaritySpec pins bit-equality of the WHOLE mapping vs the
+    * oracle-paired [[canonicalMap]] on the fixture, where LSH pair-set
+    * == exact pair-set is already pinned — so the only unverified gap
+    * is LSH recall itself, which is the probabilistic trade this
+    * variant exists to make. */
+  def canonicalMapLsh(spark: SparkSession, dir: String): DataFrame =
+    canonicalMapOf(Tables.documents(spark, dir),
+      d => minhashLshOf(d, HotBucketCap).select(col("doc_a"), col("doc_b")))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_canonical_map" -> canonicalMap,
+    "dedup_canonical_map_lsh" -> canonicalMapLsh,
     "dedup_incremental"   -> incremental,
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,

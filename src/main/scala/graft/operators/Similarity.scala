@@ -232,11 +232,28 @@ object Similarity extends QueryPack {
     * shuffle carrying embeddings profiled at ~0.7 s/round, ~2/3 of the
     * whole query. Empty clusters keep their previous centroid. */
   private[graft] def lloydCentroids(spark: SparkSession, c: DataFrame,
-      iters: Int): Seq[(Int, Array[Float])] = {
-    import spark.implicits._
-    var cents: Seq[(Int, Array[Float])] = c
+      iters: Int): Seq[(Int, Array[Float])] =
+    lloydRefine(spark, c, c
       .filter(col("vec_id") % SeedStride === 0 &&
-        col("vec_id") < SeedStride.toLong * NCentroids)
+        col("vec_id") < SeedStride.toLong * NCentroids), iters)
+
+  /** Exemplar seeds WITHOUT the fixed-count cap — every
+    * [[SeedStride]]-th vector, so the centroid count DERIVES from the
+    * corpus: k = ⌈n/stride⌉ grows ∝ n (the SemDeDup posture: constant
+    * target cluster size, 50k clusters for 1B examples in the paper),
+    * with zero driver computation and a seed set both engines select
+    * with one modulo predicate. [[lloydCentroids]] keeps the capped form
+    * — IVF's k is a probe-count knob (NProbes of [[NCentroids]]), not a
+    * cluster-size contract, and rescaling it would silently change the
+    * pinned recall tiers. */
+  private[graft] def semCentroids(spark: SparkSession, c: DataFrame,
+      iters: Int): Seq[(Int, Array[Float])] =
+    lloydRefine(spark, c, c.filter(col("vec_id") % SeedStride === 0), iters)
+
+  private def lloydRefine(spark: SparkSession, c: DataFrame,
+      seeds: DataFrame, iters: Int): Seq[(Int, Array[Float])] = {
+    import spark.implicits._
+    var cents: Seq[(Int, Array[Float])] = seeds
       .select((col("vec_id") / SeedStride).cast("int").as("cent_id"),
         col("embedding"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
@@ -585,8 +602,8 @@ object Similarity extends QueryPack {
     * invariants recomputed brute-force in DedupSimilaritySpec.
     *
     * ORACLE-PAIRED, which no float-k-means semantic dedup can be: the
-    * public key clusters by the 25 deterministic exemplar seeds
-    * (`lloydCentroids` at 0 iterations — every [[SeedStride]]-th vector,
+    * public key clusters by the deterministic exemplar seeds
+    * ([[semCentroids]] at 0 iterations — every [[SeedStride]]-th vector,
     * i.e. rows DuckDB can select), and every cosine follows the
     * [[VectorOps]] bit-exact fold contract, so the entire decision —
     * assignment, priority, drops — hash-matches an independent SQL
@@ -598,31 +615,57 @@ object Similarity extends QueryPack {
     * Scale posture: assignment is the map-side argmax fold (no join, no
     * shuffle); the only exchange is ONE embedding shuffle keyed by
     * cluster_id, then pair evaluation stays inside cluster partitions
-    * with the priority predicate halving the pairs. Within-cluster work
-    * is O(Σ c²); at production scale k grows ∝ n (SemDeDup runs 50k
-    * clusters for 1B examples) so mean cluster size — and per-partition
-    * cost — stays constant; the fixture's fixed k=25 is the knob, not
-    * the design. Balance measured on the fixture: cluster sizes 10–31
-    * (median 21) at sf0.01. τ = 0.45 = the family's [[CosineT]] bar
-    * (4/500 dropped at sf0.01 — the fixture's near-uniform vectors are
-    * the sparse-duplicate regime; production corpora run τ ≥ 0.9 with
-    * far denser drop sets). */
+    * with the priority predicate halving the pairs. The cluster count
+    * DERIVES from the corpus ([[semCentroids]]: k = ⌈n/[[SemSeedStride]]⌉,
+    * the paper's k ∝ n posture), so mean cluster size — and the
+    * within-cluster O(Σ c²) pair work — stays constant per partition as
+    * the corpus grows: O(n·stride) total. Skew is bounded separately:
+    * a cluster larger than [[SemClusterCap]] is REFUSED from the pair
+    * stage (its members are all kept) and surfaced via
+    * [[semanticHotClusters]] — the same refuse-and-telemeter stance as
+    * [[graft.operators.Dedup.HotBucketCap]], because a >1024-member
+    * τ-cluster is a corpus pathology to triage, not c²/2 cosines to
+    * evaluate in one task. The size count rides the pair stage's own
+    * cluster_id shuffle as a window, so the guard adds no exchange.
+    * Assignment honesty: the argmax fold is O(k·dim) per row, so with
+    * k ∝ n the assignment pass is the quadratic term at extreme scale —
+    * the production lever is IVF-assigning rows through a coarse
+    * quantizer over the centroid table (exactly [[topKIvf]]'s
+    * machinery, √k supers ⇒ O(√k·dim) per row); the relational drop
+    * rule downstream is unchanged by how cluster ids are produced.
+    * Balance measured on the fixture: cluster sizes 10–31 (median 21)
+    * at sf0.01 (k=25 derived from n=500), 7–34 at sf0.1 (k=100 from
+    * n=2000). τ = 0.45 = the family's [[CosineT]] bar (4/500 dropped at
+    * sf0.01 — the fixture's near-uniform vectors are the
+    * sparse-duplicate regime; production corpora run τ ≥ 0.9 with far
+    * denser drop sets). */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupIters(spark, dir, 0)
+
+  /** Clusters larger than this are refused from the pair stage (kept
+    * whole, reported via [[semanticHotClusters]]) — 50× the target
+    * cluster size, same cap value as the MinHash guard. */
+  private[graft] val SemClusterCap = 1024
 
   /** [[semanticDedup]] with `iters` Lloyd refinement rounds (0 = the
     * oracle-pairable exemplar clustering). */
   private[graft] def semanticDedupIters(spark: SparkSession, dir: String,
       iters: Int): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = lloydCentroids(spark, c, iters)
+    val cents = semCentroids(spark, c, iters)
     val asn = c
       .withColumn("a", assignedCentBest(cents, "embedding", "nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("a.cid").cast("long").as("cluster_id"), col("a.best").as("ccos"))
-    val hi = asn.select(col("cluster_id"), col("vec_id").as("id_a"),
+    // hot-cluster guard: membership count as a window over the SAME
+    // cluster_id partitioning the pair join needs — no extra exchange.
+    // Over-cap clusters contribute no pairs (every member kept).
+    val safe = asn
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("cn") <= SemClusterCap)
+    val hi = safe.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nrm").as("na"), col("ccos").as("ca"))
-    val lo = asn.select(col("cluster_id"), col("vec_id").as("id_b"),
+    val lo = safe.select(col("cluster_id"), col("vec_id").as("id_b"),
       col("embedding").as("eb"), col("nrm").as("nb"), col("ccos").as("cb"))
     val dropped = hi.join(lo, Seq("cluster_id"))
       .filter(col("cb") < col("ca") ||
@@ -632,6 +675,21 @@ object Similarity extends QueryPack {
     asn.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster_id"), col("ccos").as("centroid_cosine"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The overflow side of [[SemClusterCap]]: every cluster the pair
+    * stage refused to expand, with its membership — the triage view on
+    * a pathologically concentrated corpus. Empty on healthy corpora
+    * (fixture max membership 34), so not a driver key;
+    * DedupSimilaritySpec plants a 2k-member cluster against it. */
+  private[graft] def semanticHotClusters(spark: SparkSession, c: DataFrame,
+      cap: Int = SemClusterCap): DataFrame = {
+    val cents = semCentroids(spark, c, 0)
+    c.withColumn("a", assignedCentBest(cents, "embedding", "nrm"))
+      .groupBy(col("a.cid").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+      .orderBy(col("cluster_id"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -666,8 +724,7 @@ object Similarity extends QueryPack {
          |           FROM embeddings),
          |seeds AS (SELECT vec_id // $SeedStride AS cid, embedding AS se, nrm AS sn
          |          FROM c
-         |          WHERE vec_id % $SeedStride = 0
-         |            AND vec_id < ${SeedStride * NCentroids}),
+         |          WHERE vec_id % $SeedStride = 0),
          |asn AS (SELECT vec_id, cid, ccos FROM (
          |  SELECT c.vec_id, s.cid,
          |         ${VectorOps.duckDot("c.embedding", "s.se")} / (c.nrm * s.sn) AS ccos,
@@ -675,10 +732,12 @@ object Similarity extends QueryPack {
          |           ORDER BY ${VectorOps.duckDot("c.embedding", "s.se")} / (c.nrm * s.sn) DESC,
          |                    s.cid) AS rn
          |  FROM c CROSS JOIN seeds s) t WHERE rn = 1),
+         |csz AS (SELECT cid, COUNT(*) AS cn FROM asn GROUP BY cid),
          |dropped AS (
          |  SELECT DISTINCT a.vec_id
          |  FROM asn a JOIN asn b ON a.cid = b.cid
          |   AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+         |  JOIN csz z ON z.cid = a.cid AND z.cn <= $SemClusterCap
          |  JOIN c ca ON ca.vec_id = a.vec_id
          |  JOIN c cb ON cb.vec_id = b.vec_id
          |  WHERE ${VectorOps.duckDot("ca.embedding", "cb.embedding")}

@@ -17,6 +17,12 @@ object GraftBridge {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Stable per-session identity (`classic.SparkSession.sessionUUID` is
+    * not surfaced on the abstract API class) — used to key per-session
+    * guards. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** The analyzed logical plan under a DataFrame. */
   def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
@@ -94,13 +100,16 @@ object GraftBridge {
       .filter(i => ids.contains(i.id))
     // An EMPTY checkpoint (0 partitions, e.g. AQE-coalesced empty
     // frame) legitimately stores no blocks — size 0 is the truth, not
-    // an unknown. Any nonempty checkpoint with no reported blocks is
-    // the unknown case: refuse rather than read as small.
-    require(infos.nonEmpty || rdds.forall(_.getNumPartitions == 0),
-      s"checkpointStorageBytes: no storage blocks reported for RDD(s) " +
-        s"${ids.mkString(",")} — blocks evicted or never materialized; " +
-        "size unknown, refusing to report 0 (callers treat small as safe)")
-    infos.map(i => i.memSize + i.diskSize).sum
+    // an unknown. A nonempty checkpoint with no reported blocks is the
+    // unknown case (blocks evicted under memory pressure between the
+    // eager checkpoint and this probe, or never materialized): report
+    // Long.MaxValue so size-gated callers take the BIG-graph path —
+    // same safety direction as failing (small-graph levers never arm
+    // on an unknown size) but the job survives, degrading to the
+    // all-shuffle plan instead of aborting. The exception above stays
+    // reserved for the no-LogicalRDD misuse case.
+    if (infos.isEmpty && rdds.exists(_.getNumPartitions > 0)) Long.MaxValue
+    else infos.map(i => i.memSize + i.diskSize).sum
   }
 
   /** Actually free a `localCheckpoint`ed frame's pinned blocks.

@@ -297,7 +297,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cDf = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorOps.norm("embedding").as("nrm"))
-    val cents = Similarity.lloydCentroids(spark, cDf, iters)
+    val cents = Similarity.semCentroids(spark, cDf, iters)
     val cn = cents.map { case (cid, v) =>
       cid -> math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)) }.toMap
     // map-side argmax replay: strict > keeps the lowest cid on ties
@@ -311,7 +311,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     val byCluster = asn.groupBy(_._2)
     val dropped: Set[Long] = byCluster.values.flatMap { members =>
-      for {
+      if (members.size > Similarity.SemClusterCap) Nil
+      else for {
         (ida, _, ca) <- members.toSeq
         (idb, _, cb) <- members.toSeq
         if (cb < ca || (cb == ca && idb < ida)) &&
@@ -354,5 +355,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val drops2 = semDedupCheck(dir, 2)
     assert(drops0 > 250, s"dense regime should drop most docs, got $drops0")
     assert(drops2 > 250, s"dense regime should drop most docs (Lloyd), got $drops2")
+  }
+
+  test("semantic dedup refuses a planted giant cluster bounded; normal clusters still prune") {
+    // 2048 EXACTLY identical vectors: every exemplar seed is that same
+    // vector, every centroid cosine ties at 1.0, and the strict-> argmax
+    // sends ALL of them to cid 0 — one 2048-member cluster over
+    // SemClusterCap. Unguarded, the pair stage would evaluate 2048²
+    // cosines in one partition; the guard must refuse the cluster (every
+    // member KEPT) and surface it via semanticHotClusters. A second
+    // exact block in an orthogonal direction at ids 2060..2089
+    // (2060 % 20 == 0 ⇒ it owns seed cid 103) stays under the cap and
+    // must still prune to its lowest id.
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f) // a·b = 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-semhot").toString
+    val rows = (0L until 2048L).map(i => (i, a.toSeq)) ++
+      (2060L until 2090L).map(i => (i, b.toSeq))
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        lit(0).as("label"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val kept = Similarity.semanticDedup(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val keptIds = kept.map(_._1).toSet
+    assert((0L until 2048L).forall(keptIds), "refused cluster must be kept whole")
+    assert(kept.filter(_._1 < 2048L).forall(_._2 == 0L), "identical block lands in cid 0")
+    assert(keptIds.filter(_ >= 2060L) == Set(2060L),
+      s"sub-cap exact block must prune to its lowest id, kept ${keptIds.filter(_ >= 2060L)}")
+    val c = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.norm("embedding").as("nrm"))
+    val hot = Similarity.semanticHotClusters(spark, c)
+      .as[(Long, Long)].collect().toSeq
+    assert(hot == Seq((0L, 2048L)), s"hot-cluster telemetry: $hot")
+    // healthy fixture: telemetry is empty (the cap is inert there)
+    val cFix = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.norm("embedding").as("nrm"))
+    assert(Similarity.semanticHotClusters(spark, cFix).isEmpty)
+  }
+
+  test("canonical map keeps sub-shingle-width duplicates and NULL texts as singletons") {
+    // identical 2-token texts have NO shingles — the pair stage cannot
+    // re-derive their duplication, so the digest collapse must not merge
+    // them (the oracle's pair-graph closure leaves them as separate
+    // singleton components). NULL-text docs must survive to the output
+    // instead of vanishing through a NULL md5 equi-join.
+    val wide = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "hi there"), (2L, "hi there"),       // dup but sub-width
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]),
+      (5L, wide), (6L, wide))                   // dup, collapsible
+      .toDF("doc_id", "text")
+    val got = Dedup.canonicalMapOf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 1L), (2L, 2L, 1L, 1L),
+      (3L, 3L, 1L, 1L), (4L, 4L, 1L, 1L),
+      (5L, 5L, 2L, 1L), (6L, 5L, 2L, 0L)), s"got $got")
+  }
+
+  test("canonical map over LSH edges equals the exact-edge map on the fixture") {
+    // the LSH pair set == exact pair set is pinned above, so the whole
+    // doc → keeper mapping must agree bit-for-bit.
+    val exact = Dedup.canonicalMap(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lsh = Dedup.canonicalMapLsh(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).take(3)} extra=${(lsh -- exact).take(3)}")
   }
 }

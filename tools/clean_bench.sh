@@ -23,18 +23,23 @@ HEAD_LINE=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"')
 
 echo "[clean_bench] control keys from pinned worktree $WT ($SHA)" >&2
-CTRL_RAW=$(cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
+# control output goes through a temp FILE, not shell interpolation into
+# the Python source: sbt/log lines containing quotes or backslashes
+# would otherwise break the literal and silently corrupt the capture
+CTRL_FILE=$(mktemp /tmp/clean_bench_ctrl.XXXXXX)
+trap 'rm -f "$CTRL_FILE"' EXIT
+(cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_REPS=2 sbt -batch "runMain graft.BenchOne $CONTROLS" \
-  2>/dev/null | grep -E 'rep2:')
+  2>/dev/null | grep -E 'rep2:') > "$CTRL_FILE"
 
-python3 - "$OUT" "$SHA" <<EOF
+python3 - "$OUT" "$SHA" "$CTRL_FILE" <<'EOF'
 import json, re, sys
-out, sha = sys.argv[1], sys.argv[2]
+out, sha, ctrl_file = sys.argv[1], sys.argv[2], sys.argv[3]
 # the stdout JSON line abbreviates to the slowest keys; the full map is
 # the BENCH_FULL.json the Bench main just wrote into this cwd
 head = json.load(open('BENCH_FULL.json'))
 ctrl = {}
-for line in '''$CTRL_RAW'''.strip().splitlines():
+for line in open(ctrl_file):
     m = re.search(r'(\S+) rep2: ([0-9.]+) s', line)
     if m:
         ctrl[m.group(1)] = float(m.group(2))
