@@ -76,27 +76,95 @@ object Curation extends QueryPack {
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     })
 
+  /** Edge-store ceiling for [[componentsOf]]'s driver union-find fast
+    * path: below it the verified near-dup pair set is a few hundred
+    * thousand rows of two longs — BOUNDED DRIVER BOOKKEEPING in the
+    * same sense as the k-means centroid or PQ codebook collects — and
+    * the whole iterative fixpoint collapses to one collect plus a
+    * broadcast join. Above it the distributed pointer-jumping loop
+    * runs. Tests force 0 to pin the loop path. */
+  private[graft] val DriverComponentsMaxEdgeBytes = 16L * 1024 * 1024
+
   /** Connected components over arbitrary near-dup edges: (doc_id,
     * component) where component = min doc_id reachable. Nodes with no
     * edges map to themselves.
     *
-    * Each round every node adopts the min label among itself and its
-    * neighbors (one join + aggregate), then compresses pointers
-    * (label := label-of-label), so convergence is O(log diameter)
-    * rounds rather than O(diameter) — at 100 TB a single long chain
-    * cannot stretch the fixpoint loop. Superseded label caches are
-    * unpersisted every round; the driver-side loop only ever sees
-    * per-round counts (control flow), never data. */
+    * Two regimes, byte-gated by the free storage probe over the
+    * just-checkpointed edge list (the LPA lesson — small graphs are
+    * SCHEDULING-bound, and a multi-job fixpoint loop over a
+    * few-hundred-edge graph is pure driver round-trip overhead):
+    *
+    *  - edges ≤ [[DriverComponentsMaxEdgeBytes]]: collect the pair list
+    *    (two longs per edge) and run min-label union-find on the
+    *    driver; the result rejoins as ONE broadcast map over the nodes
+    *    frame — zero iterative materializations, and the mapping is
+    *    bit-identical to the loop's fixpoint (both compute min
+    *    reachable; the spec pins their equality on a planted graph).
+    *    Near-dup edge sets at any corpus size are dup-density-bounded,
+    *    so this is the common production regime too — but it is a fast
+    *    path, not the design: the loop below is the 100 TB path.
+    *  - above the gate: each round every node adopts the min label
+    *    among itself and its neighbors (one join + aggregate), then
+    *    compresses pointers (label := label-of-label), so convergence
+    *    is O(log diameter) rounds rather than O(diameter) — a single
+    *    long chain cannot stretch the fixpoint loop. The hop carries
+    *    its input label as `old`, so the changed-count reads off the
+    *    round's own checkpoint instead of a join against the previous
+    *    round (one fewer O(|V|) shuffle per round than the r13 form).
+    *    Superseded label checkpoints are released every round; the
+    *    driver only ever sees per-round counts, never data.
+    *
+    * Rejected alternatives, measured at sf0.1 on dedup_canonical_map:
+    * fusing two hops per materialization with AQE off (the LPA batch
+    * pattern) triples the join work — the unmaterialized inner hop is
+    * referenced by three different-key exchanges, which non-adaptive
+    * planning recomputes (task time 23 → 78 s); broadcast-gating the
+    * per-hop state adds a collect job per broadcast build regardless of
+    * AQE (~8 jobs/round, worse than the shuffles it replaced). The
+    * driver union-find deletes the loop instead of tuning it: 33 → 16
+    * jobs, BenchOne rep2 4.0 → 2.7 s (with the canonicalMapOf window
+    * rewrite; the LSH variant reads 2.2 s). */
   private[graft] def componentsOf(nodes: DataFrame, edges0: DataFrame,
-      maxRounds: Int = 25): DataFrame = {
-    // localCheckpoint (not cache) on every round's labels: an iterative
-    // plan otherwise GROWS — round k's logical tree contains all k-1
-    // predecessors, and every action re-analyzes the whole thing even
-    // when execution hits a cache. Checkpointing truncates the lineage
-    // to the materialized RDD, keeping per-round planning cost flat;
-    // superseded round RDDs are freed by the ContextCleaner once
-    // dereferenced, so nothing accumulates across rounds.
+      maxRounds: Int = 25,
+      driverMaxEdgeBytes: Long = DriverComponentsMaxEdgeBytes): DataFrame = {
+    // localCheckpoint (not cache) on the edge list and every round's
+    // labels: an iterative plan otherwise GROWS — round k's logical
+    // tree contains all k-1 predecessors, and every action re-analyzes
+    // the whole thing even when execution hits a cache. Checkpointing
+    // truncates the lineage to the materialized RDD; superseded round
+    // RDDs are released explicitly below.
     val edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    if (GraftBridge.checkpointStorageBytes(edges) <= driverMaxEdgeBytes) {
+      import nodes.sparkSession.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      GraftBridge.releaseLocalCheckpoint(edges)
+      // min-label union-find: attaching the larger root under the
+      // smaller keeps every root the MIN of its set, independent of
+      // edge order — the same labels the distributed fixpoint reaches.
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // one map entry per edge-touched node; untouched nodes fall back
+      // to identity through the left join's coalesce
+      val touched = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSet[Long].toSeq.sorted
+      val mapped = touched.map(n => (n, find(n))).toDF("doc_id", "cmp")
+      return nodes.select(col("doc_id"))
+        .join(broadcast(mapped), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cmp"), col("doc_id")).as("component"))
+    }
     // symmetric adjacency; isolated nodes are handled by the left join
     val adj = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -107,11 +175,14 @@ object Curation extends QueryPack {
     while (changed > 0 && rounds < maxRounds) {
       // min label among self and neighbors
       val viaNeighbors = adj
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .join(labels.select(col("doc_id").as("doc_b"), col("component")),
+          Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("component")).as("ncomp"))
+      // carries the input label as `old` so the fixpoint diff below
+      // reads off this round's own checkpoint, joining nothing
       val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component").as("old"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
       // pointer jumping: label := label(label) — halves chain lengths,
@@ -119,15 +190,14 @@ object Curation extends QueryPack {
       val next = propagated
         .join(propagated.select(col("doc_id").as("component"),
           col("component").as("cc")), Seq("component"))
-        .select(col("doc_id"), col("cc").as("component"))
+        .select(col("doc_id"), col("old"), col("cc").as("component"))
         .localCheckpoint() // eager: materializes this round's labels
-      changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old")).count()
+      changed = next.filter(col("component") =!= col("old")).count()
       // next is materialized and the diff count is done: the superseded
       // round's labels can be dropped NOW, not at ContextCleaner/GC
       // whim — R rounds would otherwise pin R label copies
       GraftBridge.releaseLocalCheckpoint(labels)
-      labels = next
+      labels = next.select(col("doc_id"), col("component"))
       rounds += 1
     }
     if (changed > 0)

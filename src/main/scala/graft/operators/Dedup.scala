@@ -685,23 +685,28 @@ object Dedup extends QueryPack {
     // NULL-text docs in the output (their md5 key would be NULL and
     // silently fall out of every fp equi-join below); coalesce makes
     // the width predicate itself null-safe (size(split(NULL)) is NULL).
+    // Shuffle shape (the key was scheduling-bound, not data-bound): the
+    // per-group rep rides ONE fp-keyed window (min over the partition)
+    // instead of a groupBy plus a join back on fp, and the component
+    // size rides ONE component-keyed window instead of a groupBy plus a
+    // join back — two exchanges and two join stages deleted vs the
+    // round-13 form, with identical results (min-per-group is the same
+    // value wherever it is computed).
     val widthOk = coalesce(expr("size(split(text, ' ')) >= 3"), lit(false))
-    val withD = docs.select(col("doc_id"),
+    val withRep = docs.select(col("doc_id"),
       when(widthOk, md5(col("text").cast("binary")))
         .otherwise(concat(lit("doc:"), col("doc_id"))).as("fp"))
-    val reps = withD.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("rep"))
-    val repDocs = docs.join(
-      reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("rep"))
+    val repIds = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
+    val repDocs = docs.join(repIds, Seq("doc_id"), "left_semi")
     val pairs = pairsOf(repDocs)
-    val repComp = Curation
-      .componentsOf(reps.select(col("rep").as("doc_id")), pairs)
+    val repComp = Curation.componentsOf(repIds, pairs)
       .select(col("doc_id").as("rep"), col("component"))
-    val comp = withD.join(reps, Seq("fp")).join(repComp, Seq("rep"))
-      .select(col("doc_id"), col("component"))
-    val sizes = comp.groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"))
-    comp.join(sizes, Seq("component"))
+    withRep.join(repComp, Seq("rep"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
       .select(col("doc_id"), col("component").as("canon_id"),
         col("n_members"),
         (col("doc_id") === col("component")).cast("long").as("is_canonical"))

@@ -28,10 +28,31 @@ class CurationSpec extends AnyFunSuite {
     val n = 200L
     val nodes = (0L until n).toDF("doc_id")
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // driverMaxEdgeBytes = 0 forces the DISTRIBUTED loop (the tiny edge
+    // list would otherwise take the driver union-find fast path);
     // diameter 199 >> maxRounds: pure one-hop propagation would throw
-    val comp = Curation.componentsOf(nodes, edges).as[(Long, Long)].collect()
+    val comp = Curation.componentsOf(nodes, edges, driverMaxEdgeBytes = 0L)
+      .as[(Long, Long)].collect()
     assert(comp.length == n)
     assert(comp.forall(_._2 == 0L), "chain collapses to min label 0")
+  }
+
+  test("componentsOf: driver union-find fast path equals the distributed loop") {
+    // chains (transitivity), a triangle with a redundant edge, self and
+    // duplicate edges, isolated nodes — the mapping must be identical
+    // on both sides of the byte gate.
+    val nodes = (0L until 40L).toDF("doc_id")
+    val edges = (Seq((3L, 1L), (1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (10L, 12L), (20L, 20L), (30L, 31L), (30L, 31L), (5L, 7L), (7L, 6L)))
+      .toDF("doc_a", "doc_b")
+    val fast = Curation.componentsOf(nodes, edges)
+      .as[(Long, Long)].collect().toSet
+    val loop = Curation.componentsOf(nodes, edges, driverMaxEdgeBytes = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == loop,
+      s"fastOnly=${(fast -- loop).take(5)} loopOnly=${(loop -- fast).take(5)}")
+    assert(fast.size == 40 && fast.contains((3L, 1L)) && fast.contains((12L, 10L))
+      && fast.contains((6L, 5L)) && fast.contains((20L, 20L)) && fast.contains((39L, 39L)))
   }
 
   test("curated corpus: representatives only, quality-gated, sizes consistent") {
