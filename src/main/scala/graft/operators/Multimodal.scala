@@ -172,6 +172,91 @@ object Multimodal extends QueryPack {
       }
   }
 
+  case class AudioBandWindow(media_id: Long, window_idx: Long,
+      energy: Long, tp: Long)
+
+  /** Per-window INTEGER audio features off the PCM seam — the exact
+    * currency the log-band histogram below needs: energy = Σ v² (a
+    * 256-sample window of int16 peaks at ~2.7·10¹¹, inside the
+    * [[graft.functions.FixedLog2]] domain) and tp = turning-point count
+    * (sign alternations of the first difference — the integer
+    * extrema-rate proxy for spectral content that needs no FFT). Both
+    * accumulate in sample order; the last partial window keeps its
+    * rows. */
+  private[graft] def audioBandWindows(spark: SparkSession, dir: String,
+      win: Int = 256, codec: MediaCodec = FakeCodec): Dataset[AudioBandWindow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter(col("media_type") === "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val samples = codec.pcm(r.payload)
+          samples.grouped(win).zipWithIndex.map { case (w, i) =>
+            var e = 0L
+            var tp = 0L
+            var k = 0
+            while (k < w.length) {
+              val v = w(k).toLong
+              e += v * v
+              if (k >= 2) {
+                val d1 = w(k - 1) - w(k - 2)
+                val d2 = w(k) - w(k - 1)
+                if (d1.toLong * d2.toLong < 0) tp += 1
+              }
+              k += 1
+            }
+            AudioBandWindow(r.media_id, i.toLong, e, tp)
+          }
+        }
+      }
+  }
+
+  /** Log-band audio histogram — the log-mel access pattern on the codec
+    * seam, FFT-free and hash-exact: every audio window lands in a
+    * (turning-point band × log-energy bucket) cell, quarter-octave on
+    * the extrema-rate axis and eighth-octave on energy (the
+    * `ev_log_histogram` grain), both via the codegen'd `graft_log2fix`
+    * integer log2 so the DuckDB oracle replays the identical 20-round
+    * HUGEINT chain and the decision hash-matches. The mel analogy is
+    * structural, not spectral: log-compressed energy × log-spaced
+    * coarse-frequency bands, which is what the downstream curation
+    * consumer (silence/noise/music triage) actually keys on.
+    *
+    * Oracle trick: the oracle rebuilds the PCM stream in SQL —
+    * little-endian int16 pairs over the utf-8 payload, character ⇔ byte
+    * on the ASCII fixture (the same equivalence `mm_meta`'s
+    * strlen-as-n_bytes oracle already gates) — and takes ONE
+    * [[graft.functions.FixedLog2.duckLog2]] pass over the DISTINCT
+    * union of clamped energies and tp counts, joining back per axis
+    * (the chain-budget shape from the Spearman/MI keys).
+    *
+    * Scale: the grid is hard-bounded (tp < 256 ⇒ ≤ 32 bands; energy <
+    * 2⁶¹ ⇒ ≤ 488 buckets) and the aggregate is one partial-agg pass
+    * over window rows. Σenergy per cell has ~3·10⁷-window headroom in
+    * BIGINT (≈ 4 TB of 16-bit audio per cell); past that the sum moves
+    * to DECIMAL(38,0) like the SSB money sums. */
+  def audioLogBands(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FixedLog2
+    val w = audioBandWindows(spark, dir).toDF()
+      .select(col("media_id"), col("energy"), col("tp"),
+        greatest(col("energy"), lit(1L)).as("e1"),
+        greatest(col("tp"), lit(1L)).as("t1"))
+    val l = FixedLog2.withLog2(FixedLog2.withLog2(w, "e1", "l2e"), "t1", "l2t")
+    l.select(col("media_id"), col("energy"), col("tp"),
+        expr(s"l2t div ${FixedLog2.Unit / 4}").as("tp_band"),
+        expr(s"l2e div ${FixedLog2.Unit / 8}").as("energy_bucket"))
+      .groupBy(col("tp_band"), col("energy_bucket"))
+      .agg(count(lit(1)).as("n_windows"),
+        count_distinct(col("media_id")).as("n_media"),
+        sum(col("energy")).as("sum_energy"),
+        max(col("tp")).as("max_tp"))
+      .withColumn("tp_band_log2_lo", col("tp_band").cast("double") / lit(4.0))
+      .withColumn("energy_log2_lo", col("energy_bucket").cast("double") / lit(8.0))
+      .select(col("tp_band"), col("energy_bucket"), col("tp_band_log2_lo"),
+        col("energy_log2_lo"), col("n_windows"), col("n_media"),
+        col("sum_energy"), col("max_tp"))
+      .orderBy(col("tp_band"), col("energy_bucket"))
+  }
+
   case class ImageTile(media_id: Long, tile_row: Int, tile_col: Int,
       mean_pixel: Double)
 
@@ -399,6 +484,7 @@ object Multimodal extends QueryPack {
       .orderBy(col("media_type"), col("n_bytes"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_log_bands" -> audioLogBands,
     "mm_dedup_payload" -> dedupPayload,
     "mm_phash_pairs" -> ((s: SparkSession, d: String) => phashPairs(s, d)),
     "mm_scene_cuts" -> ((s: SparkSession, d: String) => sceneCuts(s, d)),
@@ -422,6 +508,45 @@ object Multimodal extends QueryPack {
           max(col("mean_pixel")).as("brightest_tile"))))
 
   override val oracles: Map[String, String] = Map(
+    "mm_audio_log_bands" -> {
+      import graft.functions.FixedLog2.duckLog2
+      s"""WITH a AS (SELECT doc_id AS media_id, text FROM documents
+         |           WHERE doc_id % 3 = 1),
+         |s AS (SELECT media_id, i - 1 AS si,
+         |        ord(text[2*i-1]) + 256 * ord(text[2*i]) AS raw
+         |      FROM a, unnest(generate_series(1, strlen(text) // 2)) AS t(i)),
+         |vv AS (SELECT media_id, si,
+         |        CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+         |       FROM s),
+         |t AS (SELECT media_id, si // 256 AS w, si % 256 AS p, v,
+         |        LAG(v, 1) OVER (PARTITION BY media_id, si // 256
+         |                        ORDER BY si) AS v1,
+         |        LAG(v, 2) OVER (PARTITION BY media_id, si // 256
+         |                        ORDER BY si) AS v2
+         |      FROM vv),
+         |ws AS (SELECT media_id, w,
+         |        CAST(SUM(v::BIGINT * v::BIGINT) AS BIGINT) AS energy,
+         |        CAST(SUM(CASE WHEN p >= 2
+         |                       AND (v1 - v2)::BIGINT * (v - v1)::BIGINT < 0
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |       FROM t GROUP BY 1, 2),
+         |u AS (SELECT DISTINCT GREATEST(energy, 1) AS x FROM ws
+         |      UNION SELECT DISTINCT GREATEST(tp, 1) FROM ws),
+         |l AS (${duckLog2("SELECT x FROM u", "x", "l2x")}),
+         |b AS (SELECT ws.media_id, ws.energy, ws.tp,
+         |        lt.l2x // ${graft.functions.FixedLog2.Unit / 4} AS tp_band,
+         |        le.l2x // ${graft.functions.FixedLog2.Unit / 8} AS energy_bucket
+         |      FROM ws JOIN l le ON le.x = GREATEST(ws.energy, 1)
+         |              JOIN l lt ON lt.x = GREATEST(ws.tp, 1))
+         |SELECT tp_band, energy_bucket,
+         |  CAST(tp_band AS DOUBLE) / 4.0 AS tp_band_log2_lo,
+         |  CAST(energy_bucket AS DOUBLE) / 8.0 AS energy_log2_lo,
+         |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+         |  CAST(SUM(energy) AS BIGINT) AS sum_energy,
+         |  MAX(tp) AS max_tp
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "mm_dedup_payload" ->
       """WITH a AS (
         |  SELECT doc_id AS media_id,

@@ -167,6 +167,52 @@ class MultimodalCatalystSpec extends AnyFunSuite {
     assert(pcm.toSeq == Seq[Short](0x0201, 0x7FFF))
   }
 
+  test("audio log bands: hand-built waveform pins energy/turning points; fixture reconciles") {
+    import graft.operators.Multimodal
+    // triangle wave period 4: samples 0, 100, 25600, 100, ... — the
+    // first difference alternates sign every second position, so every
+    // other interior sample is a turning point. Sample values are
+    // chosen so BOTH little-endian bytes stay < 0x80: the media table
+    // synthesizes payloads via encode(text, 'utf-8'), which is the
+    // identity only on ASCII bytes. Hand replay below is an independent
+    // reimplementation (no window grouping shortcuts).
+    val wave = Array.tabulate(600)(i => (i % 4 match {
+      case 0 => 0; case 1 => 100; case 2 => 25600; case 3 => 100
+    }).toShort)
+    val payload = new Array[Byte](wave.length * 2)
+    wave.zipWithIndex.foreach { case (s, i) =>
+      payload(2 * i) = (s & 0xFF).toByte
+      payload(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    assert(payload.forall(b => b >= 0), "crafted bytes must be ASCII")
+    assert(Multimodal.FakeCodec.pcm(payload).toSeq == wave.toSeq)
+    // expected per 256-window: hand union-free replay
+    val expect = wave.grouped(256).zipWithIndex.map { case (w, i) =>
+      val e = w.map(v => v.toLong * v.toLong).sum
+      val tp = (2 until w.length).count { k =>
+        (w(k - 1) - w(k - 2)).toLong * (w(k) - w(k - 1)).toLong < 0
+      }.toLong
+      (i.toLong, e, tp)
+    }.toSeq
+    // pin the operator end to end (documents → mediaTable → pcm →
+    // windows) by writing the wave as a 1-doc fixture; doc_id 1 lands
+    // on the audio branch of the media-type assignment
+    val dir = java.nio.file.Files.createTempDirectory("graft-audio").toString
+    Seq((1L, new String(payload, java.nio.charset.StandardCharsets.US_ASCII)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.audioBandWindows(spark, dir).collect()
+      .map(r => (r.window_idx, r.energy, r.tp)).sortBy(_._1).toSeq
+    assert(got == expect, s"got $got expect $expect")
+    // fixture-level reconciliation: the histogram's window count equals
+    // the window table's row count, per-cell maxima within bounds
+    val hist = Multimodal.audioLogBands(spark, TestSpark.Sf).collect()
+    val windows = Multimodal.audioBandWindows(spark, TestSpark.Sf).collect()
+    assert(hist.map(_.getAs[Long]("n_windows")).sum == windows.length)
+    assert(hist.forall(r => r.getAs[Long]("max_tp") < 256))
+    assert(hist.forall(r => r.getAs[Long]("n_media") <= r.getAs[Long]("n_windows")))
+  }
+
   test("graft_dot codegen expression equals the HOF fold bit-for-bit") {
     DotProductFloat.register(spark)
     val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf).limit(100)
