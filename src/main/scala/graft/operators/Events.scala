@@ -750,6 +750,19 @@ object Events extends QueryPack {
 
   private val KmvK = 32768
 
+  /** KMV cardinality read of a sketch array: exact size below capacity
+    * (the sketch IS the distinct hash set there), the (k−1)/rank(θ)
+    * estimator at it — θ = k-th smallest hash, rank normalized over the
+    * unsigned 64-bit space. Double math only ever evaluates above the
+    * cap, where answers are estimates by definition. Shared by
+    * [[kmvOverlapOf]] and [[kmvDailyRollupOf]]. */
+  private[graft] def kmvEstimate(s: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    when(size(s) < k, size(s).cast("long")).otherwise(
+      floor(lit((k - 1).toDouble * 1.8446744073709552e19) /
+        (element_at(s, k).cast("double") + lit(9.223372036854775808e18)))
+        .cast("long"))
+
   /** Dataset seam for [[kmvOverlap]]: `typedUsers` is (event_type,
     * user_id); `k` the sketch capacity (tests shrink it to force the
     * estimator branch). */
@@ -759,15 +772,8 @@ object Events extends QueryPack {
       .select(col("event_type"), xxhash64(col("user_id")).as("h"))
       .groupBy(col("event_type"))
       .agg(BottomKAgg.bottomK(col("h"), col("h"), k).as("sk"))
-    // KMV cardinality estimate from a FULL sketch: θ = k-th smallest
-    // hash; n̂ = (k-1) / rank(θ) with rank normalized over the unsigned
-    // 64-bit space. Double math — only ever evaluated above the cap,
-    // where answers are estimates by definition.
     def estimate(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(size(s) < k, size(s).cast("long")).otherwise(
-        floor(lit((k - 1).toDouble * 1.8446744073709552e19) /
-          (element_at(s, k).cast("double") + lit(9.223372036854775808e18)))
-          .cast("long"))
+      kmvEstimate(s, k)
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
     a.join(broadcast(b), col("type_a") < col("type_b"))
@@ -787,6 +793,68 @@ object Events extends QueryPack {
                 lit(9.223372036854775808e18))) / k).cast("long"))
           .as("n_overlap"))
       .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Mergeable distinct-sketch ROLLUP — the warehouse sketch-table
+    * pattern (ClickHouse `uniqState`/`uniqMerge` over an
+    * AggregatingMergeTree, DataSketches' stored-sketch tables): persist
+    * ONE bounded KMV sketch per (event_type, day), then answer distinct
+    * users for ARBITRARY date ranges by merging the stored sketches —
+    * never rescanning events. Merge = bottom-k over the union of
+    * member hashes, re-sketched through the SAME
+    * [[graft.functions.BottomKAgg]] aggregate (which is the mergeable
+    * property, exercised rather than asserted): here weekly rollups
+    * (ISO-free integer weeks, day div 7) and the cumulative
+    * to-date series per type, both derived purely from the daily
+    * sketch table.
+    *
+    * Exactness contract = [[kmvOverlap]]'s: below capacity a sketch IS
+    * the distinct hash set, so every figure is exact and the key
+    * oracle-pairs against plain COUNT(DISTINCT) set algebra (holds
+    * through ×10: ≤15k users/type vs k = 32,768); past it the SAME
+    * plan degrades to the ±1/√k estimator with no shape change — a
+    * ×100 tier crosses into that regime and the key becomes rows-only
+    * there by design.
+    *
+    * The 100 TB point: the events scan happens ONCE, at daily grain,
+    * with bounded per-group state; every rollup after that moves
+    * (types × days) × 32 KB sketches, not user ids. The cumulative
+    * stage is a (type, week ≤ week) sketch-member self-join —
+    * weeks × k rows, volume-independent. */
+  def kmvDailyRollup(spark: SparkSession, dir: String): DataFrame =
+    kmvDailyRollupOf(
+      Tables.events(spark, dir).select(col("event_type"), col("ts"),
+        col("user_id")),
+      KmvK)
+
+  private[graft] def kmvDailyRollupOf(ev: DataFrame, k: Int): DataFrame = {
+    import graft.functions.BottomKAgg
+    // the STORED sketch table: one bounded row per (type, day)
+    val daily = ev
+      .select(col("event_type"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("day"),
+        xxhash64(col("user_id")).as("h"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(BottomKAgg.bottomK(col("h"), col("h"), k).as("sk"))
+    // everything below reads sketches only
+    val weekly = daily
+      .select(col("event_type"), expr("day div 7").as("week"), col("day"),
+        explode(col("sk")).as("h"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count_distinct(col("day")).as("n_days"),
+        BottomKAgg.bottomK(col("h"), col("h"), k).as("skw"))
+    val cum = weekly.select(col("event_type"), col("week"))
+      .join(weekly.select(col("event_type"), col("week").as("w2"),
+        col("skw").as("sk2")), Seq("event_type"))
+      .filter(col("w2") <= col("week"))
+      .select(col("event_type"), col("week"), explode(col("sk2")).as("h"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(BottomKAgg.bottomK(col("h"), col("h"), k).as("skc"))
+    weekly.join(cum, Seq("event_type", "week"))
+      .select(col("event_type"), col("week"), col("n_days"),
+        kmvEstimate(col("skw"), k).as("users_week"),
+        kmvEstimate(col("skc"), k).as("users_cum"))
+      .orderBy(col("event_type"), col("week"))
   }
 
   /** A/B experiment readout — the product-analytics operator a
@@ -1474,6 +1542,7 @@ object Events extends QueryPack {
     "ev_conversion_latency" -> conversionLatency,
     "ev_uniq_upto"    -> uniqUpTo,
     "ev_kmv_overlap"  -> kmvOverlap,
+    "ev_kmv_daily_rollup" -> kmvDailyRollup,
     "ev_ab_test"      -> abTest,
     "ev_funnel_steps" -> funnelSteps,
     "ev_funnel_strict" -> funnelStrict,
@@ -2030,6 +2099,26 @@ object Events extends QueryPack {
         |       event_type,
         |       LEAST(COUNT(DISTINCT user_id), 26) AS uniq_upto
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_kmv_daily_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |               AS day,
+        |             user_id
+        |           FROM events),
+        |wk AS (SELECT event_type, day // 7 AS week,
+        |              COUNT(DISTINCT day) AS n_days,
+        |              COUNT(DISTINCT user_id) AS users_week
+        |       FROM e GROUP BY 1, 2),
+        |cu AS (SELECT w.event_type, w.week,
+        |              COUNT(DISTINCT e.user_id) AS users_cum
+        |       FROM (SELECT DISTINCT event_type, week FROM wk) w
+        |       JOIN e ON e.event_type = w.event_type
+        |             AND e.day // 7 <= w.week
+        |       GROUP BY 1, 2)
+        |SELECT wk.event_type, wk.week, wk.n_days, wk.users_week,
+        |       cu.users_cum
+        |FROM wk JOIN cu USING (event_type, week)
+        |ORDER BY event_type, week""".stripMargin,
     "ev_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Dev tooling (NOT part of the library): end-of-round artifact snapshot.
+#
+# Six consecutive verdicts flagged round artifacts (BENCH_r*.json,
+# CORRECTNESS_r*.json, LEAKCHECK.json, BENCH_FULL.json,
+# BENCH_CLEAN_r*.json, BENCH_X10_r*.json) left untracked or modified at
+# round end. Ownership note: the DRIVER's round-boundary commit sweeps
+# whatever the builder leaves (r12's d5283a0, r13's 1a2e6d5 did exactly
+# that), so nothing is ever lost — but running this as the LAST builder
+# action keeps `git status` clean and the artifact history attributable.
+#
+# Usage: tools/round_snapshot.sh [message]
+set -eu
+cd "$(dirname "$0")/.."
+MSG=${1:-"round artifacts snapshot"}
+# add only the known artifact families, never stray work files
+git add -A -- 'BENCH_r*.json' 'BENCH_CLEAN_r*.json' 'BENCH_X10_r*.json' \
+  'BENCH_FULL.json' 'CORRECTNESS_r*.json' 'LEAKCHECK.json' 'COPYCHECK.json' \
+  'SCALE.md' 'NOTES.md' 'NOTES-NEXT-ROUND.md' 2>/dev/null || true
+if git diff --cached --quiet; then
+  echo "[round_snapshot] nothing to snapshot; working tree clean for artifacts" >&2
+else
+  git commit -m "$MSG"
+  echo "[round_snapshot] committed: $MSG" >&2
+fi
