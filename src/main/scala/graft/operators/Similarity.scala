@@ -207,9 +207,12 @@ object Similarity extends QueryPack {
     * meaningful cosine neighbors. (The fixture corpus contains none; a
     * production ingest should drop or impute them upstream, mirroring
     * the nullif guard in quantizeInt8.) */
-  private def assignedCentBest(cents: Seq[(Int, Array[Float])],
-      eCol: String, nCol: String): Column =
-    aggregate(centArray(cents),
+  /** The argmax fold itself, over ANY array<struct<_1 id, _2 vec,
+    * _3 norm>> column — shared by the flat assignment (literal centroid
+    * table) and the coarse two-level assignment (a runtime-selected
+    * per-super slice of a nested literal). */
+  private def argmaxFold(arr: Column, eCol: String, nCol: String): Column =
+    aggregate(arr,
       struct(lit(Double.MinValue).as("best"), lit(-1).as("cid")),
       (acc, c) => {
         val cos = call_function("graft_dot", c.getField("_2"), col(eCol)) /
@@ -217,6 +220,10 @@ object Similarity extends QueryPack {
         when(cos > acc.getField("best"),
           struct(cos.as("best"), c.getField("_1").as("cid"))).otherwise(acc)
       })
+
+  private def assignedCentBest(cents: Seq[(Int, Array[Float])],
+      eCol: String, nCol: String): Column =
+    argmaxFold(centArray(cents), eCol, nCol)
 
   private def assignedCentId(cents: Seq[(Int, Array[Float])],
       eCol: String, nCol: String): Column =
@@ -657,9 +664,17 @@ object Similarity extends QueryPack {
       .withColumn("a", assignedCentBest(cents, "embedding", "nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("a.cid").cast("long").as("cluster_id"), col("a.best").as("ccos"))
-    // hot-cluster guard: membership count as a window over the SAME
-    // cluster_id partitioning the pair join needs — no extra exchange.
-    // Over-cap clusters contribute no pairs (every member kept).
+    semPrune(asn)
+  }
+
+  /** The SemDeDup drop stage over ANY (vec_id, embedding, nrm,
+    * cluster_id, ccos) assignment — shared by the flat and coarse
+    * clusterings; the drop rule never cares how cluster ids were
+    * produced. Hot-cluster guard: membership count as a window over the
+    * SAME cluster_id partitioning the pair join needs — no extra
+    * exchange. Over-cap clusters contribute no pairs (every member
+    * kept). */
+  private def semPrune(asn: DataFrame): DataFrame = {
     val safe = asn
       .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .filter(col("cn") <= SemClusterCap)
@@ -675,6 +690,80 @@ object Similarity extends QueryPack {
     asn.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster_id"), col("ccos").as("centroid_cosine"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Sequential left-to-right double fold — the [[VectorOps]] contract,
+    * driver-side (used for the bounded centroid→super bookkeeping). */
+  private def fdot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** [[semanticDedup]] with a TWO-LEVEL (coarse-quantizer) assignment —
+    * the scale path for the one quadratic term the flat key keeps:
+    * with k ∝ n derived centroids, the flat argmax is O(k·d) per row,
+    * quadratic in corpus size overall. Here ⌈√k⌉ SUPER-centroids (every
+    * ⌈k/⌈√k⌉⌉-th centroid — exemplar determinism again) partition the
+    * centroid table on the driver (k×√k bounded bookkeeping; each super
+    * seed is pinned to its own group, so no group is empty), and a row
+    * assigns in two map-side folds: nearest super over ⌈√k⌉, then
+    * nearest centroid within that super's slice of ONE nested literal —
+    * O(√k·d) expected per row, the faiss IVF-assignment shape. The
+    * clustering is a different (coarser-boundary) partition than the
+    * flat key's, so this is its own key, not a drop-in: everything
+    * downstream ([[semPrune]] — priority, τ, cap, output) is shared.
+    * Worst-case honesty: a super owning most centroids degrades its
+    * rows toward O(k·d) — skew in the CENTROID table, bounded by the
+    * spec's per-super fanout telemetry, and at production scale the
+    * standard fix is one more level (a tree), same machinery.
+    * Rows-only (the two-level argmax is SQL-expressible but the nested
+    * replay is past the oracle chain budget); DedupSimilaritySpec
+    * replays the whole decision brute-force on the fixture AND the
+    * clustered corpus. */
+  def semanticDedupCoarse(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = semCentroids(spark, c, 0)
+    val k = cents.size
+    val nSup = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sstride = math.max(1, (k + nSup - 1) / nSup)
+    val supers: Seq[(Int, Array[Float])] = cents.zipWithIndex.collect {
+      case ((_, v), i) if i % sstride == 0 => (i / sstride, v)
+    }
+    val supNorm = supers.map { case (sid, v) => sid -> math.sqrt(fdot(v, v)) }.toMap
+    // centroid → super: argmax by cosine, ties to the lowest sid; a
+    // super SEED belongs to its own group by definition (an identical
+    // earlier vector would otherwise tie-steal it and leave the group
+    // empty while rows still route to it)
+    val bySup: Seq[Seq[(Int, Array[Float])]] = {
+      val assigned = cents.zipWithIndex.map { case ((cid, v), i) =>
+        val sid =
+          if (i % sstride == 0) i / sstride
+          else {
+            val n = math.sqrt(fdot(v, v))
+            var best = Double.MinValue
+            var b = -1
+            supers.foreach { case (s, sv) =>
+              val cos = fdot(sv, v) / (n * supNorm(s))
+              if (cos > best) { best = cos; b = s }
+            }
+            b
+          }
+        (sid, cid, v)
+      }
+      supers.map { case (sid, _) =>
+        assigned.filter(_._1 == sid).map(t => (t._2, t._3)) }
+    }
+    val nested = typedlit(bySup.map(_.map { case (cid, vec) =>
+      (cid, vec.toSeq, math.sqrt(fdot(vec, vec))) }))
+    val asn = c
+      .withColumn("sid", assignedCentBest(supers, "embedding", "nrm").getField("cid"))
+      .withColumn("a",
+        argmaxFold(element_at(nested, col("sid") + 1), "embedding", "nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("a.cid").cast("long").as("cluster_id"), col("a.best").as("ccos"))
+    semPrune(asn)
   }
 
   /** The overflow side of [[SemClusterCap]]: every cluster the pair
@@ -694,6 +783,7 @@ object Similarity extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic"      -> semanticDedup,
+    "dedup_semantic_coarse" -> semanticDedupCoarse,
     "sim_topk_bruteforce" -> topKBruteForce,
     "sim_range_search"    -> rangeSearch,
     "sim_topk_codegen"    -> topKCodegen,

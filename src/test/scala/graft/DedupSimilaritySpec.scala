@@ -357,6 +357,82 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(drops2 > 250, s"dense regime should drop most docs (Lloyd), got $drops2")
   }
 
+  /** Brute-force Scala re-derivation of the COARSE (two-level) SemDeDup
+    * decision — super argmax, within-super centroid argmax (super seeds
+    * pinned to their own group), then the shared drop rule + cap —
+    * asserting equality with the operator and the structural laws. */
+  private def semDedupCoarseCheck(dir: String): Int = {
+    val raw = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val emb = raw.toMap
+    val cDf = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.norm("embedding").as("nrm"))
+    val cents = Similarity.semCentroids(spark, cDf, 0)
+    val k = cents.size
+    val nSup = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sstride = math.max(1, (k + nSup - 1) / nSup)
+    val supers = cents.zipWithIndex.collect {
+      case ((_, v), i) if i % sstride == 0 => (i / sstride, v) }
+    def argmax(cands: Seq[(Int, Array[Float])], e: Array[Float]): (Int, Double) = {
+      var best = Double.MinValue; var b = -1
+      cands.foreach { case (id, v) =>
+        val cos = dot(v, e) / (nrm(e) * nrm(v))
+        if (cos > best) { best = cos; b = id }
+      }
+      (b, best)
+    }
+    val bySup = {
+      val assigned = cents.zipWithIndex.map { case ((cid, v), i) =>
+        val sid = if (i % sstride == 0) i / sstride else argmax(supers, v)._1
+        (sid, cid, v)
+      }
+      supers.map { case (sid, _) =>
+        sid -> assigned.filter(_._1 == sid).map(t => (t._2, t._3)) }.toMap
+    }
+    // per-super fanout telemetry: the worst-case degradation bound
+    assert(bySup.values.forall(_.nonEmpty), "no empty super groups")
+    val asn = raw.map { case (id, e) =>
+      val sid = argmax(supers, e)._1
+      val (cid, best) = argmax(bySup(sid), e)
+      (id, cid.toLong, best)
+    }
+    assert(asn.forall(_._2 >= 0), "no row may fall into the -1 bucket")
+    val byCluster = asn.groupBy(_._2)
+    val dropped: Set[Long] = byCluster.values.flatMap { members =>
+      if (members.size > Similarity.SemClusterCap) Nil
+      else for {
+        (ida, _, ca) <- members.toSeq
+        (idb, _, cb) <- members.toSeq
+        if (cb < ca || (cb == ca && idb < ida)) &&
+          dot(emb(ida), emb(idb)) / (nrm(emb(ida)) * nrm(emb(idb))) >= Similarity.SemTau
+      } yield ida
+    }.toSet
+    val expect = asn.filterNot(r => dropped(r._1)).map(r => (r._1, r._2, r._3)).toSet
+    val got = Similarity.semanticDedupCoarse(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"coarse kept set diverged in $dir: missing=${(expect -- got).take(3)} " +
+        s"extra=${(got -- expect).take(3)}")
+    assert(got.size + dropped.size == raw.length, "kept+dropped must partition")
+    dropped.size
+  }
+
+  test("coarse semantic dedup equals a brute-force two-level recompute (fixture + clustered)") {
+    semDedupCoarseCheck(TestSpark.Sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semcoarse").toString
+    graft.sources.SyntheticEmbeddings.writeFixture(spark, dir, 500)
+    val drops = semDedupCoarseCheck(dir)
+    assert(drops > 250, s"dense regime should drop most docs, got $drops")
+  }
+
   test("semantic dedup refuses a planted giant cluster bounded; normal clusters still prune") {
     // 2048 EXACTLY identical vectors: every exemplar seed is that same
     // vector, every centroid cosine ties at 1.0, and the strict-> argmax
