@@ -827,16 +827,29 @@ object Events extends QueryPack {
         col("user_id")),
       KmvK)
 
-  private[graft] def kmvDailyRollupOf(ev: DataFrame, k: Int): DataFrame = {
+  private[graft] def kmvDailyRollupOf(ev: DataFrame, k: Int): DataFrame =
+    kmvRollupFromDaily(kmvDailySketches(ev, k), k)
+
+  /** The STORED sketch table: one bounded row per (type, day) —
+    * (event_type, day, sk: array<bigint> of the ≤k smallest distinct
+    * user-id hashes, ascending). [[graft.streaming.EventStream
+    * .kmvDailyStream]] maintains the SAME table incrementally; the
+    * sketch is a lattice (k smallest distinct hashes — commutative,
+    * idempotent merge), so stream and batch agree bit-for-bit, pinned
+    * by StreamingSpec. */
+  private[graft] def kmvDailySketches(ev: DataFrame, k: Int): DataFrame = {
     import graft.functions.BottomKAgg
-    // the STORED sketch table: one bounded row per (type, day)
-    val daily = ev
-      .select(col("event_type"),
+    ev.select(col("event_type"),
         expr("cast(unix_date(to_date(ts)) as bigint)").as("day"),
         xxhash64(col("user_id")).as("h"))
       .groupBy(col("event_type"), col("day"))
       .agg(BottomKAgg.bottomK(col("h"), col("h"), k).as("sk"))
-    // everything below reads sketches only
+  }
+
+  /** Weekly + cumulative rollup over a stored (event_type, day, sk)
+    * sketch table — reads sketches ONLY, never events. */
+  private[graft] def kmvRollupFromDaily(daily: DataFrame, k: Int): DataFrame = {
+    import graft.functions.BottomKAgg
     val weekly = daily
       .select(col("event_type"), expr("day div 7").as("week"), col("day"),
         explode(col("sk")).as("h"))

@@ -86,6 +86,59 @@ object EventStream {
         .as("est_users"))
       .select(to_date(col("window.start")).as("day"), col("est_users"))
 
+  case class KmvState(sk: Seq[Long], n: Long)
+  case class KmvDailyOut(event_type: String, day: Long, n_seen: Long,
+      sk: Seq[Long])
+
+  /** Streaming twin of the STORED KMV sketch table
+    * ([[graft.operators.Events.kmvDailySketches]]) — the ingest half of
+    * the warehouse sketch-table pattern: one bounded sketch per
+    * (event_type, day) maintained incrementally in the state store,
+    * emitted on every update; the sink upserts the latest row per key
+    * and the batch rollup ([[graft.operators.Events.kmvRollupFromDaily]])
+    * reads that table unchanged for arbitrary date-range merges.
+    *
+    * Bit-equality claim (pinned by StreamingSpec across MULTIPLE
+    * micro-batches): the KMV sketch is a LATTICE — the set of the k
+    * smallest DISTINCT hashes — so insertion order, duplicate
+    * re-arrivals, and micro-batch boundaries cannot change the
+    * converged state; the streamed table equals the batch aggregate
+    * bit-for-bit, and therefore so does every rollup derived from it.
+    * The hash stays Catalyst's `xxhash64`, computed BEFORE groupByKey,
+    * so the state handler never re-implements it. State is ≤ k longs
+    * per (type, day) key regardless of event volume — the 100 TB
+    * property that makes the pattern viable as a stream. */
+  def kmvDailyStream(spark: SparkSession, eventsDir: String,
+      k: Int = 32768): Dataset[KmvDailyOut] = {
+    import spark.implicits._
+    val rows = readEvents(spark, eventsDir)
+      .select(col("event_type"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("day"),
+        xxhash64(col("user_id")).as("h"))
+      .as[(String, Long, Long)]
+    rows.groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState[KmvState, KmvDailyOut](GroupStateTimeout.NoTimeout()) {
+        case ((tpe, day), it, state) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          state.getOption.foreach(s => set ++= s.sk)
+          it.foreach { case (_, _, h) =>
+            n += 1
+            if (set.size < k) set += h
+            // the contains-guard matters: += on a present member is a
+            // no-op and the -= would then evict the true max
+            else if (h < set.last && !set.contains(h)) {
+              set += h; set -= set.last
+            }
+          }
+          val arr = set.toSeq
+          state.update(KmvState(arr, n))
+          // n_seen is exact processed-row telemetry; its max marks the
+          // key's LAST emission in an update-mode sink
+          KmvDailyOut(tpe, day, n, arr)
+      }
+  }
+
   /** Stream-static enrichment: the event stream joined to a static
     * dimension (broadcast per micro-batch; the static side may be
     * refreshed between batches). Spark plans this with no stream-side

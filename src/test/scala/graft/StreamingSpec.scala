@@ -579,4 +579,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(worstType <= 488L * 24L,
       s"per-type grid $worstType must respect the hard bound")
   }
+
+  test("streaming KMV sketch table equals batch bit-for-bit ACROSS micro-batches; rollup agrees") {
+    // a two-file landing zone consumed as TWO micro-batches (second file
+    // lands while the query runs) — the lattice claim under real
+    // batch-boundary merging, with a shrunk k = 8 so eviction actually
+    // exercises across the boundary
+    val k = 8
+    val d = java.nio.file.Files.createTempDirectory("graft-kmvstream")
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kmvhalf").toString
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    stage(col("event_id") % 2 === 0, "a.parquet")
+    val q = EventStream.kmvDailyStream(spark, d.toString, k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_stream_out").start()
+    try {
+      q.processAllAvailable()
+      stage(col("event_id") % 2 === 1, "b.parquet")
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val emissions = spark.table("kmv_stream_out")
+      .as[(String, Long, Long, Seq[Long])].collect()
+    // keys spanning both halves emitted twice — proves ≥ 2 micro-batches
+    assert(emissions.length >
+      emissions.map(r => (r._1, r._2)).distinct.length,
+      "some key must be updated across two micro-batches")
+    // last emission per key = max n_seen (exact processed-row counter)
+    val streamed = emissions.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._3) }.toSet
+    val batchSk = graft.operators.Events
+      .kmvDailySketches(ev.select(col("event_type"), col("ts"), col("user_id")), k)
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    assert(streamed.map(r => (r._1, r._2, r._4)) == batchSk,
+      "streamed sketch table must equal the batch aggregate bit-for-bit")
+    // n_seen telemetry = exact per-key event counts
+    val counts = ev.groupBy(col("event_type"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("day"))
+      .count().as[(String, Long, Long)].collect().toSet
+    assert(streamed.map(r => (r._1, r._2, r._3)) == counts)
+    // the whole warehouse pattern: the batch rollup over the STREAMED
+    // table equals the batch end-to-end rollup
+    val streamedDf = streamed.toSeq.toDF("event_type", "day", "n_seen", "sk")
+      .select(col("event_type"), col("day"), col("sk"))
+    val rollFromStream = graft.operators.Events
+      .kmvRollupFromDaily(streamedDf, k)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val rollBatch = graft.operators.Events
+      .kmvDailyRollupOf(ev.select(col("event_type"), col("ts"), col("user_id")), k)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(rollFromStream == rollBatch)
+    assert(rollBatch.nonEmpty)
+  }
 }
