@@ -692,6 +692,23 @@ object Dedup extends QueryPack {
     // join back — two exchanges and two join stages deleted vs the
     // round-13 form, with identical results (min-per-group is the same
     // value wherever it is computed).
+    componentMapOf(docs, pairsOf)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component").as("canon_id"),
+        col("n_members"),
+        (col("doc_id") === col("component")).cast("long").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared component stage under the canonical-map family: every
+    * doc labeled with the MIN doc_id of its near-dup connected
+    * component, through the width-gated exact-digest collapse —
+    * returned undecorated as (doc_id, component) so keeper POLICIES
+    * ([[canonicalMap]]'s min-id, [[canonicalBest]]'s quality-argmax)
+    * layer on top without re-running the pair stage. */
+  private[graft] def componentMapOf(docs: DataFrame,
+      pairsOf: DataFrame => DataFrame): DataFrame = {
     val widthOk = coalesce(expr("size(split(text, ' ')) >= 3"), lit(false))
     val withRep = docs.select(col("doc_id"),
       when(widthOk, md5(col("text").cast("binary")))
@@ -705,12 +722,7 @@ object Dedup extends QueryPack {
     val repComp = Curation.componentsOf(repIds, pairs)
       .select(col("doc_id").as("rep"), col("component"))
     withRep.join(repComp, Seq("rep"))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("component"))))
-      .select(col("doc_id"), col("component").as("canon_id"),
-        col("n_members"),
-        (col("doc_id") === col("component")).cast("long").as("is_canonical"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("component"))
   }
 
   /** [[canonicalMap]] with the edge set swapped from the exact PPJoin
@@ -732,9 +744,46 @@ object Dedup extends QueryPack {
     canonicalMapOf(Tables.documents(spark, dir),
       d => minhashLshOf(d, HotBucketCap).select(col("doc_a"), col("doc_b")))
 
+  /** [[canonicalMap]] with the keep-BEST policy: every doc (including
+    * the dropped copies — this is the REDIRECT table, not the kept set)
+    * maps to the highest-quality member of its near-dup cluster
+    * (distinct_ratio desc, doc_id tie-break — the
+    * [[graft.operators.Curation.canonicalDocs]] argmax device at map
+    * granularity). Where `cur_canonical` returns only the surviving
+    * quality-gated keepers, this key answers "every old id redirects
+    * WHERE" — the artifact that rewrites references when dedup keeps
+    * the best copy rather than the first. The keeper choice is
+    * deliberately ungated: a cluster whose every member fails the
+    * quality gate still needs a canonical target (gating is the
+    * CONSUMER's filter).
+    *
+    * ORACLE-PAIRED like its min-id sibling: same recursive-CTE
+    * components, plus the distinct-ratio replay (exact token algebra)
+    * and the same argmax window — keeper selection verified
+    * cross-engine. Scale: [[componentMapOf]] unchanged, one extra
+    * component-keyed window pass (first_value rides the same sort as
+    * the membership count). */
+  def canonicalBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comp = componentMapOf(docs,
+      d => ngramJaccardOf(hashedShinglesOf(d)).select(col("doc_a"), col("doc_b")))
+    val dr = docs.selectExpr("doc_id",
+      "cast(size(array_distinct(split(text, ' '))) as double) / size(split(text, ' ')) as dr")
+    val wBest = Window.partitionBy(col("component"))
+      .orderBy(col("dr").desc_nulls_last, col("doc_id"))
+    comp.join(dr, Seq("doc_id"))
+      .withColumn("canon_id", first(col("doc_id")).over(wBest))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("canon_id"), col("n_members"),
+        (col("doc_id") === col("canon_id")).cast("long").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_canonical_map" -> canonicalMap,
     "dedup_canonical_map_lsh" -> canonicalMapLsh,
+    "dedup_canonical_best" -> canonicalBest,
     "dedup_incremental"   -> incremental,
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -751,6 +800,32 @@ object Dedup extends QueryPack {
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
       |  i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i + 1],
       |                 string_split(text, ' ')[i + 2])))""".stripMargin
+
+  /** Shared recursive-CTE body for the canonical-map oracles: exact
+    * near-dup pairs → symmetric edges → reachability closure → min-id
+    * component per doc (`lab`) + component sizes (`sz`). */
+  private lazy val canonLabCtes =
+    s"""WITH RECURSIVE
+       |sh AS (SELECT doc_id, $dShingles AS s FROM documents),
+       |e0 AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+       |             any_value(a.n) AS na, any_value(b.n) AS nb
+       |      FROM e0 a JOIN e0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |prs AS (SELECT doc_a, doc_b FROM p
+       |        WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+       |canon AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canon_id
+       |          FROM reach GROUP BY u),
+       |lab AS (SELECT d.doc_id, COALESCE(c.canon_id, d.doc_id) AS canon_id
+       |        FROM (SELECT doc_id FROM documents) d
+       |        LEFT JOIN canon c ON c.doc_id = d.doc_id),
+       |sz AS (SELECT canon_id, COUNT(*) AS n_members FROM lab GROUP BY 1)""".stripMargin
 
   /** Stats CTE trio over a bucket relation `rel(n)` for the
     * [[blockStats]] oracle — the same histogram/cum/integer-rank math
@@ -811,32 +886,28 @@ object Dedup extends QueryPack {
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_canonical_map" ->
-      s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, $dShingles AS s FROM documents),
-         |e0 AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
-         |             any_value(a.n) AS na, any_value(b.n) AS nb
-         |      FROM e0 a JOIN e0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
-         |prs AS (SELECT doc_a, doc_b FROM p
-         |        WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-         |          UNION ALL SELECT doc_b, doc_a FROM prs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-         |canon AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canon_id
-         |          FROM reach GROUP BY u),
-         |lab AS (SELECT d.doc_id, COALESCE(c.canon_id, d.doc_id) AS canon_id
-         |        FROM (SELECT doc_id FROM documents) d
-         |        LEFT JOIN canon c ON c.doc_id = d.doc_id),
-         |sz AS (SELECT canon_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
+      s"""$canonLabCtes
          |SELECT lab.doc_id, lab.canon_id, sz.n_members,
          |       CAST(CASE WHEN lab.doc_id = lab.canon_id THEN 1 ELSE 0 END
          |            AS BIGINT) AS is_canonical
          |FROM lab JOIN sz USING (canon_id)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_canonical_best" ->
+      s"""$canonLabCtes,
+         |dr AS (SELECT doc_id,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS dr
+         |       FROM documents),
+         |keep AS (SELECT lab.canon_id AS component, lab.doc_id AS keeper,
+         |                ROW_NUMBER() OVER (PARTITION BY lab.canon_id
+         |                  ORDER BY dr.dr DESC NULLS LAST, lab.doc_id) AS rk
+         |         FROM lab JOIN dr USING (doc_id))
+         |SELECT lab.doc_id, k.keeper AS canon_id, sz.n_members,
+         |       CAST(CASE WHEN lab.doc_id = k.keeper THEN 1 ELSE 0 END
+         |            AS BIGINT) AS is_canonical
+         |FROM lab JOIN keep k ON k.component = lab.canon_id AND k.rk = 1
+         |JOIN sz ON sz.canon_id = lab.canon_id
+         |ORDER BY lab.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $dShingles AS s FROM documents),
          |e AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),

@@ -493,6 +493,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (5L, 5L, 2L, 1L), (6L, 5L, 2L, 0L)), s"got $got")
   }
 
+  test("canonical best: keeper is the quality argmax, not the min id; partitions match the map") {
+    // a 3-doc chain where the MIN-id member has the WORST quality: doc
+    // 10 duplicates an interior token (dr 29/30) while 11 and 12 are
+    // fully distinct (dr 1.0, tie → lowest id 11). The redirect target
+    // must be 11 — distinguishable from the min-id policy's 10.
+    val base = (1 to 30).map(i => s"a$i")
+    val docs = Seq(
+      (10L, base.updated(24, "a1").mkString(" ")),
+      (11L, base.mkString(" ")),
+      (12L, base.updated(5, "zz").mkString(" ")),
+      (13L, (1 to 30).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{col, first, count, lit}
+    val comp = Dedup.componentMapOf(docs,
+      d => Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(d))
+        .select(col("doc_a"), col("doc_b")))
+    val dr = docs.selectExpr("doc_id",
+      "cast(size(array_distinct(split(text, ' '))) as double) / size(split(text, ' ')) as dr")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      .orderBy(col("dr").desc_nulls_last, col("doc_id"))
+    val got = comp.join(dr, Seq("doc_id"))
+      .withColumn("canon_id", first(col("doc_id")).over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("canon_id"), col("n_members"),
+        (col("doc_id") === col("canon_id")).cast("long").as("is_canonical"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L, 3L, 0L), (11L, 11L, 3L, 1L),
+      (12L, 11L, 3L, 0L), (13L, 13L, 1L, 1L)), s"got $got")
+    // fixture-level laws: same cluster PARTITION as the min-id map
+    // (only labels differ), and every keeper maximizes dr in-cluster
+    val best = Dedup.canonicalBest(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val mapm = Dedup.canonicalMap(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    def parts(rows: Array[(Long, Long, Long, Long)]) =
+      rows.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(parts(best) == parts(mapm), "cluster partitions must agree")
+    val drFix = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("doc_id",
+        "cast(size(array_distinct(split(text, ' '))) as double) / size(split(text, ' ')) as dr")
+      .as[(Long, Double)].collect().toMap
+    best.groupBy(_._2).foreach { case (canon, members) =>
+      val ids = members.map(_._1)
+      assert(ids.contains(canon), "keeper must be a member")
+      val (bd, bid) = ids.map(i => (drFix(i), i))
+        .minBy { case (d, i) => (-d, i) }
+      assert(canon == bid, s"keeper $canon vs argmax ($bd, $bid)")
+    }
+  }
+
   test("canonical map over LSH edges equals the exact-edge map on the fixture") {
     // the LSH pair set == exact pair set is pinned above, so the whole
     // doc → keeper mapping must agree bit-for-bit.
