@@ -136,8 +136,20 @@ object Curation extends QueryPack {
     val edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint()
     if (GraftBridge.checkpointStorageBytes(edges) <= driverMaxEdgeBytes) {
       import nodes.sparkSession.implicits._
-      val es = edges.as[(Long, Long)].collect()
+      val es0 = edges.as[(Long, Long)].collect()
       GraftBridge.releaseLocalCheckpoint(edges)
+      // Drop edges with PHANTOM endpoints (ids absent from `nodes`) —
+      // the distributed loop below drops them implicitly at the label
+      // join, and without this filter a phantom id could transitively
+      // glue two real components on this side of the byte gate only.
+      // The membership probe is bounded: one semi-join of `nodes`
+      // against the (small, already-collected) touched-id set.
+      val touchedIds = es0.iterator
+        .flatMap(e => Iterator(e._1, e._2)).toSet[Long].toSeq
+      val present = nodes.select(col("doc_id"))
+        .join(broadcast(touchedIds.toDF("doc_id")), Seq("doc_id"), "leftsemi")
+        .as[Long].collect().toSet
+      val es = es0.filter(e => present(e._1) && present(e._2))
       // min-label union-find: attaching the larger root under the
       // smaller keeps every root the MIN of its set, independent of
       // edge order — the same labels the distributed fixpoint reaches.

@@ -215,8 +215,13 @@ object Similarity extends QueryPack {
     aggregate(arr,
       struct(lit(Double.MinValue).as("best"), lit(-1).as("cid")),
       (acc, c) => {
-        val cos = call_function("graft_dot", c.getField("_2"), col(eCol)) /
-          (col(nCol) * c.getField("_3"))
+        // try_divide: a zero-norm row's cosine is NULL (ANSI mode makes
+        // a plain divide THROW on /0, even for doubles), NULL > x is
+        // never true, so the fold keeps cid -1 — the documented
+        // undefined-direction degradation instead of a task failure
+        val cos = try_divide(
+          call_function("graft_dot", c.getField("_2"), col(eCol)),
+          col(nCol) * c.getField("_3"))
         when(cos > acc.getField("best"),
           struct(cos.as("best"), c.getField("_1").as("cid"))).otherwise(acc)
       })
@@ -675,7 +680,12 @@ object Similarity extends QueryPack {
     * exchange. Over-cap clusters contribute no pairs (every member
     * kept). */
   private def semPrune(asn: DataFrame): DataFrame = {
+    // cluster -1 (zero-norm/NaN rows — no direction) never enters the
+    // pair stage: its members have no meaningful cosine to anything
+    // (and an unguarded 0·0 denominator would THROW under ANSI); they
+    // are all kept, exactly like an over-cap refused cluster
     val safe = asn
+      .filter(col("cluster_id") >= 0)
       .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .filter(col("cn") <= SemClusterCap)
     val hi = safe.select(col("cluster_id"), col("vec_id").as("id_a"),
@@ -722,9 +732,16 @@ object Similarity extends QueryPack {
     * replay is past the oracle chain budget); DedupSimilaritySpec
     * replays the whole decision brute-force on the fixture AND the
     * clustered corpus. */
-  def semanticDedupCoarse(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
-    val cents = semCentroids(spark, c, 0)
+  def semanticDedupCoarse(spark: SparkSession, dir: String): DataFrame =
+    semPrune(coarseAssign(corpus(spark, dir), semCentroids(spark,
+      corpus(spark, dir), 0)))
+
+  /** The two-level (super → centroid) assignment itself, shared by the
+    * coarse dedup key and its hot-cluster telemetry so the cap's triage
+    * view reports the SAME partition the pair stage refuses over.
+    * Output grain: (vec_id, embedding, nrm, cluster_id, ccos). */
+  private[graft] def coarseAssign(c: DataFrame,
+      cents: Seq[(Int, Array[Float])]): DataFrame = {
     val k = cents.size
     val nSup = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val sstride = math.max(1, (k + nSup - 1) / nSup)
@@ -757,29 +774,52 @@ object Similarity extends QueryPack {
     }
     val nested = typedlit(bySup.map(_.map { case (cid, vec) =>
       (cid, vec.toSeq, math.sqrt(fdot(vec, vec))) }))
-    val asn = c
-      .withColumn("sid", assignedCentBest(supers, "embedding", "nrm").getField("cid"))
-      .withColumn("a",
-        argmaxFold(element_at(nested, col("sid") + 1), "embedding", "nrm"))
+    // zero-norm/NaN guard: such a row's super argmax stays -1 (NaN > x
+    // is never true), and element_at(nested, 0) is a runtime error in
+    // Spark regardless of ANSI mode — degrade exactly as the flat fold
+    // does (cluster_id -1, ccos Double.MinValue) instead of crashing
+    c.withColumn("sid",
+        assignedCentBest(supers, "embedding", "nrm").getField("cid"))
+      .withColumn("a", when(col("sid") >= 0,
+          argmaxFold(element_at(nested, col("sid") + 1), "embedding", "nrm"))
+        .otherwise(struct(lit(Double.MinValue).as("best"), lit(-1).as("cid"))))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("a.cid").cast("long").as("cluster_id"), col("a.best").as("ccos"))
-    semPrune(asn)
   }
 
-  /** The overflow side of [[SemClusterCap]]: every cluster the pair
-    * stage refused to expand, with its membership — the triage view on
-    * a pathologically concentrated corpus. Empty on healthy corpora
+  /** The overflow side of [[SemClusterCap]] over ANY assignment frame
+    * (cluster_id column) — every cluster [[semPrune]]'s cap refused to
+    * expand, with its membership. */
+  private def hotClustersOf(asn: DataFrame, cap: Int): DataFrame =
+    asn.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+      .orderBy(col("cluster_id"))
+
+  /** Hot-cluster triage view under the FLAT exemplar assignment (the
+    * [[semanticDedup]] partition): every cluster the pair stage refused
+    * to expand, with its membership — the triage view on a
+    * pathologically concentrated corpus. Empty on healthy corpora
     * (fixture max membership 34), so not a driver key;
     * DedupSimilaritySpec plants a 2k-member cluster against it. */
   private[graft] def semanticHotClusters(spark: SparkSession, c: DataFrame,
       cap: Int = SemClusterCap): DataFrame = {
     val cents = semCentroids(spark, c, 0)
-    c.withColumn("a", assignedCentBest(cents, "embedding", "nrm"))
-      .groupBy(col("a.cid").cast("long").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .filter(col("n_members") > cap)
-      .orderBy(col("cluster_id"))
+    hotClustersOf(
+      c.withColumn("a", assignedCentBest(cents, "embedding", "nrm"))
+        .select(col("a.cid").cast("long").as("cluster_id")), cap)
   }
+
+  /** Hot-cluster triage view under the COARSE two-level assignment —
+    * the partition [[semanticDedupCoarse]]'s cap actually refuses over
+    * is a different (coarser-boundary) one than the flat key's, so it
+    * gets its own telemetry counterpart rather than borrowing the
+    * flat view. */
+  private[graft] def semanticHotClustersCoarse(spark: SparkSession,
+      c: DataFrame, cap: Int = SemClusterCap): DataFrame =
+    hotClustersOf(
+      coarseAssign(c, semCentroids(spark, c, 0)).select(col("cluster_id")),
+      cap)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic"      -> semanticDedup,

@@ -100,15 +100,19 @@ object GraftBridge {
       .filter(i => ids.contains(i.id))
     // An EMPTY checkpoint (0 partitions, e.g. AQE-coalesced empty
     // frame) legitimately stores no blocks — size 0 is the truth, not
-    // an unknown. A nonempty checkpoint with no reported blocks is the
-    // unknown case (blocks evicted under memory pressure between the
-    // eager checkpoint and this probe, or never materialized): report
-    // Long.MaxValue so size-gated callers take the BIG-graph path —
-    // same safety direction as failing (small-graph levers never arm
-    // on an unknown size) but the job survives, degrading to the
-    // all-shuffle plan instead of aborting. The exception above stays
-    // reserved for the no-LogicalRDD misuse case.
-    if (infos.isEmpty && rdds.exists(_.getNumPartitions > 0)) Long.MaxValue
+    // an unknown. A checkpoint reporting FEWER cached partitions than
+    // the RDDs hold (including zero) is the unknown case: blocks
+    // evicted under memory pressure between the eager checkpoint and
+    // this probe — a PARTIAL eviction would otherwise under-report and
+    // could mis-arm a size-gated caller's small path. Report
+    // Long.MaxValue so such callers take the BIG-graph path — same
+    // safety direction as failing (small-graph levers never arm on an
+    // unknown size) but the job survives, degrading to the all-shuffle
+    // plan instead of aborting. The exception above stays reserved for
+    // the no-LogicalRDD misuse case.
+    val totalParts = rdds.map(_.getNumPartitions.toLong).sum
+    val cachedParts = infos.map(_.numCachedPartitions.toLong).sum
+    if (cachedParts < totalParts) Long.MaxValue
     else infos.map(i => i.memSize + i.diskSize).sum
   }
 

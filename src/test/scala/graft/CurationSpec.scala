@@ -55,6 +55,24 @@ class CurationSpec extends AnyFunSuite {
       && fast.contains((6L, 5L)) && fast.contains((20L, 20L)) && fast.contains((39L, 39L)))
   }
 
+  test("componentsOf: phantom edge endpoints glue nothing on either side of the byte gate") {
+    // id 100 is absent from `nodes`: the distributed loop drops (2,100)
+    // and (100,3) at the label join, so 2 and 3 must NOT merge through
+    // the phantom; the driver fast path must filter identically instead
+    // of transitively gluing them through the union-find.
+    val nodes = (0L until 10L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 100L), (100L, 3L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val fast = Curation.componentsOf(nodes, edges)
+      .as[(Long, Long)].collect().toSet
+    val loop = Curation.componentsOf(nodes, edges, driverMaxEdgeBytes = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == loop,
+      s"fastOnly=${(fast -- loop).take(5)} loopOnly=${(loop -- fast).take(5)}")
+    assert(fast.contains((2L, 1L)) && fast.contains((3L, 3L)) &&
+      fast.contains((5L, 4L)), s"got $fast")
+  }
+
   test("curated corpus: representatives only, quality-gated, sizes consistent") {
     val rows = Curation.curatedCorpus(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long)].collect()

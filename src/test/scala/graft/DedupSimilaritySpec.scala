@@ -471,6 +471,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorOps.norm("embedding").as("nrm"))
     assert(Similarity.semanticHotClusters(spark, cFix).isEmpty)
+    // the COARSE two-level partition refuses over its OWN assignment —
+    // telemetry must report the hot cluster under that partition too
+    // (here the identical block lands in coarse cluster 0 as well)
+    val hotCoarse = Similarity.semanticHotClustersCoarse(spark, c)
+      .as[(Long, Long)].collect().toSeq
+    assert(hotCoarse == Seq((0L, 2048L)), s"coarse hot-cluster telemetry: $hotCoarse")
+    assert(Similarity.semanticHotClustersCoarse(spark, cFix).isEmpty)
+  }
+
+  test("zero-norm embedding: flat and coarse semantic dedup degrade identically (no crash)") {
+    // an all-zero vector has no direction: every cosine is NaN, the
+    // argmax fold keeps cid -1, and the coarse path's nested
+    // element_at(..., sid + 1) would be a runtime index-0 error without
+    // the sid >= 0 guard — both variants must instead keep the row in
+    // the -1 bucket
+    val a = Array.tabulate(64)(i => (math.sin(i + 1.0) * 0.5).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zeronorm").toString
+    // TWO zero rows: the -1 bucket must also stay out of the pair
+    // stage (a 0-norm × 0-norm pair would divide by zero there)
+    val rows = (0L until 61L).map { i =>
+      if (i == 37L || i == 41L) (i, Array.fill(64)(0.0f).toSeq)
+      else (i, a.map(x => x * (1.0f + i * 0.01f)).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        lit(0).as("label"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val flat = Similarity.semanticDedup(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val coarse = Similarity.semanticDedupCoarse(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    for (id <- Seq(37L, 41L)) {
+      assert(flat.exists(r => r._1 == id && r._2 == -1L),
+        s"flat must keep zero vector $id in the -1 bucket: ${flat.filter(_._1 == id).toSeq}")
+      assert(coarse.exists(r => r._1 == id && r._2 == -1L),
+        s"coarse must keep zero vector $id in the -1 bucket: ${coarse.filter(_._1 == id).toSeq}")
+    }
   }
 
   test("canonical map keeps sub-shingle-width duplicates and NULL texts as singletons") {
