@@ -728,10 +728,16 @@ object Similarity extends QueryPack {
     * rows toward O(k·d) — skew in the CENTROID table, bounded by the
     * spec's per-super fanout telemetry, and at production scale the
     * standard fix is one more level (a tree), same machinery.
-    * Rows-only (the two-level argmax is SQL-expressible but the nested
-    * replay is past the oracle chain budget); DedupSimilaritySpec
-    * replays the whole decision brute-force on the fixture AND the
-    * clustered corpus. */
+    * ORACLE-PAIRED like the flat key: every stage — super seeding
+    * (index-stride over the exemplar centroids), centroid→super argmax,
+    * row→super argmax, row→centroid argmax within the super's slice,
+    * and the drop rule — is deterministic double arithmetic on
+    * SQL-selectable rows, replayed in DuckDB with the same
+    * (cosine DESC, id) tie order the strict-> folds produce; the
+    * driver-side fdot bookkeeping follows the same sequential fold
+    * contract list_dot_product matches. DedupSimilaritySpec
+    * additionally replays the whole decision brute-force on the
+    * fixture AND the clustered corpus. */
   def semanticDedupCoarse(spark: SparkSession, dir: String): DataFrame =
     semPrune(coarseAssign(corpus(spark, dir), semCentroids(spark,
       corpus(spark, dir), 0)))
@@ -862,6 +868,59 @@ object Similarity extends QueryPack {
          |           ORDER BY ${VectorOps.duckDot("c.embedding", "s.se")} / (c.nrm * s.sn) DESC,
          |                    s.cid) AS rn
          |  FROM c CROSS JOIN seeds s) t WHERE rn = 1),
+         |csz AS (SELECT cid, COUNT(*) AS cn FROM asn GROUP BY cid),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM asn a JOIN asn b ON a.cid = b.cid
+         |   AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+         |  JOIN csz z ON z.cid = a.cid AND z.cn <= $SemClusterCap
+         |  JOIN c ca ON ca.vec_id = a.vec_id
+         |  JOIN c cb ON cb.vec_id = b.vec_id
+         |  WHERE ${VectorOps.duckDot("ca.embedding", "cb.embedding")}
+         |          / (ca.nrm * cb.nrm) >= $SemTau)
+         |SELECT vec_id, cid AS cluster_id, ccos AS centroid_cosine
+         |FROM asn WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
+    "dedup_semantic_coarse" ->
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |             ${VectorOps.duckNorm("embedding")} AS nrm
+         |           FROM embeddings),
+         |cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
+         |                 vec_id // $SemSeedStride AS cid,
+         |                 embedding AS ce, nrm AS cn
+         |          FROM c WHERE vec_id % $SemSeedStride = 0),
+         |p AS (SELECT k, nsup, (k + nsup - 1) // nsup AS sstride FROM (
+         |        SELECT COUNT(*) AS k,
+         |               CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS nsup
+         |        FROM cents) t),
+         |supers AS (SELECT c.i // p.sstride AS sid, c.ce AS se, c.cn AS sn
+         |           FROM cents c, p WHERE c.i % p.sstride = 0),
+         |c2s AS (
+         |  SELECT i, sid FROM (
+         |    SELECT c.i, s.sid,
+         |           ROW_NUMBER() OVER (PARTITION BY c.i
+         |             ORDER BY ${VectorOps.duckDot("c.ce", "s.se")} / (c.cn * s.sn) DESC,
+         |                      s.sid) AS rn
+         |    FROM cents c CROSS JOIN supers s, p WHERE c.i % p.sstride <> 0) t
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.i, c.i // p.sstride AS sid FROM cents c, p
+         |  WHERE c.i % p.sstride = 0),
+         |r2s AS (SELECT vec_id, sid FROM (
+         |    SELECT c.vec_id, s.sid,
+         |           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${VectorOps.duckDot("c.embedding", "s.se")} / (c.nrm * s.sn) DESC,
+         |                      s.sid) AS rn
+         |    FROM c CROSS JOIN supers s) t WHERE rn = 1),
+         |asn AS (SELECT vec_id, cid, ccos FROM (
+         |    SELECT c.vec_id, ct.cid,
+         |           ${VectorOps.duckDot("c.embedding", "ct.ce")} / (c.nrm * ct.cn) AS ccos,
+         |           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${VectorOps.duckDot("c.embedding", "ct.ce")} / (c.nrm * ct.cn) DESC,
+         |                      ct.cid) AS rn
+         |    FROM c JOIN r2s r ON r.vec_id = c.vec_id
+         |    JOIN c2s m ON m.sid = r.sid
+         |    JOIN cents ct ON ct.i = m.i) t WHERE rn = 1),
          |csz AS (SELECT cid, COUNT(*) AS cn FROM asn GROUP BY cid),
          |dropped AS (
          |  SELECT DISTINCT a.vec_id
