@@ -166,10 +166,38 @@ object Similarity extends QueryPack {
     rankedTopK(pairs)
   }
 
-  private val NCentroids = 25
   private val SeedStride = 20
-  private val NProbes = 17
   private val LloydIters = 2
+
+  // ---- Derived index parameters ----------------------------------------
+  // The r13/r14 lesson generalized (SemDeDup's k got it first): a fixed
+  // index constant is a silent scale hole — at 10-100x the corpus it
+  // keeps the fixture's geometry, not the contract. Every sizing knob
+  // below DERIVES from the corpus row count n (one count job, driver
+  // bookkeeping), and ScaledAnnSpec re-gates recall@5 >= 0.9 at a x10
+  // (20k-vector) corpus in BOTH embedding regimes.
+
+  /** IVF cell count ~ ⌈√n⌉ (the standard FAISS sizing: √n cells keeps
+    * both the centroid table and the per-cell rerank grain at O(√n)),
+    * realized as an exemplar stride so the seed set stays
+    * SQL-selectable: stride = ⌊n/⌈√n⌉⌋, seeds = every stride-th vector.
+    * n=500 → 24 cells (the fixture's former fixed 25); n=2000 → 46;
+    * n=20000 → 142. */
+  private[graft] def ivfStride(n: Long): Long = {
+    val k = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    math.max(1L, n / k)
+  }
+
+  /** Probe fraction: the measured uniform-regime recall@5 ≥ 0.9 point
+    * (17 of 25 cells on the fixture — the adversarial regime; the
+    * clustered regime runs 3 probes at the same floor, ClusteredAnnSpec).
+    * Deriving probes as a FRACTION of the derived cell count keeps the
+    * probed-corpus share — the recall determinant — constant at any n,
+    * where a fixed probe count would silently shrink it. */
+  private val ProbeFrac = 0.68
+
+  private[graft] def ivfProbes(k: Int): Int =
+    math.max(1, math.min(k, math.ceil(k * ProbeFrac).toInt))
 
   /** Nearest-`keep` centroids per row against a broadcast centroid
     * table; ties break on cent_id (deterministic). */
@@ -234,39 +262,40 @@ object Similarity extends QueryPack {
       eCol: String, nCol: String): Column =
     assignedCentBest(cents, eCol, nCol).getField("cid")
 
-  /** Lloyd-refined IVF centroids: deterministic every-20th-vector seeds,
-    * then `iters` k-means rounds — assignment by cosine (ties to the
-    * lowest cent_id), new centroid = per-dimension mean computed from
-    * order-independent DECIMAL sums, cast to float. Centroids live on the
-    * driver between rounds (bounded k×dim bookkeeping), so each round is
-    * one map-side argmax pass + one skinny (cent, pos, value) aggregate —
-    * the round-3 form's per-round broadcast join + 125k-row window
-    * shuffle carrying embeddings profiled at ~0.7 s/round, ~2/3 of the
-    * whole query. Empty clusters keep their previous centroid. */
+  /** Lloyd-refined IVF centroids: deterministic every-`stride`-th-vector
+    * seeds (stride from [[ivfStride]] — k = ⌈n/stride⌉ ≈ √n derives
+    * from the corpus, the SemDeDup treatment applied to IVF's cell
+    * count), then `iters` k-means rounds — assignment by cosine (ties
+    * to the lowest cent_id), new centroid = per-dimension mean computed
+    * from order-independent fixed-point sums, cast to float. Centroids
+    * live on the driver between rounds (bounded k×dim bookkeeping), so
+    * each round is one map-side argmax pass + one skinny (cent, pos,
+    * value) aggregate — the round-3 form's per-round broadcast join +
+    * 125k-row window shuffle carrying embeddings profiled at
+    * ~0.7 s/round, ~2/3 of the whole query. Empty clusters keep their
+    * previous centroid. */
   private[graft] def lloydCentroids(spark: SparkSession, c: DataFrame,
-      iters: Int): Seq[(Int, Array[Float])] =
-    lloydRefine(spark, c, c
-      .filter(col("vec_id") % SeedStride === 0 &&
-        col("vec_id") < SeedStride.toLong * NCentroids), iters)
+      iters: Int, stride: Long): Seq[(Int, Array[Float])] =
+    lloydRefine(spark, c, c.filter(col("vec_id") % stride === 0),
+      iters, stride)
 
-  /** Exemplar seeds WITHOUT the fixed-count cap — every
-    * [[SeedStride]]-th vector, so the centroid count DERIVES from the
-    * corpus: k = ⌈n/stride⌉ grows ∝ n (the SemDeDup posture: constant
-    * target cluster size, 50k clusters for 1B examples in the paper),
-    * with zero driver computation and a seed set both engines select
-    * with one modulo predicate. [[lloydCentroids]] keeps the capped form
-    * — IVF's k is a probe-count knob (NProbes of [[NCentroids]]), not a
-    * cluster-size contract, and rescaling it would silently change the
-    * pinned recall tiers. */
+  /** Exemplar seeds at the SemDeDup stride — every [[SeedStride]]-th
+    * vector, so the centroid count derives from the corpus:
+    * k = ⌈n/stride⌉ grows ∝ n (the paper's posture: constant target
+    * cluster size, 50k clusters for 1B examples), with zero driver
+    * computation and a seed set both engines select with one modulo
+    * predicate. IVF's [[lloydCentroids]] derives its own (√n) stride —
+    * cluster-size contract vs probe-grain contract. */
   private[graft] def semCentroids(spark: SparkSession, c: DataFrame,
       iters: Int): Seq[(Int, Array[Float])] =
-    lloydRefine(spark, c, c.filter(col("vec_id") % SeedStride === 0), iters)
+    lloydRefine(spark, c, c.filter(col("vec_id") % SeedStride === 0),
+      iters, SeedStride)
 
   private def lloydRefine(spark: SparkSession, c: DataFrame,
-      seeds: DataFrame, iters: Int): Seq[(Int, Array[Float])] = {
+      seeds: DataFrame, iters: Int, stride: Long): Seq[(Int, Array[Float])] = {
     import spark.implicits._
     var cents: Seq[(Int, Array[Float])] = seeds
-      .select((col("vec_id") / SeedStride).cast("int").as("cent_id"),
+      .select((col("vec_id") / stride).cast("int").as("cent_id"),
         col("embedding"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
     val dim = Dim
@@ -297,21 +326,27 @@ object Similarity extends QueryPack {
     cents
   }
 
-  /** IVF ANN: 25 Lloyd-refined centroids, nearest-centroid assignment
-    * for the corpus, queries probe the [[NProbes]] nearest centroids and
-    * rerank exactly. Corpus assignment is the map-side argmax (no shuffle); the
-    * 10 probe queries still rank via the 25-row window (trivial). No
-    * distinct on the candidate pairs: each vector has exactly one
-    * centroid, so a (query, vector) pair joins at most once. Rows-only +
-    * DedupSimilaritySpec recall floor. */
+  /** IVF ANN: ⌈√n⌉ Lloyd-refined centroids ([[ivfStride]]),
+    * nearest-centroid assignment for the corpus, queries probe the
+    * [[ivfProbes]] nearest centroids and rerank exactly. Corpus
+    * assignment is the map-side argmax (no shuffle); the 10 probe
+    * queries still rank via the k-row window (trivial). No distinct on
+    * the candidate pairs: each vector has exactly one centroid, so a
+    * (query, vector) pair joins at most once. Rows-only +
+    * DedupSimilaritySpec recall floor at the fixture, ScaledAnnSpec at
+    * the ×10 corpus. */
   def topKIvf(spark: SparkSession, dir: String): DataFrame =
     topKIvfIters(spark, dir, LloydIters)
 
+  /** `probes = 0` (the default) derives the probe count from the
+    * derived cell count; an explicit value is the regime knob
+    * (ClusteredAnnSpec probes 3). */
   private[graft] def topKIvfIters(spark: SparkSession, dir: String,
-      iters: Int, probes: Int = NProbes): DataFrame = {
+      iters: Int, probes: Int = 0): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
-    val cents = lloydCentroids(spark, c, iters)
+    val cents = lloydCentroids(spark, c, iters, ivfStride(c.count()))
+    val nProbes = if (probes > 0) probes else ivfProbes(cents.size)
     val assigned = c.withColumn("cent_id",
       assignedCentId(cents, "embedding", "nrm"))
     val centsDf = cents.toDF("cent_id", "ce")
@@ -319,7 +354,7 @@ object Similarity extends QueryPack {
     val q = nearest(
       c.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-      centsDf, probes, "query_id", "qe", "qn")
+      centsDf, nProbes, "query_id", "qe", "qn")
       .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
     val pairs = assigned.join(broadcast(q), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -333,10 +368,11 @@ object Similarity extends QueryPack {
     * rerank); ClusteredAnnSpec measures the pair count / corpus ratio
     * per embedding regime. */
   private[graft] def ivfCandidateIds(spark: SparkSession, dir: String,
-      iters: Int, probes: Int): DataFrame = {
+      iters: Int, probes: Int = 0): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
-    val cents = lloydCentroids(spark, c, iters)
+    val cents = lloydCentroids(spark, c, iters, ivfStride(c.count()))
+    val nProbes = if (probes > 0) probes else ivfProbes(cents.size)
     val assigned = c.select(col("vec_id"),
       assignedCentId(cents, "embedding", "nrm").as("cent_id"))
     val centsDf = cents.toDF("cent_id", "ce")
@@ -345,7 +381,7 @@ object Similarity extends QueryPack {
       c.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn")),
-      centsDf, probes, "query_id", "qe", "qn")
+      centsDf, nProbes, "query_id", "qe", "qn")
       .select(col("query_id"), col("cent_id"))
     assigned.join(broadcast(q), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -375,13 +411,22 @@ object Similarity extends QueryPack {
   private val PqK = 16              // centroids per subspace → 4-bit codes
   private val PqSeedStride = 20
   private val PqIters = 2
-  // ADC candidates reranked exactly. 150 (~0.3 of the fixture corpus) is
-  // the measured recall@5 ≥ 0.9 point in the random-vector regime (50 →
-  // 0.64): 64-bit codes on direction-uniform vectors leave genuine
-  // neighbors mid-shortlist, the same adversarial effect the LSH scan
-  // fraction note above documents (~0.6 there). On clustered production
-  // embeddings the codes separate far better at the same shortlist.
-  private val PqShortlist = 150
+  // ADC shortlist = this fraction of the corpus, reranked exactly. 0.3
+  // (150 rows on the 500-vector fixture) is the measured recall@5 ≥ 0.9
+  // point in the random-vector regime (0.1 → 0.64): 64-bit codes on
+  // direction-uniform vectors leave genuine neighbors mid-shortlist,
+  // the same adversarial effect the LSH scan-fraction note above
+  // documents (~0.6 there). The FRACTION, not the count, is the recall
+  // determinant — a fixed 150 at a ×10 corpus would be a 0.015 fraction
+  // and silently tank recall (ScaledAnnSpec pins this). On clustered
+  // production embeddings the codes separate far better: the params
+  // variants run constant small shortlists there (ClusteredAnnSpec).
+  // PqM/PqK are NOT corpus-sized knobs — they are the code width (the
+  // storage format: 8×4-bit codes per vector), fixed by design.
+  private val PqShortFrac = 0.3
+
+  private[graft] def pqShortlist(n: Long): Int =
+    math.max(1, math.ceil(n * PqShortFrac).toInt)
 
   /** The 8×16 codebooks as ONE literal node: array (per subspace) of
     * array (per centroid) of (cid, subvector) — same typedlit rationale
@@ -461,12 +506,14 @@ object Similarity extends QueryPack {
     * centroid, broadcast with the 10-row query set), so asymmetric-
     * distance scoring is 8 array lookups + adds per (query, vector) —
     * no float vector ever moves after encoding. The ADC shortlist
-    * ([[PqShortlist]] per query, chosen by approximate score) is then
-    * reranked with exact cosine, the standard shortlist-then-refine
-    * production topology. Rows-only; DedupSimilaritySpec pins
-    * recall@5 ≥ 0.9 vs [[topKBruteForce]] and run-to-run determinism. */
+    * ([[pqShortlist]] rows per query — the derived corpus fraction,
+    * chosen by approximate score) is then reranked with exact cosine,
+    * the standard shortlist-then-refine production topology. Rows-only;
+    * DedupSimilaritySpec pins recall@5 ≥ 0.9 vs [[topKBruteForce]] and
+    * run-to-run determinism; ScaledAnnSpec re-pins at ×10. */
   def topKPq(spark: SparkSession, dir: String): DataFrame = {
     val c = pqCorpus(spark, dir)
+    val shortlist = pqShortlist(c.count())
     val books = pqCodebooks(spark, c, PqIters)
     val lit3 = pqBooksLit(books)
     val codes = c.select(col("vec_id"),
@@ -482,7 +529,7 @@ object Similarity extends QueryPack {
       .withColumn("adc",
         graft.functions.PqAdc.adc(col("codes"), col("qtab"), PqK))
       .withColumn("arank", row_number().over(w))
-      .filter(col("arank") <= PqShortlist)
+      .filter(col("arank") <= shortlist)
       .select(col("query_id"), col("vec_id"))
     val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -496,46 +543,50 @@ object Similarity extends QueryPack {
 
   // IVF-PQ prunes twice: the cell list is the only UNRECOVERABLE cut
   // (exact rerank repairs ADC rank errors inside probed cells, never a
-  // missed cell), so the probe count stays at IVF's measured 17/25 and
-  // the shortlist at PQ's measured 150 — each parameter keeps the
+  // missed cell), so the probe count derives as IVF's fraction of the
+  // derived cell count and the shortlist as PQ's corpus fraction —
   // recall its own spec test pinned, and DedupSimilaritySpec holds the
   // composition to the same ≥ 0.9 floor. Random-direction vectors are
   // the adversarial regime, per the class scaladoc.
-  private val IvfPqShortlist = PqShortlist
 
   /** IVF-PQ ANN — the two quantizers composed, the canonical
     * billion-scale serving layout (FAISS "IVFADC"; here the
     * `by_residual=false` inner-product variant, since [[PqEncode]]
     * codes unit DIRECTIONS and cosine is the metric — residual coding
-    * buys little over 25 wide cells while requiring a second encoder):
-    * the IVF coarse quantizer prunes the corpus to the [[NProbes]]
-    * probed cells per query, PQ codes give 8-lookup asymmetric-distance
-    * scores WITHIN those cells, and only the per-query ADC shortlist is
-    * reranked with exact cosine.
+    * buys little over ⌈√n⌉ wide cells while requiring a second
+    * encoder): the IVF coarse quantizer prunes the corpus to the
+    * [[ivfProbes]] probed cells per query, PQ codes give 8-lookup
+    * asymmetric-distance scores WITHIN those cells, and only the
+    * per-query ADC shortlist is reranked with exact cosine.
     *
     * Scale posture — what each stage ships at 100 TB: corpus cell
     * assignment and PQ encoding are both map-side codegen against
-    * broadcast-sized tables (25 centroids / 8×16 codebooks), so after
+    * broadcast-sized tables (⌈√n⌉ centroids / 8×16 codebooks), so after
     * one training read the corpus is represented by (vec_id, cent_id,
     * 8 ints) — the float vectors never shuffle; the probe join is an
     * equi-join on cent_id against a broadcast (query × probed-cell)
-    * table, touching ~NProbes/NCentroids of the codes; the exact rerank
-    * reads [[IvfPqShortlist]] full vectors per query. Plain PQ scans
+    * table, touching ~[[ProbeFrac]] of the codes; the exact rerank
+    * reads [[pqShortlist]] full vectors per query. Plain PQ scans
     * ALL codes per query; plain IVF reranks ALL probed vectors exactly
     * — the composition is the only variant where both the scan and the
     * rerank are sub-corpus. Rows-only; DedupSimilaritySpec pins
-    * recall@5 ≥ 0.9 vs [[topKBruteForce]] and run-to-run determinism. */
+    * recall@5 ≥ 0.9 vs [[topKBruteForce]] and run-to-run determinism;
+    * ScaledAnnSpec re-pins at ×10. */
   def topKIvfPq(spark: SparkSession, dir: String): DataFrame =
-    topKIvfPqParams(spark, dir, NProbes, IvfPqShortlist)
+    topKIvfPqParams(spark, dir, 0, 0)
 
-  /** [[topKIvfPq]] with the probe count and ADC shortlist as knobs —
-    * the clustered-regime spec (ClusteredAnnSpec) runs the same
-    * composition at a fraction of the default scan budget. */
+  /** [[topKIvfPq]] with the probe count and ADC shortlist as knobs
+    * (0 = derive from the corpus) — the clustered-regime spec
+    * (ClusteredAnnSpec) runs the same composition at a fraction of the
+    * default scan budget. */
   private[graft] def topKIvfPqParams(spark: SparkSession, dir: String,
-      nProbes: Int, shortlist: Int): DataFrame = {
+      nProbes0: Int, shortlist0: Int): DataFrame = {
     import spark.implicits._
     val c = pqCorpus(spark, dir)
-    val cents = lloydCentroids(spark, c, LloydIters)
+    val n = c.count()
+    val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
+    val nProbes = if (nProbes0 > 0) nProbes0 else ivfProbes(cents.size)
+    val shortlist = if (shortlist0 > 0) shortlist0 else pqShortlist(n)
     val books = pqCodebooks(spark, c, PqIters)
     val lit3 = pqBooksLit(books)
     val codes = c.select(col("vec_id"),

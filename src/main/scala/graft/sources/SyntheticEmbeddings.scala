@@ -54,11 +54,32 @@ object SyntheticEmbeddings {
         col("cl").cast("int").as("label"))
   }
 
+  /** The UNIFORM regime — per-dimension uniform in [-1, 1] from the
+    * same hash machinery, no cluster structure: the driver fixture's
+    * near-uniform-random shape at any n. This is the ADVERSARIAL
+    * regime for every ANN index (class scaladoc), so it is what the
+    * ×10 recall gate (ScaledAnnSpec) must hold on: an index whose
+    * derived parameters keep recall@5 ≥ 0.9 on uniform directions at
+    * 10× the bench corpus has no silently-shrinking scan fraction. */
+  def uniform(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0L, ${dim - 1}L), d -> cast(" +
+        "(pmod(xxhash64(id, d, 2001), 2000001) - 1000000) / 1000000.0d" +
+        " as float))").as("embedding"),
+      lit(0).as("label"))
+
   /** Write a directory `Tables.embeddings` can read (one parquet file
     * named like the driver fixture's). */
   def writeFixture(spark: SparkSession, dir: String, n: Long,
       dim: Int = 64, k: Int = 20, sigma: Double = 0.15): Unit =
     clustered(spark, n, dim, k, sigma)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  /** [[writeFixture]] for the uniform regime. */
+  def writeUniformFixture(spark: SparkSession, dir: String, n: Long,
+      dim: Int = 64): Unit =
+    uniform(spark, n, dim)
       .repartition(4)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 }

@@ -11,8 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * the same recall. This suite pins that claim on a deterministic
   * mixture-of-Gaussians corpus ([[SyntheticEmbeddings]]): same
   * machinery, same recall floor, MATERIALLY lower scan fraction —
-  * IVF/IVF-PQ run at 3 of 25 probes and a 30-row shortlist instead of
-  * the uniform regime's 17/150. Measured fractions land in SCALE.md's
+  * IVF/IVF-PQ run at 3 probes of the derived ~sqrt(n) cells and a
+  * 150-row shortlist instead of the uniform regime's derived 0.68
+  * probe fraction / 0.3n shortlist. Measured fractions land in SCALE.md's
   * scan-fraction table.
   */
 class ClusteredAnnSpec extends AnyFunSuite {
@@ -67,19 +68,20 @@ class ClusteredAnnSpec extends AnyFunSuite {
     assert(frac <= 0.25, s"clustered lsh scan fraction $frac")
   }
 
-  test("IVF at 3 of 25 probes: recall holds, candidate fraction is small") {
+  test("IVF at 3 probes of the derived (46) cells: recall holds, fraction is small") {
     val got = pairs(Similarity.topKIvfIters(spark, dir, 2, probes = 3))
     val r = recall(got)
     assert(r >= 0.9, s"clustered ivf recall $r")
     val frac =
       Similarity.ivfCandidateIds(spark, dir, 2, probes = 3).count() / MaxPairs
-    info(f"clustered IVF(3/25) recall=$r%.3f scan_fraction=$frac%.4f")
+    info(f"clustered IVF(3 of derived cells) recall=$r%.3f scan_fraction=$frac%.4f")
     assert(frac <= 0.3, s"clustered ivf scan fraction $frac")
   }
 
-  test("IVF-PQ at 3 of 25 probes: recall holds; shortlist is the binding knob") {
-    // The clustered win is the COARSE stage: 3/25 probed cells scan
-    // ~0.12 of the codes (vs 17/25 ≈ 0.68 uniform). The ADC shortlist
+  test("IVF-PQ at 3 probes, 150 shortlist: recall holds; shortlist is the binding knob") {
+    // The clustered win is the COARSE stage: 3 probed cells of the
+    // derived ~sqrt(n)=46 scan ~0.06 of the codes (vs the derived
+    // 0.68 probe fraction uniform). The ADC shortlist
     // cannot shrink correspondingly: 8×4-bit direction codes resolve
     // BETWEEN clusters, not within one, so inside a ~100-member cluster
     // ADC scores near-tie and the shortlist must still cover the

@@ -29,10 +29,11 @@ object ProfIvf {
       .select(col("vec_id"), col("embedding"), VectorOps.norm("embedding").as("nrm"))
     (1 to 2).foreach { rep =>
       println(s"--- rep $rep ---")
+      val stride = graft.operators.Similarity.ivfStride(c.count())
       time("lloyd 2 iters total")(
-        graft.operators.Similarity.lloydCentroids(spark, c, 2))
+        graft.operators.Similarity.lloydCentroids(spark, c, 2, stride))
       time("lloyd 0 iters (seed collect only)")(
-        graft.operators.Similarity.lloydCentroids(spark, c, 0))
+        graft.operators.Similarity.lloydCentroids(spark, c, 0, stride))
       time("full query count")(graft.operators.Similarity.topKIvf(spark, dir).count())
     }
     // recall at each iteration count, vs brute force ground truth
