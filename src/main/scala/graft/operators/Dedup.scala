@@ -780,7 +780,78 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Retrieval-augmented dedup, composed end-to-end in ONE plan — the
+    * cross-modal pipeline shape (r14 verdict item 4): documents ⨝
+    * embeddings (doc_id ↔ vec_id), text near-dup RETRIEVAL + VERIFY
+    * (the PPJoin prefix-filter tier — candidate generation and exact
+    * Jaccard verification with a completeness guarantee, so the oracle
+    * replays it exactly), connected components, then a CROSS-MODAL
+    * KEEPER: each cluster redirects to the member whose EMBEDDING is
+    * closest (cosine) to the cluster's embedding centroid — "keep the
+    * most representative copy", the prototype choice, where
+    * [[canonicalBest]] keeps the highest text quality and SemDeDup
+    * keeps the farthest-from-centroid (hardest) member. Ties break to
+    * the lowest doc_id; a cluster with no embeddings falls back to the
+    * min-id keeper.
+    *
+    * Shuffle accounting (PlanAuditSpec pins float vectors shuffle
+    * ≤ once): the embedding table joins the component map on doc_id —
+    * that equi-join is the ONE place whole vectors may move. The
+    * centroid aggregate ships per-dim partial sums at (component, dim)
+    * grain (map-side combine — metadata, not vectors), and the cosine
+    * pass joins the bounded centroid table BACK as a broadcast
+    * (multi-member components are dup-density-bounded, the same
+    * argument as the near-dup edge list), so member vectors are read
+    * in place, never reshuffled by component.
+    *
+    * ORACLE-PAIRED end to end: exact-edge components (recursive CTE) +
+    * the labelCentroids DECIMAL(38,6) per-dim mean device + the
+    * [[graft.functions.VectorOps]] sequential-fold dot contract make
+    * even the keeper argmax replay bit-exact in DuckDB. */
+  def canonicalEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comp = componentMapOf(docs,
+      d => ngramJaccardOf(hashedShinglesOf(d))
+        .select(col("doc_a"), col("doc_b")))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        VectorOps.norm("embedding").as("nrm"))
+    // only multi-member components need a centroid (singletons keep
+    // themselves) — this is the dup-density-bounded set
+    val multi = comp.filter(col("n_members") > 1)
+      .select(col("doc_id"), col("component"))
+    val embM = emb.join(multi, Seq("doc_id")) // the ONE vector shuffle
+    val centDims = embM
+      .select(col("component"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("component"), col("dim"))
+      .agg((sum(col("x").cast("double").cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("m"))
+    val cent = centDims
+      .groupBy(col("component"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("component"), expr("transform(dm, p -> p.m)").as("cvec"))
+      .withColumn("cnorm", sqrt(VectorOps.dotHof("cvec", "cvec")))
+    val wKeep = Window.partitionBy(col("component"))
+      .orderBy(col("ccos").desc_nulls_last, col("doc_id"))
+    val keep = embM.join(broadcast(cent), Seq("component"))
+      .withColumn("ccos",
+        VectorOps.dotHof("embedding", "cvec") / (col("nrm") * col("cnorm")))
+      .withColumn("rk", row_number().over(wKeep))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("keeper"))
+    comp.join(keep, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("component")).as("canon_id"),
+        col("n_members"),
+        (col("doc_id") === coalesce(col("keeper"), col("component")))
+          .cast("long").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical_embed" -> canonicalEmbed,
     "dedup_canonical_map" -> canonicalMap,
     "dedup_canonical_map_lsh" -> canonicalMapLsh,
     "dedup_canonical_best" -> canonicalBest,
@@ -892,6 +963,37 @@ object Dedup extends QueryPack {
          |            AS BIGINT) AS is_canonical
          |FROM lab JOIN sz USING (canon_id)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_canonical_embed" ->
+      s"""$canonLabCtes,
+         |emb AS (SELECT vec_id AS doc_id, embedding,
+         |               ${VectorOps.duckNorm("embedding")} AS nrm
+         |        FROM embeddings),
+         |multi AS (SELECT lab.doc_id, lab.canon_id AS component
+         |          FROM lab JOIN sz USING (canon_id) WHERE sz.n_members > 1),
+         |cd AS (SELECT m.component, i - 1 AS dim,
+         |              CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+         |                   AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mv
+         |       FROM multi m JOIN emb e USING (doc_id),
+         |            unnest(generate_series(1, len(e.embedding))) AS s(i)
+         |       GROUP BY 1, 2),
+         |cent AS (SELECT component, array_agg(mv ORDER BY dim) AS cvec
+         |         FROM cd GROUP BY 1),
+         |keepr AS (SELECT component, doc_id AS keeper FROM (
+         |    SELECT m.component, m.doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY m.component
+         |             ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+         |                      / (e.nrm * sqrt(list_dot_product(c.cvec, c.cvec)))
+         |                      DESC NULLS LAST, m.doc_id) AS rk
+         |    FROM multi m JOIN emb e USING (doc_id)
+         |    JOIN cent c USING (component)) t WHERE rk = 1)
+         |SELECT lab.doc_id,
+         |       COALESCE(k.keeper, lab.canon_id) AS canon_id,
+         |       sz.n_members,
+         |       CAST(CASE WHEN lab.doc_id = COALESCE(k.keeper, lab.canon_id)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM lab JOIN sz USING (canon_id)
+         |LEFT JOIN keepr k ON k.component = lab.canon_id
+         |ORDER BY lab.doc_id""".stripMargin,
     "dedup_canonical_best" ->
       s"""$canonLabCtes,
          |dr AS (SELECT doc_id,

@@ -511,6 +511,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("canonical embed: keeper is the cosine-to-centroid argmax; partitions match the map") {
+    val embMap = graft.operators.Dedup.canonicalEmbed(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val minMap = graft.operators.Dedup.canonicalMap(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    // identical partition structure, possibly different keeper per group
+    val gEmb = embMap.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val gMin = minMap.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(gEmb == gMin, "components must be identical; only the keeper policy differs")
+    // brute-force recompute of the keeper on every multi-member group
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    var multi = 0
+    embMap.groupBy(_._2).foreach { case (keeper, members) =>
+      val ids = members.map(_._1).sorted
+      assert(ids.contains(keeper), s"keeper $keeper not in its group")
+      if (ids.length > 1) {
+        multi += 1
+        val vecs = ids.map(id => id -> emb(id).map(_.toDouble))
+        val dim = vecs.head._2.length
+        // mean via BigDecimal(6) like the DECIMAL(38,6) device
+        val cvec = Array.tabulate(dim) { d =>
+          val s = vecs.map { case (_, v) =>
+            BigDecimal(v(d)).setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum
+          (s.toDouble / vecs.length)
+        }
+        val cn = math.sqrt(dot(cvec, cvec))
+        val best = vecs.map { case (id, v) =>
+          (id, dot(v, cvec) / (math.sqrt(dot(v, v)) * cn)) }
+          .maxBy { case (id, c) => (c, -id) }._1
+        assert(best == keeper,
+          s"group $ids: expected centroid-argmax keeper $best, got $keeper")
+      }
+    }
+    assert(multi > 10, s"fixture should contain multi-member clusters, got $multi")
+    // keeper differs from min-id somewhere, or the policy is inert
+    assert(embMap.toSet != minMap.toSet,
+      "embed keeper should differ from min-id keeper on this fixture")
+  }
+
   test("canonical map keeps sub-shingle-width duplicates and NULL texts as singletons") {
     // identical 2-token texts have NO shingles — the pair stage cannot
     // re-derive their duplication, so the digest collapse must not merge

@@ -161,4 +161,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("dedup_canonical_embed: float vectors cross at most one exchange") {
+    // The composed cross-modal key's shuffle contract (Dedup
+    // .canonicalEmbed scaladoc): whole embedding vectors may move at
+    // most once (the doc_id equi-join with the component map); the
+    // centroid aggregate ships per-dim scalars and the keeper window's
+    // exchange carries (component, doc_id, ccos) after column pruning.
+    // Executed (not just planned) so AQE's final stages are inspected.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = graft.operators.Dedup.canonicalEmbed(spark, sf)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }).flatMap(nodes)
+    val vecShuffles = nodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+      .filter(_.output.exists(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      }))
+      .map(_.id).distinct
+    assert(vecShuffles.size <= 1,
+      s"float vectors crossed ${vecShuffles.size} exchanges (contract: <= 1)")
+  }
 }
