@@ -234,9 +234,16 @@ object Multimodal extends QueryPack {
     * over window rows. Σenergy per cell has ~3·10⁷-window headroom in
     * BIGINT (≈ 4 TB of 16-bit audio per cell); past that the sum moves
     * to DECIMAL(38,0) like the SSB money sums. */
-  def audioLogBands(spark: SparkSession, dir: String): DataFrame = {
+  def audioLogBands(spark: SparkSession, dir: String): DataFrame =
+    logBandsFromWindows(audioBandWindows(spark, dir).toDF())
+
+  /** The histogram stage alone, over an [[AudioBandWindow]]-shaped frame
+    * — split out so the streaming ingest twin
+    * ([[graft.streaming.MediaStream.audioBandWindowStream]]) feeds the
+    * byte-identical aggregation the batch key runs. */
+  private[graft] def logBandsFromWindows(w0: DataFrame): DataFrame = {
     import graft.functions.FixedLog2
-    val w = audioBandWindows(spark, dir).toDF()
+    val w = w0
       .select(col("media_id"), col("energy"), col("tp"),
         greatest(col("energy"), lit(1L)).as("e1"),
         greatest(col("tp"), lit(1L)).as("t1"))

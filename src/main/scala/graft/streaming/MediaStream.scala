@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{AudioBandWindow, MediaRow}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming consumers of the multimodal codec seam
+  * (ref: clickhouse_vs_dbt has no media path; this is the engine's
+  * LLM-pipeline extension surface, streaming half).
+  *
+  * The batch side ([[graft.operators.Multimodal]]) decodes whole
+  * payloads per row. A production ingest never sees whole payloads —
+  * media arrives as ordered CHUNKS of an encoded stream (multipart
+  * uploads, RTP-ish segments), and the feature extractor must fold them
+  * incrementally with bounded per-media state. This file implements that
+  * half for the audio window features, bit-equal to the batch
+  * [[Multimodal.audioBandWindows]] by construction: windows are
+  * INDEPENDENT (energy and turning-point counts never reference samples
+  * outside the window — `k >= 2` is window-local in both
+  * implementations), so the only state a correct incremental fold needs
+  * is (a) the residual < `win` samples of the currently-open window,
+  * (b) the next-expected chunk cursor, and (c) a bounded reorder buffer
+  * for early chunks. Nothing in the state grows with media length — the
+  * 100 TB property. */
+object MediaStream {
+
+  /** One landed segment of an encoded media stream. `n_chunks` is the
+    * manifest total — how the handler knows the final (possibly
+    * partial) window can be sealed. */
+  case class AudioChunk(media_id: Long, chunk_idx: Int, n_chunks: Int,
+      payload: Array[Byte])
+
+  /** Bounded per-media fold state: residual ≤ win-1 decoded samples,
+    * the in-order cursor, and the reorder buffer (chunk_idx → bytes,
+    * ≤ [[PendingCap]] entries — the hot-bucket-style refusal bound). */
+  case class AudioChunkState(residual: Seq[Short], winIdx: Long,
+      nextChunk: Int, pending: Map[Int, Array[Byte]])
+
+  /** Reorder-buffer refusal bound: a source more than this many chunks
+    * out of order per media is a broken feed, not a workload — fail
+    * loud rather than buffer unboundedly (the MinHash `HotBucketCap`
+    * stance applied to ingest). */
+  val PendingCap = 64
+
+  /** Batch helper: explode a media table's audio payloads into
+    * `chunkBytes`-sized ordered chunks — what a landing zone of
+    * segmented uploads looks like, and the producer the spec uses to
+    * stage one. `chunkBytes` must be even so sample framing (2-byte
+    * little-endian) never straddles a chunk boundary except at the
+    * payload's own odd tail, exactly where the batch decoder drops it. */
+  def audioChunksOf(media: Dataset[MediaRow], chunkBytes: Int = 100): DataFrame = {
+    require(chunkBytes > 0 && chunkBytes % 2 == 0, "chunkBytes must be positive and even")
+    media.toDF().filter(col("media_type") === "audio")
+      .select(col("media_id").as("media_id"), col("payload"))
+      .withColumn("n_chunks",
+        ceil(octet_length(col("payload")) / lit(chunkBytes.toDouble)).cast("int"))
+      .filter(col("n_chunks") > 0)
+      .select(col("media_id"), col("n_chunks"),
+        posexplode(expr(
+          s"transform(sequence(0, n_chunks - 1), i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))")))
+      .select(col("media_id"), col("pos").cast("int").as("chunk_idx"),
+        col("n_chunks"), col("col").as("payload"))
+  }
+
+  private val chunkSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("chunk_idx", IntegerType),
+    StructField("n_chunks", IntegerType),
+    StructField("payload", BinaryType)))
+
+  /** Streaming twin of [[Multimodal.audioBandWindows]]: fold an audio
+    * chunk stream into per-window integer features with
+    * `flatMapGroupsWithState`, emitting each completed window exactly
+    * once (windows are sealed in order; the final partial window seals
+    * when the manifest count is reached, after which the key's state is
+    * REMOVED — a finished media costs nothing forever). Chunks may
+    * arrive out of order and across micro-batch boundaries; duplicates
+    * (at-least-once sources) are dropped idempotently by the cursor and
+    * the reorder buffer's keyed insert. */
+  def audioBandWindowStream(spark: SparkSession, chunkDir: String,
+      win: Int = 256): Dataset[AudioBandWindow] = {
+    import spark.implicits._
+    val chunks = spark.readStream.schema(chunkSchema).parquet(chunkDir)
+      .as[AudioChunk]
+    chunks.groupByKey(_.media_id)
+      .flatMapGroupsWithState[AudioChunkState, AudioBandWindow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (mediaId, it, state) =>
+          val st = state.getOption.getOrElse(
+            AudioChunkState(Seq.empty, 0L, 0, Map.empty))
+          var pending = st.pending
+          var nChunks = -1
+          it.foreach { c =>
+            nChunks = c.n_chunks
+            // idempotent insert: already-consumed or already-buffered
+            // replays are no-ops
+            if (c.chunk_idx >= st.nextChunk && !pending.contains(c.chunk_idx))
+              pending = pending.updated(c.chunk_idx, c.payload)
+          }
+          require(pending.size <= PendingCap,
+            s"media $mediaId reorder buffer ${pending.size} exceeds $PendingCap — broken feed")
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Short]
+          buf ++= st.residual
+          var next = st.nextChunk
+          var winIdx = st.winIdx
+          val out = scala.collection.mutable.ArrayBuffer.empty[AudioBandWindow]
+          def seal(w: Array[Short]): Unit = {
+            var e = 0L; var tp = 0L; var k = 0
+            while (k < w.length) {
+              val v = w(k).toLong
+              e += v * v
+              if (k >= 2) {
+                val d1 = w(k - 1) - w(k - 2)
+                val d2 = w(k) - w(k - 1)
+                if (d1.toLong * d2.toLong < 0) tp += 1
+              }
+              k += 1
+            }
+            out += AudioBandWindow(mediaId, winIdx, e, tp)
+            winIdx += 1
+          }
+          while (pending.contains(next)) {
+            val bytes = pending(next)
+            pending = pending.removed(next)
+            require(next == nChunks - 1 || bytes.length % 2 == 0,
+              s"media $mediaId chunk $next: only the final chunk may have an odd byte length")
+            buf ++= Multimodal.FakeCodec.pcm(bytes)
+            next += 1
+            while (buf.length >= win) {
+              seal(buf.take(win).toArray)
+              buf.remove(0, win)
+            }
+          }
+          if (nChunks >= 0 && next >= nChunks) {
+            // manifest complete: seal the final partial window and
+            // retire the key's state entirely
+            if (buf.nonEmpty) seal(buf.toArray)
+            state.remove()
+          } else {
+            state.update(AudioChunkState(buf.toSeq, winIdx, next, pending))
+          }
+          out.iterator
+      }
+  }
+}

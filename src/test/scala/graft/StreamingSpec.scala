@@ -638,4 +638,134 @@ class StreamingSpec extends AnyFunSuite {
     assert(rollFromStream == rollBatch)
     assert(rollBatch.nonEmpty)
   }
+
+  test("kmvDailyStream crash-recovery: restart from checkpoint restores state bit-for-bit") {
+    // The production failure mode: the ingest query dies between
+    // micro-batches and a NEW query object restarts from the same
+    // checkpoint dir. The checkpoint carries (a) the file-source log —
+    // already-committed files must NOT be reprocessed — and (b) the
+    // HDFS-backed state store — the per-(type, day) KMV sketches must be
+    // RESTORED, not rebuilt. Sink is foreachBatch→parquet (the
+    // fault-tolerant production sink; the memory sink refuses checkpoint
+    // recovery in update mode), stamping batch_id per emission.
+    val k = 8
+    val d = java.nio.file.Files.createTempDirectory("graft-kmvrec")
+    val cp = java.nio.file.Files.createTempDirectory("graft-kmvrec-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-kmvrec-out").toString
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kmvrechalf").toString
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    def run(): Unit = {
+      val q = EventStream.kmvDailyStream(spark, d.toString, k)
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    stage(col("event_id") % 2 === 0, "a.parquet")
+    run() // consumes half a, then the query is gone — only cp survives
+    stage(col("event_id") % 2 === 1, "b.parquet")
+    run() // NEW query object, same checkpoint
+    val emissions = spark.read.parquet(out)
+      .as[(String, Long, Long, Seq[Long], Long)].collect()
+    val maxBatch = emissions.map(_._5).max
+    assert(maxBatch >= 1, "restart must run as a later batch id, not batch 0")
+    val run2 = emissions.filter(_._5 == maxBatch)
+    // (1) source-log recovery: the restarted run processes ONLY half b —
+    // keys it emits are exactly the keys present in half b
+    val halfBKeys = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_type"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("day"))
+      .distinct().as[(String, Long)].collect().toSet
+    assert(run2.map(r => (r._1, r._2)).toSet == halfBKeys,
+      "restarted batch must emit exactly the half-b keys (no replay of half a)")
+    // (2) state-store recovery: for keys spanning both halves, the
+    // restarted emission's n_seen counts BOTH halves — impossible unless
+    // the pre-crash sketch state was restored (half a was not re-read)
+    val totalCounts = ev.groupBy(col("event_type"),
+        expr("cast(unix_date(to_date(ts)) as bigint)").as("day"))
+      .count().as[(String, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    run2.foreach { r =>
+      assert(r._3 == totalCounts((r._1, r._2)),
+        s"key (${r._1},${r._2}) n_seen=${r._3} must equal the TOTAL count " +
+          s"${totalCounts((r._1, r._2))} — state was not restored")
+    }
+    // (3) final table (latest emission per key across both runs) equals
+    // the batch aggregate bit-for-bit — i.e. the recovered run converges
+    // to the same table the uninterrupted run is already pinned to (the
+    // ACROSS-micro-batches test above, same halves, same k)
+    val finalTable = emissions.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._3) }.toSet
+    val batchSk = graft.operators.Events
+      .kmvDailySketches(ev.select(col("event_type"), col("ts"), col("user_id")), k)
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(finalTable.map(r => (r._1, r._2, r._4)) == batchSk,
+      "recovered sketch table must equal the batch aggregate bit-for-bit")
+    assert(batchSk.nonEmpty)
+  }
+
+  test("streaming audio-chunk ingest equals batch audioBandWindows bit-for-bit; log-band histogram agrees") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaStream
+    // chunk the fixture's audio payloads at 100 bytes (even, NOT aligned
+    // to the 256-sample window, so windows straddle chunk boundaries),
+    // then land even-indexed chunks first and odd-indexed in a second
+    // micro-batch: every multi-chunk media exercises BOTH the reorder
+    // buffer (chunk 2 buffered while 1 is missing) and cross-batch
+    // residual carry in the state store
+    val media = Multimodal.mediaTable(spark, TestSpark.Sf)
+    val chunks = MediaStream.audioChunksOf(media, chunkBytes = 100).cache()
+    assert(chunks.filter(col("n_chunks") >= 2).select("media_id").distinct().count() > 50,
+      "fixture must contain plenty of multi-chunk media for the reorder/carry claim")
+    val d = java.nio.file.Files.createTempDirectory("graft-mmchunk")
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mmchunkhalf").toString
+      chunks.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    stage(col("chunk_idx") % 2 === 0, "a.parquet")
+    val q = MediaStream.audioBandWindowStream(spark, d.toString)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mm_chunk_out").start()
+    try {
+      q.processAllAvailable()
+      stage(col("chunk_idx") % 2 === 1, "b.parquet")
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val emissions = spark.table("mm_chunk_out")
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly-once: each (media, window) sealed in exactly one batch
+    assert(emissions.length == emissions.distinct.length,
+      "no window may be emitted twice")
+    val streamed = emissions.toSet
+    val batch = Multimodal.audioBandWindows(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+    // the downstream consumer: the log-band histogram over the STREAMED
+    // window table equals the batch mm_audio_log_bands key bit-for-bit
+    val streamedDf = streamed.toSeq
+      .toDF("media_id", "window_idx", "energy", "tp")
+    val histStream = Multimodal.logBandsFromWindows(streamedDf)
+      .collect().toSeq
+    val histBatch = Multimodal.audioLogBands(spark, TestSpark.Sf)
+      .collect().toSeq
+    assert(histStream == histBatch)
+    assert(histBatch.nonEmpty)
+  }
 }
