@@ -850,7 +850,85 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Minimum duplicated-span length in whitespace tokens. Production
+    * substring dedup uses ~50 BPE tokens (Lee et al. 2021); the fixture
+    * docs average ~50 tokens total, so the gate scales down with them.
+    * The algorithm is L-invariant — only gram width changes. */
+  private val SpanLen = 8
+
+  /** Grams in more than this many DISTINCT documents are boilerplate;
+    * pruning them bounds the gram join's per-key fanout (quadratic in
+    * df otherwise — the decontamination DfCap stance). A true span
+    * crossing a pruned gram splits at it; by then it is a >1000-way
+    * template, which is [[Pipeline.boilerplateGrams]]' job, not span
+    * dedup's. The fixture can never reach the cap, so the oracle tier
+    * replays it as a no-op. */
+  private val SpanGramDfCap = 1000
+
+  /** Exact duplicated-substring spans — the suffix-array dedup of Lee
+    * et al. ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) re-expressed relationally so it
+    * distributes: every shared token span of length ≥ [[SpanLen]]
+    * between two documents contains at least one ALIGNED SpanLen-gram,
+    * and a maximal shared span at a fixed alignment offset is exactly a
+    * maximal run of consecutive matching gram positions. So instead of
+    * a suffix array (pointer-chasing, single-machine), the plan is:
+    * position-keyed L-grams → hot-gram df prune → gram equi-join with
+    * `doc_a < doc_b` → per-(pair, offset-delta) gaps-and-islands window
+    * → one row per maximal span with exact start offsets and length.
+    * Spans at different deltas may overlap (self-similar text); that
+    * matches what suffix-array output reports before interval union.
+    *
+    * Scale posture: the only shuffles are the gram-key join and the
+    * (pair, delta)-partitioned islands window, whose partitions are
+    * bounded by per-pair match counts; the df cap kills the quadratic
+    * hot-gram term; with `hashed = true` the join key is an 8-byte
+    * xxhash64 over a slice of per-token hashes, so gram STRINGS never
+    * shuffle (the [[hashedShinglesOf]] currency — a collision can only
+    * add a FALSE span, which production would verify on the two texts;
+    * DedupSimilaritySpec pins hashed == raw on the fixture). */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOf(Tables.documents(spark, dir), hashed = false)
+
+  def substringSpansHashed(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOf(Tables.documents(spark, dir), hashed = true)
+
+  private[graft] def substringSpansOf(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val toks = "split(text, ' ')"
+    val base =
+      if (hashed) docs.withColumn("th", expr(s"transform($toks, t -> xxhash64(t))"))
+      else docs
+    val gramArr =
+      if (hashed)
+        s"transform(sequence(1, size(th) - ${SpanLen - 1}), i -> xxhash64(slice(th, i, $SpanLen)))"
+      else
+        s"transform(sequence(1, size($toks) - ${SpanLen - 1}), i -> array_join(slice($toks, i, $SpanLen), ' '))"
+    val g = base.filter(expr(s"size($toks) >= $SpanLen"))
+      .selectExpr("doc_id", s"posexplode($gramArr) as (p, gram)")
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("gram"))
+    // hot side is by definition tiny (each member needs > cap distinct
+    // docs) — broadcast anti-join, same shape as decontaminateHashed
+    val hot = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > SpanGramDfCap).select(col("gram"))
+    val pruned = g.join(broadcast(hot), Seq("gram"), "left_anti")
+    val m = pruned.as("x").join(pruned.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.p").as("pa"), (col("y.p") - col("x.p")).as("delta"))
+    val w = Window.partitionBy(col("a"), col("b"), col("delta")).orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("delta"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), max(col("pa")).as("pmax"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("start_a"),
+        (col("start_a") + col("delta")).as("start_b"),
+        (col("pmax") - col("start_a") + lit(SpanLen.toLong)).as("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_spans" -> substringSpans,
+    "dedup_substring_hashed" -> substringSpansHashed,
     "dedup_canonical_embed" -> canonicalEmbed,
     "dedup_canonical_map" -> canonicalMap,
     "dedup_canonical_map_lsh" -> canonicalMapLsh,
@@ -915,6 +993,25 @@ object Dedup extends QueryPack {
        |          FROM ${p}c)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS p,
+         |             array_to_string(tk[i:i+${SpanLen - 1}], ' ') AS gram
+         |      FROM t, unnest(generate_series(1, len(tk) - ${SpanLen - 1})) AS u(i)
+         |      WHERE len(tk) >= $SpanLen),
+         |keep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+         |                           FROM g GROUP BY gram) WHERE df <= $SpanGramDfCap),
+         |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
+         |      FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         |i AS (SELECT a, b, delta, pa,
+         |        pa - row_number() OVER (PARTITION BY a, b, delta ORDER BY pa) AS grp
+         |      FROM m)
+         |SELECT a AS doc_a, b AS doc_b, CAST(MIN(pa) AS BIGINT) AS start_a,
+         |       CAST(MIN(pa) + delta AS BIGINT) AS start_b,
+         |       CAST(MAX(pa) - MIN(pa) + $SpanLen AS BIGINT) AS span_tokens
+         |FROM i GROUP BY a, b, delta, grp
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_block_stats" ->
       s"""WITH dig_b AS (SELECT COUNT(*) AS n FROM documents GROUP BY md5(text)),
          |tok_b AS (SELECT COUNT(*) AS n FROM documents

@@ -462,6 +462,69 @@ object Multimodal extends QueryPack {
       .orderBy(col("media_id"))
   }
 
+  case class FrameSum(media_id: Long, frame_idx: Long, fsum: Long, flen: Long)
+
+  /** Per-frame integer byte sums over the same frame split as
+    * [[frameSample]]/[[sceneCutsOf]] — the 24-byte-per-frame currency
+    * the integer scene segmentation below consumes; frame bytes never
+    * leave the decode partition. */
+  private[graft] def frameSumsOf(media: Dataset[MediaRow]): Dataset[FrameSum] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val frameLen = math.max(r.payload.length / math.max(r.n_frames, 1), 1)
+      (0 until r.n_frames).iterator
+        .filter(i => i * frameLen < r.payload.length)
+        .map { i =>
+          val from = i * frameLen
+          val until = math.min(from + frameLen, r.payload.length)
+          var s = 0L
+          var j = from
+          while (j < until) { s += r.payload(j) & 0xFF; j += 1 }
+          FrameSum(r.media_id, i.toLong, s, (until - from).toLong)
+        }
+    }
+  }
+
+  /** Quantized cut threshold: mean-byte jumps are compared at ×256
+    * fixed point, so 4096 ≡ the 16.0 mean-byte jump [[sceneCuts]] uses
+    * — but in pure integer arithmetic, which is what lets this key be
+    * ORACLE-PAIRED where the double-typed cut report stays rows-only. */
+  private val SceneCutQ = 4096L
+
+  /** Scene SEGMENTATION over the video assets — the keyframe-extraction
+    * grain: frames between consecutive cuts collapse to one segment row
+    * (start frame, length, integer byte mass, quantized-mean range).
+    * Cut rule: |mean_q(i) − mean_q(i−1)| > [[SceneCutQ]] with
+    * mean_q = (256·Σbytes) div frame_len — integer end to end, so the
+    * DuckDB oracle replays the identical frame split (`len div
+    * n_frames` floor, short tail dropped like the codec seam does) and
+    * byte arithmetic over the ASCII payload and hash-matches. Segment
+    * ids are the running cut count — a per-media ordered prefix sum,
+    * partitioned by media_id so the window never sees more rows than
+    * one asset's frame count. */
+  def sceneSegments(spark: SparkSession, dir: String): DataFrame =
+    sceneSegmentsOf(mediaTable(spark, dir).filter(col("media_type") === "video"))
+
+  private[graft] def sceneSegmentsOf(media: Dataset[MediaRow]): DataFrame = {
+    val fs = frameSumsOf(media).toDF()
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    fs.withColumn("mean_q", expr("fsum * 256 div flen"))
+      .withColumn("prev_q", lag(col("mean_q"), 1).over(w))
+      .withColumn("is_cut",
+        (col("prev_q").isNotNull &&
+          abs(col("mean_q") - col("prev_q")) > lit(SceneCutQ)).cast("long"))
+      .withColumn("scene_id", sum(col("is_cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("media_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("fsum")).as("sum_bytes"),
+        min(col("mean_q")).as("min_mean_q"),
+        max(col("mean_q")).as("max_mean_q"))
+      .orderBy(col("media_id"), col("scene_id"))
+  }
+
   /** Exact multimodal dedup, blocking tier + digest tier in one report —
     * the media twin of `dedup_exact`: assets first BLOCK on the cheap
     * (media_type, n_bytes) metadata key (two assets can only be
@@ -495,6 +558,7 @@ object Multimodal extends QueryPack {
     "mm_dedup_payload" -> dedupPayload,
     "mm_phash_pairs" -> ((s: SparkSession, d: String) => phashPairs(s, d)),
     "mm_scene_cuts" -> ((s: SparkSession, d: String) => sceneCuts(s, d)),
+    "mm_scene_segments" -> sceneSegments,
     "mm_meta" -> meta,
     "mm_features" -> ((s: SparkSession, d: String) =>
       decodeFeatures(s, d).toDF()
@@ -515,6 +579,38 @@ object Multimodal extends QueryPack {
           max(col("mean_pixel")).as("brightest_tile"))))
 
   override val oracles: Map[String, String] = Map(
+    "mm_scene_segments" ->
+      s"""WITH v AS (SELECT doc_id AS media_id, text,
+         |                  CAST(strlen(text) AS BIGINT) AS len,
+         |                  CAST(1 + doc_id % 30 AS BIGINT) AS nf
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |f AS (SELECT media_id, text, len, GREATEST(len // nf, 1) AS fl, i AS fi
+         |      FROM v, unnest(generate_series(0, nf - 1)) AS u(i)
+         |      WHERE i * GREATEST(len // nf, 1) < len),
+         |b AS (SELECT media_id, fi,
+         |             CAST(SUM(ord(text[j])) AS BIGINT) AS fsum,
+         |             CAST(COUNT(*) AS BIGINT) AS flen
+         |      FROM f, unnest(generate_series(fl * fi + 1, LEAST(fl * (fi + 1), len))) AS w(j)
+         |      GROUP BY media_id, fi),
+         |q AS (SELECT media_id, fi, fsum, (fsum * 256) // flen AS mean_q,
+         |             LAG((fsum * 256) // flen) OVER
+         |               (PARTITION BY media_id ORDER BY fi) AS prev_q
+         |      FROM b),
+         |c AS (SELECT media_id, fi, fsum, mean_q,
+         |             CASE WHEN prev_q IS NOT NULL
+         |                   AND ABS(mean_q - prev_q) > 4096 THEN 1 ELSE 0 END AS is_cut
+         |      FROM q),
+         |s AS (SELECT media_id, fi, fsum, mean_q,
+         |             SUM(is_cut) OVER (PARTITION BY media_id ORDER BY fi) AS scene_id
+         |      FROM c)
+         |SELECT media_id, CAST(scene_id AS BIGINT) AS scene_id,
+         |       CAST(MIN(fi) AS BIGINT) AS start_frame,
+         |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |       CAST(SUM(fsum) AS BIGINT) AS sum_bytes,
+         |       CAST(MIN(mean_q) AS BIGINT) AS min_mean_q,
+         |       CAST(MAX(mean_q) AS BIGINT) AS max_mean_q
+         |FROM s GROUP BY media_id, scene_id
+         |ORDER BY media_id, scene_id""".stripMargin,
     "mm_audio_log_bands" -> {
       import graft.functions.FixedLog2.duckLog2
       s"""WITH a AS (SELECT doc_id AS media_id, text FROM documents

@@ -878,7 +878,97 @@ object Similarity extends QueryPack {
       coarseAssign(c, semCentroids(spark, c, 0)).select(col("cluster_id")),
       cap)
 
+  /** The int8 quantization every PCA input rides: the per-vector
+    * max-abs scale and round-half-up of [[Pipeline.quantizeInt8Of]]
+    * (already oracle-paired under `sim_quantize_int8`), emitted as a
+    * BIGINT array. Zero-norm vectors have no direction — they are
+    * filtered, matching the semantic-dedup cid = −1 stance. */
+  private def quantArr: String =
+    """transform(embedding, x -> cast(floor(cast(x as double) / sc * 127 + 0.5)
+      |  as bigint))""".stripMargin
+
+  private def withScale(emb: DataFrame): DataFrame =
+    emb.withColumn("sc", expr(
+      "nullif(array_max(transform(embedding, y -> abs(cast(y as double)))), cast(0 as double))"))
+      .filter(col("sc").isNotNull)
+
+  /** Upper-triangular Gram matrix of the int8-quantized embeddings —
+    * the exact-integer core of embedding PCA/whitening (G = QᵀQ over
+    * the quantized matrix; the covariance eigenproblem [[pcaProject]]
+    * solves is d×d, computed here distributed and exactly). Integer
+    * entries make this ORACLE-PAIRED: q ∈ [−127, 127]⁶⁴ ⇒ |g| ≤
+    * n·127², inside BIGINT to n ≈ 5·10¹⁴ rows.
+    *
+    * Plan shape: one posexplode to (dim i, qᵢ, q) — 64 rows per vector
+    * that NEVER leave their partition uncombined, because the
+    * groupBy(i) partial aggregate collapses each task to ≤ 64 rows of
+    * 64 sums before the shuffle (the flat-agg-columns device the IVF
+    * k-means step documents at `Similarity.scala:308`); the shuffle
+    * moves 64 rows × tasks, not n×d² anything. */
+  def pcaGram(spark: SparkSession, dir: String): DataFrame =
+    pcaGramOf(Tables.embeddings(spark, dir))
+
+  private[graft] def pcaGramOf(emb: DataFrame): DataFrame = {
+    val q = withScale(emb).selectExpr(s"$quantArr as q")
+    val e = q.select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+    val sums = (0 until Dim).map(j =>
+      sum(col("qi") * col("q").getItem(j)).as(s"g$j"))
+    e.groupBy(col("i"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("i").cast("long").as("i"),
+        posexplode(array((0 until Dim).map(j => col(s"g$j")): _*))
+          .as(Seq("j", "g")))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j").cast("long").as("j"), col("g"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Principal-axis projection: power iteration on the exact integer
+    * Gram matrix (d×d = 64×64 — driver-side bounded bookkeeping, like
+    * the IVF centroid table) from the fixed all-ones start, 40
+    * multiply-normalize rounds, sign fixed so the largest-|component|
+    * coordinate is positive; each vector's projection is then the
+    * integer dot of its quantized array with the ×2²⁰-quantized axis —
+    * exact long arithmetic again, so the OUTPUT is bit-deterministic
+    * even though the axis itself was computed in driver doubles.
+    * Rows-only: the oracle cannot replay driver float iteration;
+    * DedupSimilaritySpec pins a planted-anisotropy corpus (axis finds
+    * the stretched direction) and the Rayleigh-dominance invariant.
+    *
+    * Scale posture: one distributed gram pass (above) + a 64×64 driver
+    * solve + one map-only projection pass — the PCA recipe that never
+    * shuffles the embedding matrix. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame =
+    pcaProjectOf(Tables.embeddings(spark, dir))
+
+  private[graft] def pcaProjectOf(emb: DataFrame): DataFrame = {
+    val gRows = pcaGramOf(emb).collect().map(r =>
+      (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    val g = Array.ofDim[Double](Dim, Dim)
+    gRows.foreach { case (i, j, v) => g(i)(j) = v.toDouble; g(j)(i) = v.toDouble }
+    var v = Array.fill(Dim)(1.0 / math.sqrt(Dim.toDouble))
+    for (_ <- 1 to 40) {
+      val nv = Array.tabulate(Dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < Dim) { s += g(i)(j) * v(j); j += 1 }; s
+      }
+      val n = math.sqrt(nv.map(x => x * x).sum)
+      v = if (n > 0) nv.map(_ / n) else v
+    }
+    val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(top) < 0) v = v.map(x => -x)
+    val vq = v.map(x => math.floor(x * (1L << 20) + 0.5).toLong)
+    val vqCol = s"array(${vq.mkString(", ")})"
+    withScale(emb).selectExpr("vec_id", s"$quantArr as q")
+      .selectExpr("vec_id",
+        s"""aggregate(zip_with(q, $vqCol, (a, b) -> a * b),
+           |  cast(0 as bigint), (acc, x) -> acc + x) as proj_fix""".stripMargin)
+      .orderBy(col("vec_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_gram"        -> pcaGram,
+    "sim_pca_project"     -> pcaProject,
     "dedup_semantic"      -> semanticDedup,
     "dedup_semantic_coarse" -> semanticDedupCoarse,
     "sim_topk_bruteforce" -> topKBruteForce,
@@ -905,6 +995,22 @@ object Similarity extends QueryPack {
          |WHERE rank <= $K""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "sim_pca_gram" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |             nullif(list_max(list_transform(embedding,
+        |               y -> abs(CAST(y AS DOUBLE)))), 0) AS sc
+        |           FROM embeddings),
+        |q AS (SELECT list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / sc * 127 + 0.5) AS BIGINT)) AS q
+        |      FROM s WHERE sc IS NOT NULL),
+        |e AS (SELECT q, i - 1 AS i, q[i] AS qi
+        |      FROM q, unnest(generate_series(1, len(q))) AS u(i)),
+        |p AS (SELECT e.i, j - 1 AS j, e.qi * e.q[j] AS v
+        |      FROM e, unnest(generate_series(1, len(e.q))) AS w(j)
+        |      WHERE j - 1 >= e.i)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |       CAST(SUM(v) AS BIGINT) AS g
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
     "dedup_semantic" ->
       s"""WITH c AS (SELECT vec_id, embedding,
          |             ${VectorOps.duckNorm("embedding")} AS nrm

@@ -60,6 +60,79 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("n_docs"))
   }
 
+  /** BM25 saturation clamp: tf beyond this adds ≤ 0.5% to the term's
+    * already-saturated score while keeping the integer score inside
+    * BIGINT at any corpus avgdl ≤ 3·10⁶ — document it, don't overflow. */
+  private val Bm25TfCap = 1000L
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; k1 = 1.2, b = 0.75)
+    * in EXACT integer arithmetic, so the ranking is oracle-paired where
+    * a libm-`ln` BM25 would flake the hash gate:
+    *
+    *   - idf: (N + 1)/(df + ½) = (2N + 2)/(2df + 1), so
+    *     idf_fix = L2(2N+2) − L2(2df+1) via [[graft.functions.FixedLog2]]
+    *     — base-2 instead of e scales every score by the same positive
+    *     constant (rank-preserving), and the two L2 operands are exact
+    *     integers;
+    *   - tf term: with k1 = 6/5, b = 3/4 and avgdl taken as the integer
+    *     `avg = Σdl div N`, multiplying through by 20·avg gives the
+    *     exact rational  44·tf·avg / (20·tf·avg + 6·avg + 18·dl);
+    *   - per-term score_fix = (idf_fix · 44 · tf₁ · avg) div (…) —
+    *     one truncating division of exact longs (max ~2.8·10¹² · avg,
+    *     inside BIGINT for avg ≤ 3·10⁶ with tf₁ = min(tf, [[Bm25TfCap]]));
+    *   - doc score = Σ score_fix over the query's distinct terms —
+    *     exact long addition, order-free.
+    *
+    * Query workload (deterministic, corpus-derived): the 5 lowest
+    * doc_ids are "more-like-this" probes — each contributes its first
+    * 6 tokens (distinct) as a bag-of-words query; top-5 docs per query
+    * by (score desc, doc_id). EventsTextSpec pins the whole output
+    * against a brute-force Scala recompute of the integer formula.
+    *
+    * Scale posture: tf/df are the [[tfidfCounts]] aggregates (one
+    * explode + two shuffles, vocab-grain df); L2 applies at VOCAB
+    * grain (one codegen projection over df rows) and once to the 1-row
+    * corpus stats; the query side is a 5-row broadcast; the only
+    * per-match work is the final (query_id, doc) partial-agg +
+    * per-query top-k window over matched docs only. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(Tables.documents(spark, dir).toDF())
+
+  private[graft] def bm25TopKOf(docs: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val tf = docs
+      .select(col("doc_id"), expr(s"cast(size($toks) as bigint)").as("dl"),
+        explode(expr(toks)).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfl = FixedLog2.withLog2(
+      df.withColumn("y", expr("2 * df + 1")), "y", "l2y")
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(expr(s"cast(size($toks) as bigint)")).as("t"))
+    val nl = FixedLog2.withLog2(
+      stats.select(expr("t div n").as("avg"), expr("2 * n + 2").as("x")),
+      "x", "l2x")
+    val scored = tf.join(dfl.select(col("token"), col("l2y")), Seq("token"))
+      .join(broadcast(nl.select(col("avg"), col("l2x"))))
+      .withColumn("tf1", least(col("tf"), lit(Bm25TfCap)))
+      .withColumn("score_fix", expr(
+        "(l2x - l2y) * 44 * tf1 * avg div (20 * tf1 * avg + 6 * avg + 18 * dl)"))
+      .select(col("token"), col("doc_id"), col("score_fix"))
+    val q = docs.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        explode(expr(s"array_distinct(slice($toks, 1, 6))")).as("token"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fix").desc, col("doc_id"))
+    q.join(scored, Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_fix")).as("score_fix"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fix"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Feature selection for a labeled corpus: mutual information (bits)
     * between TOKEN PRESENCE and the document language — the standard
     * MI feature ranking (Manning/Schütze IR ch. 13) — hash-exact via
@@ -642,6 +715,7 @@ object TextAnalysis extends QueryPack {
     "text_token_stats"   -> tokenStats,
     "text_term_freq"     -> termFreq,
     "text_tfidf_counts"  -> tfidfCounts,
+    "text_bm25_topk"     -> bm25TopK,
     "text_token_mi"      -> tokenMi,
     "text_top_terms"     -> topTermsPerDoc,
     "text_char_trigrams" -> charTrigrams,
@@ -861,6 +935,35 @@ object TextAnalysis extends QueryPack {
          |n AS (SELECT COUNT(*) AS n_docs FROM documents)
          |SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs
          |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin,
+    "text_bm25_topk" -> {
+      import graft.functions.FixedLog2.duckLog2
+      s"""WITH st AS (SELECT doc_id, CAST(len($dToks) AS BIGINT) AS dl,
+         |                   unnest($dToks) AS token FROM documents),
+         |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM st GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |dfl AS (${duckLog2("SELECT token, 2 * df + 1 AS y FROM dfq", "y", "l2y")}),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(len($dToks)) AS BIGINT) AS t FROM documents),
+         |nl AS (${duckLog2("SELECT t // n AS avg, 2 * n + 2 AS x FROM ns", "x", "l2x")}),
+         |sc AS (SELECT tf.doc_id, tf.token,
+         |              (nl.l2x - dfl.l2y) * 44 * LEAST(tf.tf, 1000) * nl.avg
+         |              // (20 * LEAST(tf.tf, 1000) * nl.avg + 6 * nl.avg
+         |                  + 18 * tf.dl) AS score_fix
+         |       FROM tf JOIN dfl USING (token) CROSS JOIN nl),
+         |q AS (SELECT query_id, unnest(qt) AS token FROM
+         |        (SELECT doc_id AS query_id, list_distinct($dToks[1:6]) AS qt
+         |         FROM documents ORDER BY doc_id LIMIT 5)),
+         |agg AS (SELECT q.query_id, sc.doc_id,
+         |               CAST(SUM(sc.score_fix) AS BIGINT) AS score_fix
+         |        FROM q JOIN sc USING (token) GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_fix,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |               ORDER BY score_fix DESC, doc_id) AS rank
+         |      FROM agg)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_fix
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "text_top_terms" ->
       s"""WITH tf AS (
          |  SELECT doc_id, token, COUNT(*) AS tf

@@ -636,4 +636,89 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact,
       s"missed=${(exact -- lsh).take(3)} extra=${(lsh -- exact).take(3)}")
   }
+
+  test("pca gram: hand-computed on a planted pair; zero vectors filtered") {
+    def vec(entries: Map[Int, Float]): Array[Float] =
+      Array.tabulate(64)(i => entries.getOrElse(i, 0.0f))
+    val emb = Seq(
+      (1L, vec(Map(0 -> 2.0f, 1 -> 1.0f))),  // q = [127, 64, 0…]
+      (2L, vec(Map(1 -> 3.0f))),             // q = [0, 127, 0…]
+      (3L, vec(Map.empty[Int, Float])))      // zero vector: filtered
+      .toDF("vec_id", "embedding")
+    val g = Similarity.pcaGramOf(emb)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(g.size == 64 * 65 / 2, "full upper triangle emitted")
+    assert(g((0L, 0L)) == 127L * 127)
+    assert(g((0L, 1L)) == 127L * 64)
+    assert(g((1L, 1L)) == 64L * 64 + 127L * 127)
+    assert(g.filterNot(kv =>
+      Set((0L, 0L), (0L, 1L), (1L, 1L)).contains(kv._1)).values.forall(_ == 0L),
+      "all cells off the planted block must be zero (zero vector filtered)")
+  }
+
+  test("pca projection: planted anisotropy along dim 7 drives the axis; output deterministic") {
+    def vec(entries: Map[Int, Float]): Array[Float] =
+      Array.tabulate(64)(i => entries.getOrElse(i, 0.0f))
+    // 40 vectors stretched along dim 7 with small cross-talk on dim 2;
+    // per-vector max-abs quantization keeps dim 7 at ±127 and dim 2
+    // small, so the principal axis of the quantized matrix is ≈ e7
+    val emb = (0 until 40).map { i =>
+      val a = if (i % 2 == 0) 5.0f else -5.0f
+      (i.toLong, vec(Map(7 -> a, 2 -> (0.2f * (i % 5 - 2)))))
+    }.toDF("vec_id", "embedding")
+    val p = Similarity.pcaProjectOf(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(p.size == 40)
+    // sign convention: axis' largest-|component| coordinate (dim 7) is
+    // positive ⇒ projection sign equals the dim-7 sign of each vector
+    (0 until 40).foreach { i =>
+      val sign = if (i % 2 == 0) 1 else -1
+      assert(math.signum(p(i.toLong).toDouble) == sign,
+        s"vec $i proj ${p(i.toLong)} must have dim-7 sign $sign")
+      assert(math.abs(p(i.toLong)) > (1L << 20) * 100,
+        "projection magnitude must be dominated by the ±127 dim-7 component")
+    }
+    val p2 = Similarity.pcaProjectOf(emb).as[(Long, Long)].collect().toMap
+    assert(p2 == p, "projection must be bit-deterministic across runs")
+  }
+
+  test("substring spans: planted shared spans recovered with exact offsets and lengths") {
+    // doc 1 and doc 2 share a 10-token span (≥ SpanLen = 8): doc 1
+    // carries it at token 2, doc 2 at token 0, followed by unrelated
+    // tails; doc 3 shares NOTHING long enough (7 common tokens < 8).
+    val span = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words $span tail one two three"),
+      (2L, s"$span other ending entirely"),
+      (3L, "intro words shared0 shared1 shared2 shared3 shared4 shared5 shared6 done"),
+      (4L, s"prefix $span middle gap gap gap $span suffix"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpansOf(docs, hashed = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // (1,2): the 10-token span, exact offsets
+    assert(out.contains((1L, 2L, 2L, 0L, 10L)), s"got $out")
+    // (1,3) shares only 7 tokens + 'intro words' (9 < SpanLen? 'intro
+    // words shared0..shared6' = 9 consecutive tokens ≥ 8 — that IS a
+    // span of 9 at offset 0/0)
+    assert(out.contains((1L, 3L, 0L, 0L, 9L)))
+    // doc 4 contains the span TWICE → two distinct (1,4) spans at
+    // different deltas, both length 10, plus the (2,4) pair
+    val d14 = out.filter(r => r._1 == 1L && r._2 == 4L)
+    assert(d14.map(r => (r._3, r._4, r._5)) ==
+      Set((2L, 1L, 10L), (2L, 15L, 10L)),
+      s"doc4 twin spans: $d14")
+    // every reported span is ≥ SpanLen by construction
+    assert(out.forall(_._5 >= 8L))
+  }
+
+  test("hashed substring spans equal the raw-gram spans on the fixture") {
+    val raw = Dedup.substringSpans(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val hashed = Dedup.substringSpansHashed(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(raw.nonEmpty, "fixture should contain shared spans")
+    assert(hashed == raw,
+      s"missed=${(raw -- hashed).take(3)} extra=${(hashed -- raw).take(3)}")
+  }
 }

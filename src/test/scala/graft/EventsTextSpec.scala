@@ -547,4 +547,48 @@ class EventsTextSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
     assert(got.values.sum > 0)
   }
+
+  test("bm25 top-k equals a brute-force integer recompute on the fixture") {
+    import graft.functions.FixedLog2
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.length.toLong
+    val t = toks.values.map(_.size.toLong).sum
+    val avg = t / n
+    val tf = toks.toSeq.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (tok, xs) => (id, tok, xs.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (tok, xs) => tok -> xs.size.toLong }
+    val l2x = FixedLog2.l2Long(2 * n + 2)
+    def scoreFix(tok: String, tfv: Long, dl: Long): Long = {
+      val idf = l2x - FixedLog2.l2Long(2 * df(tok) + 1)
+      val tf1 = math.min(tfv, 1000L)
+      idf * 44 * tf1 * avg / (20 * tf1 * avg + 6 * avg + 18 * dl)
+    }
+    val byDocTok = tf.map(r => (r._1, r._2) -> r._3).toMap
+    val want = docs.map(_._1).sorted.take(5).flatMap { qid =>
+      val qterms = toks(qid).take(6).distinct
+      val scores = docs.map(_._1).flatMap { d =>
+        val dl = toks(d).size.toLong
+        val s = qterms.flatMap(tk => byDocTok.get((d, tk))
+          .map(tfv => scoreFix(tk, tfv, dl))).sum
+        val matched = qterms.exists(tk => byDocTok.contains((d, tk)))
+        if (matched) Some((d, s)) else None
+      }
+      scores.sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, s), i) => (qid, i + 1L, d, s) }
+    }.toSet
+    val got = TextAnalysis.bm25TopK(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty)
+    // every query yields a dense rank prefix 1..k
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq,
+        s"query $qid ranks must be dense from 1")
+    }
+  }
 }

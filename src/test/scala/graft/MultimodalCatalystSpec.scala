@@ -134,6 +134,37 @@ class MultimodalCatalystSpec extends AnyFunSuite {
     assert(got(2L) == ((8L, 0L, None)), got.toString)
   }
 
+  test("scene segments: planted cuts yield exact integer segment rows") {
+    import Multimodal.MediaRow
+    // three scenes of 3/2/3 frames (16 bytes each): 0x10, 0xF0, 0x10 —
+    // two cuts (frames 3 and 5) → segments [0,3), [3,5), [5,8); plus a
+    // flat video (one segment) and a 17-frame manifest over 32 bytes
+    // (frameLen = max(32/17, 1) = 1 → 17 one-byte frames, the tail 15
+    // bytes dropped exactly as the codec-seam frame split drops them)
+    val threeScene = Array.fill(48)(0x10.toByte) ++
+      Array.fill(32)(0xF0.toByte) ++ Array.fill(48)(0x10.toByte)
+    val flat = Array.fill(128)(0x40.toByte)
+    val tiny = Array.fill(32)(0x20.toByte)
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, threeScene, "video", 0, 0, 8),
+      MediaRow(2L, flat, "video", 0, 0, 8),
+      MediaRow(3L, tiny, "video", 0, 0, 17)))
+    val got = Multimodal.sceneSegmentsOf(media)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // mean_q: 0x10*256 = 4096, 0xF0*256 = 61440; sum per 16-byte frame
+    val q1 = 0x10L * 256; val q2 = 0xF0L * 256
+    val f1 = 0x10L * 16; val f2 = 0xF0L * 16
+    assert(got.filter(_._1 == 1L) == Set(
+      (1L, 0L, 0L, 3L, 3 * f1, q1, q1),
+      (1L, 1L, 3L, 2L, 2 * f2, q2, q2),
+      (1L, 2L, 5L, 3L, 3 * f1, q1, q1)), got.toString)
+    assert(got.filter(_._1 == 2L) ==
+      Set((2L, 0L, 0L, 8L, 8 * 0x40L * 16, 0x40L * 256, 0x40L * 256)))
+    // 17 one-byte frames, all same byte → one segment spanning all 17
+    assert(got.filter(_._1 == 3L) ==
+      Set((3L, 0L, 0L, 17L, 17L * 0x20L, 0x20L * 256, 0x20L * 256)))
+  }
+
   test("frame sampling: indices follow the stride, bytes within frame bounds") {
     val fs = Multimodal.frameSample(spark, TestSpark.Sf, 5).collect()
     assert(fs.nonEmpty)
