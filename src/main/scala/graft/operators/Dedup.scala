@@ -893,7 +893,11 @@ object Dedup extends QueryPack {
   def substringSpansHashed(spark: SparkSession, dir: String): DataFrame =
     substringSpansOf(Tables.documents(spark, dir), hashed = true)
 
-  private[graft] def substringSpansOf(docs: DataFrame, hashed: Boolean): DataFrame = {
+  /** Position-keyed, df-cap-pruned [[SpanLen]]-grams — the shared
+    * currency of all three substring keys. The hot side is by
+    * definition tiny (each member needs > cap distinct docs) —
+    * broadcast anti-join, same shape as decontaminateHashed. */
+  private def spanGramsOf(docs: DataFrame, hashed: Boolean): DataFrame = {
     val toks = "split(text, ' ')"
     val base =
       if (hashed) docs.withColumn("th", expr(s"transform($toks, t -> xxhash64(t))"))
@@ -906,16 +910,15 @@ object Dedup extends QueryPack {
     val g = base.filter(expr(s"size($toks) >= $SpanLen"))
       .selectExpr("doc_id", s"posexplode($gramArr) as (p, gram)")
       .select(col("doc_id"), col("p").cast("long").as("p"), col("gram"))
-    // hot side is by definition tiny (each member needs > cap distinct
-    // docs) — broadcast anti-join, same shape as decontaminateHashed
     val hot = g.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > SpanGramDfCap).select(col("gram"))
-    val pruned = g.join(broadcast(hot), Seq("gram"), "left_anti")
-    val m = pruned.as("x").join(pruned.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.p").as("pa"), (col("y.p") - col("x.p")).as("delta"))
+    g.join(broadcast(hot), Seq("gram"), "left_anti")
+  }
+
+  /** Maximal-run islands merge over aligned matches (a, b, pa, delta):
+    * consecutive pa at fixed (pair, delta) = one span. */
+  private def spanIslands(m: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("a"), col("b"), col("delta")).orderBy(col("pa"))
     m.withColumn("grp", col("pa") - row_number().over(w))
       .groupBy(col("a"), col("b"), col("delta"), col("grp"))
@@ -923,12 +926,87 @@ object Dedup extends QueryPack {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("start_a"),
         (col("start_a") + col("delta")).as("start_b"),
         (col("pmax") - col("start_a") + lit(SpanLen.toLong)).as("span_tokens"))
+  }
+
+  private[graft] def substringSpansOf(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val pruned = spanGramsOf(docs, hashed)
+    val m = pruned.as("x").join(pruned.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.p").as("pa"), (col("y.p") - col("x.p")).as("delta"))
+    spanIslands(m)
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** Intra-document repetition spans — the WITHIN-doc half of Lee et
+    * al.'s substring dedup (a document repeating its own ≥ SpanLen
+    * span is boilerplate/templating even with zero cross-doc dups;
+    * [[graft.operators.TextAnalysis]]'s repetition ratios measure the
+    * mass, this reports the exact spans). Same machinery with the join
+    * condition `same doc ∧ pa < pb`; overlapping self-matches in
+    * periodic text merge into one maximal run per offset-delta, which
+    * is exactly how a suffix array reports self-similarity. */
+  def substringSelf(spark: SparkSession, dir: String): DataFrame =
+    substringSelfOf(Tables.documents(spark, dir), hashed = false)
+
+  private[graft] def substringSelfOf(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val pruned = spanGramsOf(docs, hashed)
+    val m = pruned.as("x").join(pruned.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") === col("y.doc_id") &&
+          col("x.p") < col("y.p"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.p").as("pa"), (col("y.p") - col("x.p")).as("delta"))
+    spanIslands(m)
+      .select(col("doc_a").as("doc_id"), col("start_a"), col("start_b"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("start_a"), col("start_b"))
+  }
+
+  /** The dedup OUTPUT Lee et al. actually ship: the corpus with
+    * duplicated spans CUT. Keep rule: of each cross-doc span, the
+    * lower doc_id keeps its occurrence; every doc_b-side token position
+    * covered by any span is removed (positions union via distinct).
+    * Output is per-doc accounting plus the surviving text, reassembled
+    * in token order — the [[Pipeline.lineDedupOf]] device at token
+    * grain. Docs that lose everything (exact duplicates of an earlier
+    * doc) survive as empty-text rows rather than vanishing.
+    *
+    * Scale posture: covered positions explode to at most the corpus'
+    * duplicated-token mass (what the operator exists to remove), keyed
+    * (doc, pos) for the anti-join; reassembly groups by doc with a
+    * sorted collect bounded by per-doc token counts — the same bound
+    * lineDedup already rides. */
+  def substringRemoved(spark: SparkSession, dir: String): DataFrame =
+    substringRemovedOf(Tables.documents(spark, dir))
+
+  private[graft] def substringRemovedOf(docs: DataFrame): DataFrame = {
+    val toks = "split(text, ' ')"
+    val spans = substringSpansOf(docs, hashed = false)
+    val covered = spans.select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(start_b, start_b + span_tokens - 1)")).as("p"))
+      .distinct()
+    val tk = docs.selectExpr("doc_id", s"posexplode($toks) as (p, tok)")
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    val kept = tk.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(p, tok))), s -> s.tok)"))
+          .as("text_kept"))
+    docs.selectExpr("doc_id", s"cast(size($toks) as bigint) as n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy(col("doc_id"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_spans" -> substringSpans,
     "dedup_substring_hashed" -> substringSpansHashed,
+    "dedup_substring_self" -> substringSelf,
+    "dedup_substring_removed" -> substringRemoved,
     "dedup_canonical_embed" -> canonicalEmbed,
     "dedup_canonical_map" -> canonicalMap,
     "dedup_canonical_map_lsh" -> canonicalMapLsh,
@@ -992,26 +1070,65 @@ object Dedup extends QueryPack {
        |                 CAST(MAX(n) AS BIGINT) AS max_members
        |          FROM ${p}c)""".stripMargin
 
+  /** Shared CTE prefix of the substring-span oracles: tokenized docs →
+    * position-keyed grams → df-cap keep set → pruned grams `gg`. */
+  private val dSpanCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS p,
+       |             array_to_string(tk[i:i+${SpanLen - 1}], ' ') AS gram
+       |      FROM t, unnest(generate_series(1, len(tk) - ${SpanLen - 1})) AS u(i)
+       |      WHERE len(tk) >= $SpanLen),
+       |keep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+       |                           FROM g GROUP BY gram) WHERE df <= $SpanGramDfCap),
+       |gg AS (SELECT g.* FROM g JOIN keep USING (gram))""".stripMargin
+
+  /** Islands + span emission over a match CTE `m(a, b, pa, delta)`. */
+  private val dSpanTail =
+    s"""i AS (SELECT a, b, delta, pa,
+       |        pa - row_number() OVER (PARTITION BY a, b, delta ORDER BY pa) AS grp
+       |      FROM m),
+       |spans AS (SELECT a AS doc_a, b AS doc_b, CAST(MIN(pa) AS BIGINT) AS start_a,
+       |                 CAST(MIN(pa) + delta AS BIGINT) AS start_b,
+       |                 CAST(MAX(pa) - MIN(pa) + $SpanLen AS BIGINT) AS span_tokens
+       |          FROM i GROUP BY a, b, delta, grp)""".stripMargin
+
+  private val dCrossM =
+    """m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
+      |      FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id < y.doc_id)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "dedup_substring_spans" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |g AS (SELECT doc_id, i - 1 AS p,
-         |             array_to_string(tk[i:i+${SpanLen - 1}], ' ') AS gram
-         |      FROM t, unnest(generate_series(1, len(tk) - ${SpanLen - 1})) AS u(i)
-         |      WHERE len(tk) >= $SpanLen),
-         |keep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
-         |                           FROM g GROUP BY gram) WHERE df <= $SpanGramDfCap),
-         |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
-         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
-         |      FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id < y.doc_id),
-         |i AS (SELECT a, b, delta, pa,
-         |        pa - row_number() OVER (PARTITION BY a, b, delta ORDER BY pa) AS grp
-         |      FROM m)
-         |SELECT a AS doc_a, b AS doc_b, CAST(MIN(pa) AS BIGINT) AS start_a,
-         |       CAST(MIN(pa) + delta AS BIGINT) AS start_b,
-         |       CAST(MAX(pa) - MIN(pa) + $SpanLen AS BIGINT) AS span_tokens
-         |FROM i GROUP BY a, b, delta, grp
+      s"""WITH $dSpanCtes,
+         |$dCrossM,
+         |$dSpanTail
+         |SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    "dedup_substring_self" ->
+      s"""WITH $dSpanCtes,
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
+         |      FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id = y.doc_id
+         |                         AND x.p < y.p),
+         |$dSpanTail
+         |SELECT doc_a AS doc_id, start_a, start_b, span_tokens FROM spans
+         |ORDER BY doc_id, start_a, start_b""".stripMargin,
+    "dedup_substring_removed" ->
+      s"""WITH $dSpanCtes,
+         |$dCrossM,
+         |$dSpanTail,
+         |cov AS (SELECT DISTINCT doc_b AS doc_id, pp FROM spans,
+         |          unnest(generate_series(start_b, start_b + span_tokens - 1)) AS c(pp)),
+         |tk AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok
+         |       FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+         |kept AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |                COALESCE(string_agg(tk.tok, ' ' ORDER BY tk.p), '') AS text_kept
+         |         FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pp = tk.p
+         |         WHERE cov.pp IS NULL GROUP BY tk.doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |       COALESCE(k.n_kept, 0) AS n_kept,
+         |       CAST(len(t.tk) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed,
+         |       COALESCE(k.text_kept, '') AS text_kept
+         |FROM t LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_block_stats" ->
       s"""WITH dig_b AS (SELECT COUNT(*) AS n FROM documents GROUP BY md5(text)),
          |tok_b AS (SELECT COUNT(*) AS n FROM documents

@@ -712,6 +712,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall(_._5 >= 8L))
   }
 
+  test("self-repetition spans: periodic text merges into one maximal run per delta") {
+    val span = (0 until 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 repeats a 10-token block twice with a 3-token gap:
+      // tokens 0-9 and 13-22 → one (delta=13) self-span of 10
+      (1L, s"$span gap gap gap $span"),
+      // doc 2: period-1 repetition "x"×12 → self-matches at every
+      // delta d ∈ [1, 4] (12 − 8 = 4 alignments), each one maximal run
+      (2L, (1 to 12).map(_ => "x").mkString(" ")),
+      (3L, "no repetition here at all just eight distinct tokens"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSelfOf(docs, hashed = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out.filter(_._1 == 1L) == Set((1L, 0L, 13L, 10L)), out.toString)
+    // doc 2: for delta d, matching pa runs 0..(12-8-d) → span length
+    // (12-8-d) + 8 = 12 - d at start_a=0, start_b=d
+    assert(out.filter(_._1 == 2L) ==
+      (1L to 4L).map(d => (2L, 0L, d, 12L - d)).toSet, out.toString)
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("substring removal: doc_b occurrences cut, exact copies empty out, accounting adds up") {
+    val span = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span tail tokens here"),
+      (2L, s"$span completely different ending"),   // loses its s0..s9
+      (3L, s"alpha beta $span tail tokens here"),   // exact copy of 1 → fully cut
+      (4L, "untouched document with no shared span content at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringRemovedOf(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // doc 1 is doc_a everywhere: keeps everything
+    assert(got(1L) == ((15L, 15L, 0L, s"alpha beta $span tail tokens here")))
+    // doc 2 loses exactly the 10 shared tokens
+    assert(got(2L) == ((13L, 3L, 10L, "completely different ending")))
+    // doc 3 is an exact copy of doc 1: every position covered
+    assert(got(3L) == ((15L, 0L, 15L, "")))
+    assert(got(4L)._3 == 0L)
+    // accounting: n_kept + n_removed == n_tokens for every doc
+    got.values.foreach { case (n, k, r, _) => assert(k + r == n) }
+  }
+
   test("hashed substring spans equal the raw-gram spans on the fixture") {
     val raw = Dedup.substringSpans(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
