@@ -962,6 +962,38 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"), col("start_a"), col("start_b"))
   }
 
+  /** Incremental substring dedup — the 100 TB INGEST shape of
+    * [[substringSpans]]: spans between a NEW batch and the standing
+    * corpus only. The gram join is strictly cross-side (new × corpus),
+    * so no corpus × corpus term exists in the plan — batch cost scales
+    * with batch size × match density, exactly like [[incremental]]'s
+    * digest/near tiers. The df cap is computed over corpus ∪ batch
+    * here (boilerplate is boilerplate wherever it lives); a production
+    * ingest maintains that gram-df table incrementally instead of
+    * rescanning. Split device: the same multiplicative-hash 20% "new"
+    * slice [[incremental]] uses, so the two incremental keys describe
+    * the same batch. */
+  def substringIncremental(spark: SparkSession, dir: String): DataFrame =
+    substringIncrementalOf(Tables.documents(spark, dir)
+      .withColumn("is_new", expr("(doc_id * 2654435761) % 4294967296 % 100 >= 80")))
+
+  private[graft] def substringIncrementalOf(docs: DataFrame): DataFrame = {
+    val g = spanGramsOf(docs.select(col("doc_id"), col("text")), hashed = false)
+      .join(docs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+    val gOld = g.filter(!col("is_new"))
+      .select(col("doc_id").as("a"), col("p").as("pa"), col("gram"))
+    val gNew = g.filter(col("is_new"))
+      .select(col("doc_id").as("b"), col("p").as("pb"), col("gram"))
+    val m = gOld.join(gNew, Seq("gram"))
+      .select(col("a"), col("b"), col("pa"), (col("pb") - col("pa")).as("delta"))
+    spanIslands(m)
+      .select(col("doc_b").as("new_doc"), col("doc_a").as("corpus_doc"),
+        col("start_b").as("start_new"), col("start_a").as("start_corpus"),
+        col("span_tokens"))
+      .orderBy(col("new_doc"), col("corpus_doc"), col("start_new"),
+        col("start_corpus"))
+  }
+
   /** The dedup OUTPUT Lee et al. actually ship: the corpus with
     * duplicated spans CUT. Keep rule: of each cross-doc span, the
     * lower doc_id keeps its occurrence; every doc_b-side token position
@@ -1007,6 +1039,7 @@ object Dedup extends QueryPack {
     "dedup_substring_hashed" -> substringSpansHashed,
     "dedup_substring_self" -> substringSelf,
     "dedup_substring_removed" -> substringRemoved,
+    "dedup_substring_incremental" -> substringIncremental,
     "dedup_canonical_embed" -> canonicalEmbed,
     "dedup_canonical_map" -> canonicalMap,
     "dedup_canonical_map_lsh" -> canonicalMapLsh,
@@ -1103,6 +1136,19 @@ object Dedup extends QueryPack {
          |$dSpanTail
          |SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    "dedup_substring_incremental" ->
+      s"""WITH $dSpanCtes,
+         |fl AS (SELECT doc_id,
+         |              (doc_id * 2654435761) % 4294967296 % 100 >= 80 AS is_new
+         |       FROM documents),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
+         |      FROM gg x JOIN fl fx ON fx.doc_id = x.doc_id AND NOT fx.is_new
+         |           JOIN gg y ON x.gram = y.gram
+         |           JOIN fl fy ON fy.doc_id = y.doc_id AND fy.is_new),
+         |$dSpanTail
+         |SELECT doc_b AS new_doc, doc_a AS corpus_doc, start_b AS start_new,
+         |       start_a AS start_corpus, span_tokens FROM spans
+         |ORDER BY new_doc, corpus_doc, start_new, start_corpus""".stripMargin,
     "dedup_substring_self" ->
       s"""WITH $dSpanCtes,
          |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta

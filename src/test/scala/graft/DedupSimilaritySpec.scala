@@ -755,6 +755,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     got.values.foreach { case (n, k, r, _) => assert(k + r == n) }
   }
 
+  test("incremental substring spans: cross-side pairs only, same spans as the full key restricted") {
+    val span = (0 until 10).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"corpus one $span trailing words", false),
+      (2L, s"$span corpus two tail", false),        // corpus↔corpus: excluded
+      (3L, s"fresh start $span new doc", true),     // matches 1 and 2
+      (4L, s"another new copy $span here", true))   // new↔new with 3: excluded
+      .toDF("doc_id", "text", "is_new")
+    val got = Dedup.substringIncrementalOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) == Set((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)),
+      s"cross-side pairs only: $got")
+    // the reported spans equal the FULL key's spans restricted to
+    // cross-side pairs (with its doc_a<doc_b orientation remapped)
+    val full = Dedup.substringSpansOf(docs.select("doc_id", "text"), hashed = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val newIds = Set(3L, 4L)
+    val want = full.collect {
+      case (a, b, sa, sb, n) if !newIds(a) && newIds(b) => (b, a, sb, sa, n)
+    }
+    assert(got == want, s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.forall(_._5 == 10L))
+  }
+
   test("hashed substring spans equal the raw-gram spans on the fixture") {
     val raw = Dedup.substringSpans(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
