@@ -71,6 +71,99 @@ object MediaStream {
     StructField("n_chunks", IntegerType),
     StructField("payload", BinaryType)))
 
+  /** One landed video frame, decoded to its integer features AT THE
+    * EDGE (map-side, where the codec runs): 24 bytes per frame cross
+    * the wire and sit in state — never pixel bytes. `n_frames` is the
+    * manifest total of frames the feed will deliver. */
+  case class FrameFeature(media_id: Long, frame_idx: Long, n_frames: Long,
+      fsum: Long, flen: Long)
+
+  /** Batch helper: the frame feed a landing zone would carry —
+    * [[Multimodal.frameSumsOf]]'s integer features plus the per-media
+    * manifest count. */
+  def videoFrameFeedOf(media: Dataset[MediaRow]): DataFrame = {
+    val fs = Multimodal.frameSumsOf(media).toDF()
+    val n = fs.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    fs.join(n, Seq("media_id"))
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+        col("fsum"), col("flen"))
+  }
+
+  /** Bounded per-media segmentation state: the OPEN segment's
+    * accumulators, the in-order cursor + previous quantized mean, and
+    * the ≤ [[PendingCap]] reorder buffer of (fsum, flen) pairs. */
+  case class SceneState(nextFrame: Long, prevQ: Long, sceneId: Long,
+      startFrame: Long, nFrames: Long, sumBytes: Long, minQ: Long,
+      maxQ: Long, pending: Map[Long, (Long, Long)])
+
+  case class SceneSegmentOut(media_id: Long, scene_id: Long,
+      start_frame: Long, n_frames: Long, sum_bytes: Long,
+      min_mean_q: Long, max_mean_q: Long)
+
+  /** Streaming twin of [[Multimodal.sceneSegmentsOf]]: fold a video
+    * frame feed into scene segments with `flatMapGroupsWithState`. A
+    * segment row is emitted exactly once — when the cut that CLOSES it
+    * arrives (or when the manifest completes, for the final open
+    * segment, after which the media's state retires). The cut rule is
+    * the batch key's integer arithmetic verbatim (mean_q = 256·fsum
+    * div flen, |Δ| > 4096), so stream == batch bit-for-bit; frames may
+    * arrive out of order and across micro-batch boundaries within the
+    * same [[PendingCap]] reorder bound the audio twin enforces. */
+  def sceneSegmentStream(spark: SparkSession, feedDir: String): Dataset[SceneSegmentOut] = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_idx", LongType),
+      StructField("n_frames", LongType), StructField("fsum", LongType),
+      StructField("flen", LongType)))
+    val frames = spark.readStream.schema(schema).parquet(feedDir)
+      .as[FrameFeature]
+    frames.groupByKey(_.media_id)
+      .flatMapGroupsWithState[SceneState, SceneSegmentOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (mediaId, it, state) =>
+          val st = state.getOption.getOrElse(
+            SceneState(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, Map.empty))
+          var pending = st.pending
+          var manifest = -1L
+          it.foreach { f =>
+            manifest = f.n_frames
+            if (f.frame_idx >= st.nextFrame && !pending.contains(f.frame_idx))
+              pending = pending.updated(f.frame_idx, (f.fsum, f.flen))
+          }
+          require(pending.size <= PendingCap,
+            s"media $mediaId frame reorder buffer ${pending.size} exceeds $PendingCap")
+          var (next, prevQ, sceneId, start, n, sum, minQ, maxQ) =
+            (st.nextFrame, st.prevQ, st.sceneId, st.startFrame, st.nFrames,
+              st.sumBytes, st.minQ, st.maxQ)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SceneSegmentOut]
+          while (pending.contains(next)) {
+            val (fsum, flen) = pending(next)
+            pending = pending.removed(next)
+            val q = fsum * 256 / flen
+            if (n == 0L) {
+              start = next; n = 1L; sum = fsum; minQ = q; maxQ = q
+            } else if (math.abs(q - prevQ) > 4096L) {
+              out += SceneSegmentOut(mediaId, sceneId, start, n, sum, minQ, maxQ)
+              sceneId += 1; start = next; n = 1L; sum = fsum; minQ = q; maxQ = q
+            } else {
+              n += 1; sum += fsum
+              if (q < minQ) minQ = q
+              if (q > maxQ) maxQ = q
+            }
+            prevQ = q
+            next += 1
+          }
+          if (manifest >= 0 && next >= manifest) {
+            if (n > 0L) out += SceneSegmentOut(mediaId, sceneId, start, n, sum, minQ, maxQ)
+            state.remove()
+          } else {
+            state.update(SceneState(next, prevQ, sceneId, start, n, sum,
+              minQ, maxQ, pending))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming twin of [[Multimodal.audioBandWindows]]: fold an audio
     * chunk stream into per-window integer features with
     * `flatMapGroupsWithState`, emitting each completed window exactly

@@ -768,4 +768,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(histStream == histBatch)
     assert(histBatch.nonEmpty)
   }
+
+  test("streaming scene segmentation equals batch sceneSegments bit-for-bit") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaStream
+    // frame feed (integer features only — 24 bytes/frame, never pixels)
+    // split by frame parity across TWO micro-batches: every multi-frame
+    // video exercises the reorder buffer and cross-batch segment carry
+    val videos = Multimodal.mediaTable(spark, TestSpark.Sf)
+      .filter(col("media_type") === "video")
+    val feed = MediaStream.videoFrameFeedOf(videos).cache()
+    assert(feed.filter(col("n_frames") >= 4).select("media_id").distinct().count() > 50,
+      "fixture must contain plenty of multi-frame videos")
+    val d = java.nio.file.Files.createTempDirectory("graft-scenefeed")
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scenehalf").toString
+      feed.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    stage(col("frame_idx") % 2 === 0, "a.parquet")
+    val q = MediaStream.sceneSegmentStream(spark, d.toString)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("scene_stream_out").start()
+    try {
+      q.processAllAvailable()
+      stage(col("frame_idx") % 2 === 1, "b.parquet")
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val emissions = spark.table("scene_stream_out")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(emissions.length == emissions.distinct.length,
+      "no segment may be emitted twice")
+    val streamed = emissions.toSet
+    val batch = Multimodal.sceneSegmentsOf(videos)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
 }
