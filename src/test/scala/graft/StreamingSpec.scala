@@ -769,6 +769,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(histBatch.nonEmpty)
   }
 
+  test("audio-chunk ingest crash-recovery: buffered chunks and residual samples restore") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaStream
+    // Same landing zone as the parity test, but the query DIES between
+    // the two files and restarts from its checkpoint: the restored
+    // state must carry (a) the reorder buffer — even-index chunks ≥ 2
+    // were pending when the crash hit — and (b) the open window's
+    // residual samples. Any state-encoder or restore defect shows as a
+    // wrong or duplicate window.
+    val media = Multimodal.mediaTable(spark, TestSpark.Sf)
+    val chunks = MediaStream.audioChunksOf(media, chunkBytes = 100).cache()
+    val d = java.nio.file.Files.createTempDirectory("graft-mmrec")
+    val cp = java.nio.file.Files.createTempDirectory("graft-mmrec-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-mmrec-out").toString
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mmrechalf").toString
+      chunks.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    def run(): Unit = {
+      val q = MediaStream.audioBandWindowStream(spark, d.toString)
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    stage(col("chunk_idx") % 2 === 0, "a.parquet")
+    run()
+    stage(col("chunk_idx") % 2 === 1, "b.parquet")
+    run() // NEW query, same checkpoint: pending/residual must restore
+    val emissions = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(emissions.map(_._5).max >= 1, "restart must run as a later batch")
+    val windows = emissions.map(r => (r._1, r._2, r._3, r._4))
+    assert(windows.length == windows.distinct.length,
+      "no window may be emitted twice across the restart")
+    val batch = Multimodal.audioBandWindows(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(windows.toSet == batch,
+      s"missed=${(batch -- windows.toSet).take(3)} extra=${(windows.toSet -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming scene segmentation equals batch sceneSegments bit-for-bit") {
     import graft.operators.Multimodal
     import graft.streaming.MediaStream
