@@ -23,6 +23,11 @@ import org.apache.spark.sql.SparkSession
   * a 1-row in-memory plan: planning + job scheduling + task launch), so
   * totals can be compared across engines net of harness cost.
   *
+  * `controls` are three fixed synthetic jobs (codegen scan / shuffle
+  * aggregate / partitioned window) timed in the same window — their
+  * code never changes, so cross-round totals divide out box drift
+  * (the clean bench's pinned-worktree arbitration, built in).
+  *
   * Set SPARK_GRAFT_BENCH_WARMUP=0 to time cold runs instead. */
 object Bench {
 
@@ -77,6 +82,30 @@ object Bench {
       (name, m, err)
     }
     val (floor, _) = med(() => spark.range(1).count())
+    // In-window BOX CONTROLS (r15 verdict item 7): three fixed
+    // synthetic jobs — codegen scan, shuffle aggregate, partitioned
+    // window — whose code never changes round to round, so cross-round
+    // BENCH_r{N} totals self-arbitrate box drift the way the clean
+    // bench's pinned-worktree controls do, without needing a worktree.
+    // Timed AFTER the query sweep, in the same warmed session.
+    import org.apache.spark.sql.functions.{col, pmod, row_number, sum => fsum, xxhash64}
+    val controls: Seq[(String, () => Unit)] = Seq(
+      "ctl_scan" -> (() => {
+        spark.range(200L * 1000 * 1000)
+          .select(fsum(xxhash64(col("id")))).count(); () }),
+      "ctl_shuffle" -> (() => {
+        spark.range(20L * 1000 * 1000)
+          .groupBy(pmod(xxhash64(col("id")), org.apache.spark.sql.functions.lit(4096L)))
+          .count().count(); () }),
+      "ctl_window" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(xxhash64(col("id")), org.apache.spark.sql.functions.lit(64L)))
+          .orderBy(xxhash64(col("id"), org.apache.spark.sql.functions.lit(7)))
+        spark.range(4L * 1000 * 1000)
+          .select(row_number().over(w).as("r"))
+          .agg(fsum(col("r"))).count(); () }))
+    controls.foreach { case (_, run) => try run() catch { case _: Throwable => () } }
+    val ctl = controls.map { case (name, run) => (name, med(run)._1) }
     // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
     // locale would make every number line invalid JSON
     def sec(v: Double): String =
@@ -86,9 +115,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    val ctlJson = ctl.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
     def line(rs: Seq[(String, Double, Option[String])], omitted: Int): String =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,""" +
-        s""""warmed":$warmup,"floor":${sec(floor)},"n_queries":${results.size},""" +
+        s""""warmed":$warmup,"floor":${sec(floor)},"controls":$ctlJson,""" +
+        s""""n_queries":${results.size},""" +
         s""""queries_omitted":$omitted,"queries":${qmap(rs)},""" +
         s""""errors":$errs,"sf":${jstr(sfDir)}}"""
     Files.write(Paths.get("BENCH_FULL.json"),

@@ -126,7 +126,8 @@ object Curation extends QueryPack {
     * rewrite; the LSH variant reads 2.2 s). */
   private[graft] def componentsOf(nodes: DataFrame, edges0: DataFrame,
       maxRounds: Int = 25,
-      driverMaxEdgeBytes: Long = DriverComponentsMaxEdgeBytes): DataFrame = {
+      driverMaxEdgeBytes: Long = DriverComponentsMaxEdgeBytes,
+      edgesSubsetOfNodes: Boolean = false): DataFrame = {
     // localCheckpoint (not cache) on the edge list and every round's
     // labels: an iterative plan otherwise GROWS — round k's logical
     // tree contains all k-1 predecessors, and every action re-analyzes
@@ -143,13 +144,20 @@ object Curation extends QueryPack {
       // join, and without this filter a phantom id could transitively
       // glue two real components on this side of the byte gate only.
       // The membership probe is bounded: one semi-join of `nodes`
-      // against the (small, already-collected) touched-id set.
-      val touchedIds = es0.iterator
-        .flatMap(e => Iterator(e._1, e._2)).toSet[Long].toSeq
-      val present = nodes.select(col("doc_id"))
-        .join(broadcast(touchedIds.toDF("doc_id")), Seq("doc_id"), "leftsemi")
-        .as[Long].collect().toSet
-      val es = es0.filter(e => present(e._1) && present(e._2))
+      // against the (small, already-collected) touched-id set. Callers
+      // whose edges are derived FROM the node set (the canonical-map
+      // family: pairs run over the semi-joined rep docs) pass
+      // `edgesSubsetOfNodes = true` and skip the probe — phantoms are
+      // impossible by construction there, and the per-call semi-join +
+      // collect was the r15 bench regression on every canonical key.
+      val es = if (edgesSubsetOfNodes) es0 else {
+        val touchedIds = es0.iterator
+          .flatMap(e => Iterator(e._1, e._2)).toSet[Long].toSeq
+        val present = nodes.select(col("doc_id"))
+          .join(broadcast(touchedIds.toDF("doc_id")), Seq("doc_id"), "leftsemi")
+          .as[Long].collect().toSet
+        es0.filter(e => present(e._1) && present(e._2))
+      }
       // min-label union-find: attaching the larger root under the
       // smaller keeps every root the MIN of its set, independent of
       // edge order — the same labels the distributed fixpoint reaches.

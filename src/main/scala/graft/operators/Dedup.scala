@@ -651,7 +651,7 @@ object Dedup extends QueryPack {
     * closure the ORACLE builds (fine at fixture SF) is never what the
     * Spark side materializes. */
   def canonicalMap(spark: SparkSession, dir: String): DataFrame =
-    canonicalMapOf(Tables.documents(spark, dir))
+    minIdKeeperOf(componentMapFor(spark, dir, "exact"))
 
   private[graft] def canonicalMapOf(docs: DataFrame,
       pairsOf: DataFrame => DataFrame =
@@ -692,21 +692,66 @@ object Dedup extends QueryPack {
     // join back — two exchanges and two join stages deleted vs the
     // round-13 form, with identical results (min-per-group is the same
     // value wherever it is computed).
-    componentMapOf(docs, pairsOf)
+    minIdKeeperOf(componentMapOf(docs, pairsOf))
+  }
+
+  /** The min-id keeper decoration over a (doc_id, component) frame —
+    * shared by the cached ([[componentMapFor]]) and seam
+    * ([[componentMapOf]]) entry points. */
+  private def minIdKeeperOf(comp: DataFrame): DataFrame =
+    comp
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("component"))))
       .select(col("doc_id"), col("component").as("canon_id"),
         col("n_members"),
         (col("doc_id") === col("component")).cast("long").as("is_canonical"))
       .orderBy(col("doc_id"))
+
+  /** Per-session materialization of [[componentMapOf]]'s (doc_id,
+    * component) frame, keyed by (session, dir, edge-tier) — the
+    * [[graft.operators.Curation]] co-purchase-cache precedent applied
+    * to the canonical family (r15 verdict item 3): `dedup_canonical_map`
+    * / `_best` / `_embed` share the exact-PPJoin edge build + component
+    * stage (and `_map_lsh` its own LSH tier) instead of re-shingling
+    * the corpus per key. The cached frame is one (long, long) row per
+    * doc, held as a localCheckpoint; callers that mutate the underlying
+    * files must [[clearCanonicalCache]]. */
+  private val canonicalCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def clearCanonicalCache(): Unit = {
+    canonicalCache.values.foreach(
+      org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint)
+    canonicalCache.clear()
   }
+
+  /** The cached (doc_id, component) frame for the named edge tier
+    * ("exact" = PPJoin verified pairs; "lsh" = MinHash-LSH verified
+    * pairs). */
+  private def componentMapFor(spark: SparkSession, dir: String,
+      tier: String): DataFrame =
+    canonicalCache.getOrElseUpdate((spark, dir, tier), {
+      val docs = Tables.documents(spark, dir)
+      val pairsOf: DataFrame => DataFrame = tier match {
+        case "lsh" => d => minhashLshOf(d, HotBucketCap)
+          .select(col("doc_a"), col("doc_b"))
+        case _ => d => ngramJaccardOf(hashedShinglesOf(d))
+          .select(col("doc_a"), col("doc_b"))
+      }
+      componentMapOf(docs, pairsOf).localCheckpoint()
+    })
 
   /** The shared component stage under the canonical-map family: every
     * doc labeled with the MIN doc_id of its near-dup connected
     * component, through the width-gated exact-digest collapse —
     * returned undecorated as (doc_id, component) so keeper POLICIES
     * ([[canonicalMap]]'s min-id, [[canonicalBest]]'s quality-argmax)
-    * layer on top without re-running the pair stage. */
+    * layer on top without re-running the pair stage. Edge endpoints
+    * are reps BY CONSTRUCTION (`pairsOf` runs over `repDocs`, the
+    * semi-join of docs to `repIds`), so [[Curation.componentsOf]]'s
+    * phantom-endpoint probe is skipped — the r15 per-key membership
+    * semi-join + collect this family paid for a guarantee it already
+    * holds. */
   private[graft] def componentMapOf(docs: DataFrame,
       pairsOf: DataFrame => DataFrame): DataFrame = {
     val widthOk = coalesce(expr("size(split(text, ' ')) >= 3"), lit(false))
@@ -719,7 +764,8 @@ object Dedup extends QueryPack {
       .select(col("doc_id"))
     val repDocs = docs.join(repIds, Seq("doc_id"), "left_semi")
     val pairs = pairsOf(repDocs)
-    val repComp = Curation.componentsOf(repIds, pairs)
+    val repComp = Curation.componentsOf(repIds, pairs,
+        edgesSubsetOfNodes = true)
       .select(col("doc_id").as("rep"), col("component"))
     withRep.join(repComp, Seq("rep"))
       .select(col("doc_id"), col("component"))
@@ -741,8 +787,7 @@ object Dedup extends QueryPack {
     * is LSH recall itself, which is the probabilistic trade this
     * variant exists to make. */
   def canonicalMapLsh(spark: SparkSession, dir: String): DataFrame =
-    canonicalMapOf(Tables.documents(spark, dir),
-      d => minhashLshOf(d, HotBucketCap).select(col("doc_a"), col("doc_b")))
+    minIdKeeperOf(componentMapFor(spark, dir, "lsh"))
 
   /** [[canonicalMap]] with the keep-BEST policy: every doc (including
     * the dropped copies — this is the REDIRECT table, not the kept set)
@@ -765,8 +810,7 @@ object Dedup extends QueryPack {
     * the membership count). */
   def canonicalBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val comp = componentMapOf(docs,
-      d => ngramJaccardOf(hashedShinglesOf(d)).select(col("doc_a"), col("doc_b")))
+    val comp = componentMapFor(spark, dir, "exact")
     val dr = docs.selectExpr("doc_id",
       "cast(size(array_distinct(split(text, ' '))) as double) / size(split(text, ' ')) as dr")
     val wBest = Window.partitionBy(col("component"))
@@ -809,10 +853,7 @@ object Dedup extends QueryPack {
     * [[graft.functions.VectorOps]] sequential-fold dot contract make
     * even the keeper argmax replay bit-exact in DuckDB. */
   def canonicalEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val comp = componentMapOf(docs,
-      d => ngramJaccardOf(hashedShinglesOf(d))
-        .select(col("doc_a"), col("doc_b")))
+    val comp = componentMapFor(spark, dir, "exact")
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("component"))))
     val emb = Tables.embeddings(spark, dir)
@@ -850,11 +891,79 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  /** Minimum duplicated-span length in whitespace tokens. Production
-    * substring dedup uses ~50 BPE tokens (Lee et al. 2021); the fixture
-    * docs average ~50 tokens total, so the gate scales down with them.
-    * The algorithm is L-invariant — only gram width changes. */
-  private val SpanLen = 8
+  /** Floor / cap for the DERIVED duplicated-span length (whitespace
+    * tokens). Production substring dedup uses ~50 BPE tokens (Lee et
+    * al. 2021); the fixture docs average ~50 tokens total, so the
+    * derivation floors at the scaled-down gate width 8 that rounds
+    * 13-15 shipped as a constant. The algorithm is L-invariant — only
+    * gram width changes. */
+  private val SpanLenFloor = 8
+  private val SpanLenCap = 50
+
+  /** Span length derived from corpus token statistics (r15 verdict
+    * item 2 — the ANN-geometry derivation argument applied to the
+    * substring family): a shared L-token span is dedup SIGNAL only if
+    * it cannot recur by chance, and with T corpus tokens and V distinct
+    * tokens the expected number of random L-gram collisions across the
+    * corpus is ~T²/V^L — below one iff L > 2·log_V T. So L =
+    * clamp([[SpanLenFloor]], [[SpanLenCap]], ⌊2·ln(T+1)/ln(V+1)⌋ + 1),
+    * computed by the IDENTICAL formula in the DuckDB oracles (the
+    * 1-row `prm` CTE) so both engines always agree; the ⌊·⌋+1 form
+    * makes the strict inequality explicit. Natural-language corpora
+    * keep V growing with T (Heaps' law), so the floor binds there and
+    * L grows only for degenerate tiny-vocab corpora — exactly where
+    * longer spans are needed to mean anything (DedupSimilaritySpec
+    * pins both shapes). */
+  private[graft] def spanLenOf(tokens: Long, vocab: Long): Int = {
+    val raw = math.floor(2.0 * math.log(tokens + 1.0) /
+      math.log(vocab + 1.0)).toInt + 1
+    math.max(SpanLenFloor, math.min(SpanLenCap, raw))
+  }
+
+  /** One (token-count, distinct-token) aggregate over `docs` →
+    * [[spanLenOf]]. A single 1-row collect per key — bounded driver
+    * bookkeeping, the BPE-argmax precedent; the distinct count is
+    * vocab-grain (Heaps' law), never corpus-grain. */
+  private[graft] def deriveSpanLen(docs: DataFrame): Int = {
+    val r = docs.selectExpr("explode(split(text, ' ')) as tok")
+      .agg(count(lit(1)).as("t"), countDistinct(col("tok")).as("v"))
+      .head()
+    spanLenOf(r.getLong(0), r.getLong(1))
+  }
+
+  /** The substring family's PLANTED gate corpus (r15 verdict item 1):
+    * the fixture word-soup carries almost no organic ≥ 8-token overlap
+    * — `dedup_substring_self` passed its r15 oracle gate with 0 rows vs
+    * 0 rows, a vacuous hash match. The [[graft.operators.TextAnalysis]]
+    * `text_pii_redact` device fixes that: PLANT deterministic material
+    * derived from fixture columns with the SAME expression in both
+    * engines, so the machinery under test provably fires in the HASH
+    * gate itself. Two plants, appended to `text` in fixed order:
+    *
+    *  - cross-doc: docs with doc_id % 10 ∈ {0, 1} append an identical
+    *    10-token phrase keyed by their group doc_id div 10
+    *    (`zz<g>w0 … zz<g>w9`) — one shared maximal span per consecutive
+    *    id pair, ~n/10 span rows;
+    *  - self: docs with doc_id % 5 = 0 append their own first 9 tokens
+    *    TWICE — three occurrences of the prefix (original + 2 copies)
+    *    → deterministic intra-doc repetition runs at 3 offset deltas.
+    *
+    * The artifact keys (`_removed`, `_incremental`) stay on the RAW
+    * corpus — they are the shipped output shapes; the planted corpus
+    * exists to exercise the span machinery in `_spans`/`_hashed`/
+    * `_self`'s oracle gate. */
+  private[graft] def plantedSubstringDocs(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      """concat(text,
+        |  CASE WHEN doc_id % 10 < 2
+        |    THEN concat(' ', concat_ws(' ', transform(sequence(0, 9),
+        |      i -> concat('zz', cast(doc_id div 10 as string), 'w',
+        |                  cast(i as string)))))
+        |    ELSE '' END,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN concat(' ', array_join(slice(split(text, ' '), 1, 9), ' '),
+        |         ' ', array_join(slice(split(text, ' '), 1, 9), ' '))
+        |    ELSE '' END) as text""".stripMargin)
 
   /** Grams in more than this many DISTINCT documents are boilerplate;
     * pruning them bounds the gram join's per-key fanout (quadratic in
@@ -886,28 +995,35 @@ object Dedup extends QueryPack {
     * xxhash64 over a slice of per-token hashes, so gram STRINGS never
     * shuffle (the [[hashedShinglesOf]] currency — a collision can only
     * add a FALSE span, which production would verify on the two texts;
-    * DedupSimilaritySpec pins hashed == raw on the fixture). */
+    * DedupSimilaritySpec pins hashed == raw on the fixture). Gram
+    * width L derives per corpus ([[spanLenOf]]); the gate keys run on
+    * the PLANTED corpus ([[plantedSubstringDocs]]) so the islands/
+    * delta/maximality machinery provably fires in the driver's hash
+    * gate. */
   def substringSpans(spark: SparkSession, dir: String): DataFrame =
-    substringSpansOf(Tables.documents(spark, dir), hashed = false)
+    substringSpansOf(plantedSubstringDocs(Tables.documents(spark, dir)),
+      hashed = false)
 
   def substringSpansHashed(spark: SparkSession, dir: String): DataFrame =
-    substringSpansOf(Tables.documents(spark, dir), hashed = true)
+    substringSpansOf(plantedSubstringDocs(Tables.documents(spark, dir)),
+      hashed = true)
 
-  /** Position-keyed, df-cap-pruned [[SpanLen]]-grams — the shared
-    * currency of all three substring keys. The hot side is by
-    * definition tiny (each member needs > cap distinct docs) —
-    * broadcast anti-join, same shape as decontaminateHashed. */
-  private def spanGramsOf(docs: DataFrame, hashed: Boolean): DataFrame = {
+  /** Position-keyed, df-cap-pruned `spanLen`-grams — the shared
+    * currency of all substring keys. The hot side is by definition
+    * tiny (each member needs > cap distinct docs) — broadcast
+    * anti-join, same shape as decontaminateHashed. */
+  private def spanGramsOf(docs: DataFrame, hashed: Boolean,
+      spanLen: Int): DataFrame = {
     val toks = "split(text, ' ')"
     val base =
       if (hashed) docs.withColumn("th", expr(s"transform($toks, t -> xxhash64(t))"))
       else docs
     val gramArr =
       if (hashed)
-        s"transform(sequence(1, size(th) - ${SpanLen - 1}), i -> xxhash64(slice(th, i, $SpanLen)))"
+        s"transform(sequence(1, size(th) - ${spanLen - 1}), i -> xxhash64(slice(th, i, $spanLen)))"
       else
-        s"transform(sequence(1, size($toks) - ${SpanLen - 1}), i -> array_join(slice($toks, i, $SpanLen), ' '))"
-    val g = base.filter(expr(s"size($toks) >= $SpanLen"))
+        s"transform(sequence(1, size($toks) - ${spanLen - 1}), i -> array_join(slice($toks, i, $spanLen), ' '))"
+    val g = base.filter(expr(s"size($toks) >= $spanLen"))
       .selectExpr("doc_id", s"posexplode($gramArr) as (p, gram)")
       .select(col("doc_id"), col("p").cast("long").as("p"), col("gram"))
     val hot = g.groupBy(col("gram"))
@@ -918,23 +1034,28 @@ object Dedup extends QueryPack {
 
   /** Maximal-run islands merge over aligned matches (a, b, pa, delta):
     * consecutive pa at fixed (pair, delta) = one span. */
-  private def spanIslands(m: DataFrame): DataFrame = {
+  private def spanIslands(m: DataFrame, spanLen: Int): DataFrame = {
     val w = Window.partitionBy(col("a"), col("b"), col("delta")).orderBy(col("pa"))
     m.withColumn("grp", col("pa") - row_number().over(w))
       .groupBy(col("a"), col("b"), col("delta"), col("grp"))
       .agg(min(col("pa")).as("start_a"), max(col("pa")).as("pmax"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("start_a"),
         (col("start_a") + col("delta")).as("start_b"),
-        (col("pmax") - col("start_a") + lit(SpanLen.toLong)).as("span_tokens"))
+        (col("pmax") - col("start_a") + lit(spanLen.toLong)).as("span_tokens"))
   }
 
-  private[graft] def substringSpansOf(docs: DataFrame, hashed: Boolean): DataFrame = {
-    val pruned = spanGramsOf(docs, hashed)
+  private[graft] def substringSpansOf(docs: DataFrame,
+      hashed: Boolean): DataFrame =
+    substringSpansOfL(docs, hashed, deriveSpanLen(docs))
+
+  private def substringSpansOfL(docs: DataFrame, hashed: Boolean,
+      spanLen: Int): DataFrame = {
+    val pruned = spanGramsOf(docs, hashed, spanLen)
     val m = pruned.as("x").join(pruned.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.p").as("pa"), (col("y.p") - col("x.p")).as("delta"))
-    spanIslands(m)
+    spanIslands(m, spanLen)
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
   }
 
@@ -947,16 +1068,18 @@ object Dedup extends QueryPack {
     * periodic text merge into one maximal run per offset-delta, which
     * is exactly how a suffix array reports self-similarity. */
   def substringSelf(spark: SparkSession, dir: String): DataFrame =
-    substringSelfOf(Tables.documents(spark, dir), hashed = false)
+    substringSelfOf(plantedSubstringDocs(Tables.documents(spark, dir)),
+      hashed = false)
 
   private[graft] def substringSelfOf(docs: DataFrame, hashed: Boolean): DataFrame = {
-    val pruned = spanGramsOf(docs, hashed)
+    val spanLen = deriveSpanLen(docs)
+    val pruned = spanGramsOf(docs, hashed, spanLen)
     val m = pruned.as("x").join(pruned.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") === col("y.doc_id") &&
           col("x.p") < col("y.p"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.p").as("pa"), (col("y.p") - col("x.p")).as("delta"))
-    spanIslands(m)
+    spanIslands(m, spanLen)
       .select(col("doc_a").as("doc_id"), col("start_a"), col("start_b"),
         col("span_tokens"))
       .orderBy(col("doc_id"), col("start_a"), col("start_b"))
@@ -978,7 +1101,9 @@ object Dedup extends QueryPack {
       .withColumn("is_new", expr("(doc_id * 2654435761) % 4294967296 % 100 >= 80")))
 
   private[graft] def substringIncrementalOf(docs: DataFrame): DataFrame = {
-    val g = spanGramsOf(docs.select(col("doc_id"), col("text")), hashed = false)
+    val spanLen = deriveSpanLen(docs.select(col("doc_id"), col("text")))
+    val g = spanGramsOf(docs.select(col("doc_id"), col("text")), hashed = false,
+        spanLen)
       .join(docs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
     val gOld = g.filter(!col("is_new"))
       .select(col("doc_id").as("a"), col("p").as("pa"), col("gram"))
@@ -986,7 +1111,7 @@ object Dedup extends QueryPack {
       .select(col("doc_id").as("b"), col("p").as("pb"), col("gram"))
     val m = gOld.join(gNew, Seq("gram"))
       .select(col("a"), col("b"), col("pa"), (col("pb") - col("pa")).as("delta"))
-    spanIslands(m)
+    spanIslands(m, spanLen)
       .select(col("doc_b").as("new_doc"), col("doc_a").as("corpus_doc"),
         col("start_b").as("start_new"), col("start_a").as("start_corpus"),
         col("span_tokens"))
@@ -1007,13 +1132,19 @@ object Dedup extends QueryPack {
     * duplicated-token mass (what the operator exists to remove), keyed
     * (doc, pos) for the anti-join; reassembly groups by doc with a
     * sorted collect bounded by per-doc token counts — the same bound
-    * lineDedup already rides. */
+    * lineDedup already rides. The span stage runs on HASHED grams
+    * (r15 verdict item 2 — this is the one substring key a production
+    * corpus actually ships, so 8-byte keys, not gram strings, are what
+    * shuffles); the oracle replays the raw-gram tier, valid because
+    * hashed == raw is spec-pinned and re-verified by this very hash
+    * gate at both sweep tiers. */
   def substringRemoved(spark: SparkSession, dir: String): DataFrame =
-    substringRemovedOf(Tables.documents(spark, dir))
+    substringRemovedOf(Tables.documents(spark, dir), hashed = true)
 
-  private[graft] def substringRemovedOf(docs: DataFrame): DataFrame = {
+  private[graft] def substringRemovedOf(docs: DataFrame,
+      hashed: Boolean = true): DataFrame = {
     val toks = "split(text, ' ')"
-    val spans = substringSpansOf(docs, hashed = false)
+    val spans = substringSpansOf(docs, hashed = hashed)
     val covered = spans.select(col("doc_b").as("doc_id"),
         explode(expr("sequence(start_b, start_b + span_tokens - 1)")).as("p"))
       .distinct()
@@ -1103,14 +1234,36 @@ object Dedup extends QueryPack {
        |                 CAST(MAX(n) AS BIGINT) AS max_members
        |          FROM ${p}c)""".stripMargin
 
-  /** Shared CTE prefix of the substring-span oracles: tokenized docs →
-    * position-keyed grams → df-cap keep set → pruned grams `gg`. */
-  private val dSpanCtes =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** The [[plantedSubstringDocs]] expression replayed in DuckDB — the
+    * same two plants, same fixed concat order, over the same fixture
+    * columns. */
+  private val dPlantedDocs =
+    """pd AS (SELECT doc_id, concat(text,
+      |  CASE WHEN doc_id % 10 < 2
+      |    THEN concat(' ', array_to_string(list_transform(generate_series(0, 9),
+      |      i -> concat('zz', CAST(doc_id // 10 AS VARCHAR), 'w',
+      |                  CAST(i AS VARCHAR))), ' '))
+      |    ELSE '' END,
+      |  CASE WHEN doc_id % 5 = 0
+      |    THEN concat(' ', array_to_string(string_split(text, ' ')[1:9], ' '),
+      |         ' ', array_to_string(string_split(text, ' ')[1:9], ' '))
+      |    ELSE '' END) AS text FROM documents)""".stripMargin
+
+  /** Shared CTE prefix of the substring-span oracles over source table
+    * `src`: tokenized docs → the 1-row derived-L `prm`
+    * ([[spanLenOf]]'s formula verbatim) → position-keyed L-grams →
+    * df-cap keep set → pruned grams `gg`. */
+  private def dSpanCtes(src: String) =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+       |prm AS (SELECT GREATEST($SpanLenFloor, LEAST($SpanLenCap,
+       |          CAST(FLOOR(2.0 * ln(tt + 1) / ln(vv + 1)) AS INT) + 1)) AS L
+       |        FROM (SELECT SUM(len(tk)) AS tt FROM t),
+       |             (SELECT COUNT(DISTINCT tok) AS vv
+       |              FROM (SELECT unnest(tk) AS tok FROM t))),
        |g AS (SELECT doc_id, i - 1 AS p,
-       |             array_to_string(tk[i:i+${SpanLen - 1}], ' ') AS gram
-       |      FROM t, unnest(generate_series(1, len(tk) - ${SpanLen - 1})) AS u(i)
-       |      WHERE len(tk) >= $SpanLen),
+       |             array_to_string(tk[i:i+L-1], ' ') AS gram
+       |      FROM t, prm, unnest(generate_series(1, len(tk) - L + 1)) AS u(i)
+       |      WHERE len(tk) >= L),
        |keep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
        |                           FROM g GROUP BY gram) WHERE df <= $SpanGramDfCap),
        |gg AS (SELECT g.* FROM g JOIN keep USING (gram))""".stripMargin
@@ -1122,7 +1275,8 @@ object Dedup extends QueryPack {
        |      FROM m),
        |spans AS (SELECT a AS doc_a, b AS doc_b, CAST(MIN(pa) AS BIGINT) AS start_a,
        |                 CAST(MIN(pa) + delta AS BIGINT) AS start_b,
-       |                 CAST(MAX(pa) - MIN(pa) + $SpanLen AS BIGINT) AS span_tokens
+       |                 CAST(MAX(pa) - MIN(pa) + (SELECT L FROM prm) AS BIGINT)
+       |                   AS span_tokens
        |          FROM i GROUP BY a, b, delta, grp)""".stripMargin
 
   private val dCrossM =
@@ -1131,13 +1285,14 @@ object Dedup extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "dedup_substring_spans" ->
-      s"""WITH $dSpanCtes,
+      s"""WITH $dPlantedDocs,
+         |${dSpanCtes("pd")},
          |$dCrossM,
          |$dSpanTail
          |SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_substring_incremental" ->
-      s"""WITH $dSpanCtes,
+      s"""WITH ${dSpanCtes("documents")},
          |fl AS (SELECT doc_id,
          |              (doc_id * 2654435761) % 4294967296 % 100 >= 80 AS is_new
          |       FROM documents),
@@ -1150,7 +1305,8 @@ object Dedup extends QueryPack {
          |       start_a AS start_corpus, span_tokens FROM spans
          |ORDER BY new_doc, corpus_doc, start_new, start_corpus""".stripMargin,
     "dedup_substring_self" ->
-      s"""WITH $dSpanCtes,
+      s"""WITH $dPlantedDocs,
+         |${dSpanCtes("pd")},
          |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
          |      FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id = y.doc_id
          |                         AND x.p < y.p),
@@ -1158,7 +1314,7 @@ object Dedup extends QueryPack {
          |SELECT doc_a AS doc_id, start_a, start_b, span_tokens FROM spans
          |ORDER BY doc_id, start_a, start_b""".stripMargin,
     "dedup_substring_removed" ->
-      s"""WITH $dSpanCtes,
+      s"""WITH ${dSpanCtes("documents")},
          |$dCrossM,
          |$dSpanTail,
          |cov AS (SELECT DISTINCT doc_b AS doc_id, pp FROM spans,

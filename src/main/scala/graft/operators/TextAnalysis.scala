@@ -79,7 +79,10 @@ object TextAnalysis extends QueryPack {
     *     exact rational  44·tf·avg / (20·tf·avg + 6·avg + 18·dl);
     *   - per-term score_fix = (idf_fix · 44 · tf₁ · avg) div (…) —
     *     one truncating division of exact longs (max ~2.8·10¹² · avg,
-    *     inside BIGINT for avg ≤ 3·10⁶ with tf₁ = min(tf, [[Bm25TfCap]]));
+    *     inside BIGINT for avg ≤ 3·10⁶ with tf₁ = min(tf, [[Bm25TfCap]]),
+    *     and the avg bound is enforced with an in-plan raise_error so an
+    *     out-of-domain corpus FAILS instead of ranking on wrapped
+    *     scores);
     *   - doc score = Σ score_fix over the query's distinct terms —
     *     exact long addition, order-free.
     *
@@ -113,8 +116,9 @@ object TextAnalysis extends QueryPack {
     val nl = FixedLog2.withLog2(
       stats.select(expr("t div n").as("avg"), expr("2 * n + 2").as("x")),
       "x", "l2x")
+    val nlG = bm25AvgGuard(nl)
     val scored = tf.join(dfl.select(col("token"), col("l2y")), Seq("token"))
-      .join(broadcast(nl.select(col("avg"), col("l2x"))))
+      .join(broadcast(nlG))
       .withColumn("tf1", least(col("tf"), lit(Bm25TfCap)))
       .withColumn("score_fix", expr(
         "(l2x - l2y) * 44 * tf1 * avg div (20 * tf1 * avg + 6 * avg + 18 * dl)"))
@@ -125,6 +129,87 @@ object TextAnalysis extends QueryPack {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score_fix").desc, col("doc_id"))
     q.join(scored, Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_fix")).as("score_fix"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fix"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Loud domain guard shared by the BM25 keys (the
+    * FixedLog2.MaxInputExclusive stance, ADVICE r15): the score_fix
+    * product (l2x − l2y) · 44 · tf1 · avg peaks at ~1.9·10¹² · avg, so
+    * avg beyond 3·10⁶ wraps BIGINT silently under non-ANSI arithmetic
+    * and the key would rank on wrapped scores. raise_error keeps the
+    * check inside the one-row broadcast plan (no extra action) and
+    * fails the job instead. */
+  private def bm25AvgGuard(nl: DataFrame): DataFrame =
+    nl.select(
+      when(col("avg") <= lit(3000000L), col("avg"))
+        .otherwise(raise_error(concat(
+          lit("bm25: corpus avgdl "), col("avg").cast("string"),
+          lit(" exceeds the 3e6 BIGINT-exact bound")))).as("avg"),
+      col("l2x"))
+
+  /** Phrase length of the [[bm25Phrase]] workload: trigram phrases —
+    * long enough to be selective on the fixture vocab, short enough
+    * that every query doc has one. */
+  private val PhraseLen = 3
+
+  /** BM25 over PHRASE queries (r15 verdict item 6) — [[bm25TopK]]'s
+    * exact-integer scoring composed with the substring family's
+    * positional-gram currency ([[Dedup]]'s span grams): a phrase IS a
+    * positional [[PhraseLen]]-gram; its tf counts every start position
+    * in the doc (overlapping occurrences included, the positional-
+    * index contract), its df the docs containing it at least once.
+    * Query workload, deterministic and corpus-derived like the
+    * bag-of-words key's: the 5 lowest doc_ids each contribute their
+    * FIRST 3 TOKENS as one phrase; top-5 docs per query by
+    * (score desc, doc_id); idf/tf saturation are the identical exact
+    * rationals, so the key is oracle-paired end to end.
+    *
+    * Scale posture: grams explode map-side but a broadcast SEMI-JOIN
+    * against the ≤ 5 query phrases prunes the stream BEFORE any
+    * aggregate — tf/df run at matched-rows grain, never vocab×P grain
+    * (the full positional index is the substring family's job; a
+    * retrieval query only ever needs its own phrases' postings). */
+  def bm25Phrase(spark: SparkSession, dir: String): DataFrame =
+    bm25PhraseOf(Tables.documents(spark, dir).toDF())
+
+  private[graft] def bm25PhraseOf(docs: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val P = PhraseLen
+    val grams = docs.filter(expr(s"size($toks) >= $P"))
+      .select(col("doc_id"), expr(s"cast(size($toks) as bigint)").as("dl"),
+        explode(expr(
+          s"transform(sequence(1, size($toks) - ${P - 1}), i -> array_join(slice($toks, i, $P), ' '))"))
+          .as("phrase"))
+    val q = docs.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        expr(s"array_join(slice($toks, 1, $P), ' ')").as("phrase"))
+    val gq = grams.join(broadcast(q.select(col("phrase")).distinct()),
+      Seq("phrase"), "left_semi")
+    val tf = gq.groupBy(col("doc_id"), col("dl"), col("phrase"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+    val dfl = FixedLog2.withLog2(
+      dfq.withColumn("y", expr("2 * df + 1")), "y", "l2y")
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(expr(s"cast(size($toks) as bigint)")).as("t"))
+    val nl = bm25AvgGuard(FixedLog2.withLog2(
+      stats.select(expr("t div n").as("avg"), expr("2 * n + 2").as("x")),
+      "x", "l2x"))
+    val scored = tf.join(broadcast(dfl.select(col("phrase"), col("l2y"))),
+        Seq("phrase"))
+      .join(broadcast(nl))
+      .withColumn("tf1", least(col("tf"), lit(Bm25TfCap)))
+      .withColumn("score_fix", expr(
+        "(l2x - l2y) * 44 * tf1 * avg div (20 * tf1 * avg + 6 * avg + 18 * dl)"))
+      .select(col("phrase"), col("doc_id"), col("score_fix"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fix").desc, col("doc_id"))
+    q.join(scored, Seq("phrase"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score_fix")).as("score_fix"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
@@ -716,6 +801,7 @@ object TextAnalysis extends QueryPack {
     "text_term_freq"     -> termFreq,
     "text_tfidf_counts"  -> tfidfCounts,
     "text_bm25_topk"     -> bm25TopK,
+    "text_bm25_phrase"   -> bm25Phrase,
     "text_token_mi"      -> tokenMi,
     "text_top_terms"     -> topTermsPerDoc,
     "text_char_trigrams" -> charTrigrams,
@@ -957,6 +1043,40 @@ object TextAnalysis extends QueryPack {
          |agg AS (SELECT q.query_id, sc.doc_id,
          |               CAST(SUM(sc.score_fix) AS BIGINT) AS score_fix
          |        FROM q JOIN sc USING (token) GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_fix,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |               ORDER BY score_fix DESC, doc_id) AS rank
+         |      FROM agg)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_fix
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "text_bm25_phrase" -> {
+      import graft.functions.FixedLog2.duckLog2
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents),
+         |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |             array_to_string(tk[i:i+2], ' ') AS phrase
+         |      FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+         |      WHERE len(tk) >= 3),
+         |qs AS (SELECT doc_id AS query_id,
+         |              array_to_string(tk[1:3], ' ') AS phrase
+         |       FROM t ORDER BY doc_id LIMIT 5),
+         |gq AS (SELECT g.* FROM g
+         |       JOIN (SELECT DISTINCT phrase FROM qs) p USING (phrase)),
+         |tf AS (SELECT doc_id, dl, phrase, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM gq GROUP BY 1, 2, 3),
+         |dfq AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |dfl AS (${duckLog2("SELECT phrase, 2 * df + 1 AS y FROM dfq", "y", "l2y")}),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(len(tk)) AS BIGINT) AS t FROM t),
+         |nl AS (${duckLog2("SELECT t // n AS avg, 2 * n + 2 AS x FROM ns", "x", "l2x")}),
+         |sc AS (SELECT tf.doc_id, tf.phrase,
+         |              (nl.l2x - dfl.l2y) * 44 * LEAST(tf.tf, 1000) * nl.avg
+         |              // (20 * LEAST(tf.tf, 1000) * nl.avg + 6 * nl.avg
+         |                  + 18 * tf.dl) AS score_fix
+         |       FROM tf JOIN dfl USING (phrase) CROSS JOIN nl),
+         |agg AS (SELECT qs.query_id, sc.doc_id,
+         |               CAST(SUM(sc.score_fix) AS BIGINT) AS score_fix
+         |        FROM qs JOIN sc USING (phrase) GROUP BY 1, 2),
          |r AS (SELECT query_id, doc_id, score_fix,
          |             ROW_NUMBER() OVER (PARTITION BY query_id
          |               ORDER BY score_fix DESC, doc_id) AS rank

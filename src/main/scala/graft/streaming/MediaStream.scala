@@ -42,8 +42,31 @@ object MediaStream {
   /** Reorder-buffer refusal bound: a source more than this many chunks
     * out of order per media is a broken feed, not a workload — fail
     * loud rather than buffer unboundedly (the MinHash `HotBucketCap`
-    * stance applied to ingest). */
+    * stance applied to ingest). The cap is checked AFTER the drain
+    * loop, on the residual pending map only: a healthy in-order feed
+    * that lands a whole media (any number of chunks) in one micro-batch
+    * drains to an empty buffer and never trips it — only genuinely
+    * out-of-order residue counts against the bound. */
   val PendingCap = 64
+
+  /** Stalled-media grace period: a media whose manifest never completes
+    * (partial upload, dead producer) would otherwise hold its residual
+    * samples, cursor, and reorder buffer in the state store forever.
+    * After this much processing time with no progress the key times
+    * out and its state is DROPPED — the open window/segment is
+    * discarded, not emitted, because a partial media is not a valid
+    * media (emitting would also break stream == batch parity, since
+    * the batch side only ever sees complete payloads). Pass 0 to
+    * disable expiry (tests that drive batches slowly).
+    *
+    * Operational note: ProcessingTimeTimeout makes Spark run micro-
+    * batches CONTINUOUSLY (`shouldRunAnotherBatch` is always true so
+    * pending timeouts can fire) — deploy with an explicit trigger
+    * interval. In tests either pass 0 here or set a trigger: with the
+    * default 0-interval trigger the back-to-back empty batches flip
+    * `noNewData` fast enough that `processAllAvailable` can starve
+    * (measured: a spec hung ~40 minutes across ~10k empty batches). */
+  val StallTimeoutMs: Long = 30L * 60 * 1000
 
   /** Batch helper: explode a media table's audio payloads into
     * `chunkBytes`-sized ordered chunks — what a landing zone of
@@ -109,7 +132,8 @@ object MediaStream {
     * div flen, |Δ| > 4096), so stream == batch bit-for-bit; frames may
     * arrive out of order and across micro-batch boundaries within the
     * same [[PendingCap]] reorder bound the audio twin enforces. */
-  def sceneSegmentStream(spark: SparkSession, feedDir: String): Dataset[SceneSegmentOut] = {
+  def sceneSegmentStream(spark: SparkSession, feedDir: String,
+      stallTimeoutMs: Long = StallTimeoutMs): Dataset[SceneSegmentOut] = {
     import spark.implicits._
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("frame_idx", LongType),
@@ -117,10 +141,18 @@ object MediaStream {
       StructField("flen", LongType)))
     val frames = spark.readStream.schema(schema).parquet(feedDir)
       .as[FrameFeature]
+    val timeoutConf = if (stallTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     frames.groupByKey(_.media_id)
       .flatMapGroupsWithState[SceneState, SceneSegmentOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         case (mediaId, it, state) =>
+          if (state.hasTimedOut) {
+            // stalled media: drop the open segment and retire the key
+            // (documented policy — see [[StallTimeoutMs]])
+            state.remove()
+            Iterator.empty
+          } else {
           val st = state.getOption.getOrElse(
             SceneState(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, Map.empty))
           var pending = st.pending
@@ -130,8 +162,6 @@ object MediaStream {
             if (f.frame_idx >= st.nextFrame && !pending.contains(f.frame_idx))
               pending = pending.updated(f.frame_idx, (f.fsum, f.flen))
           }
-          require(pending.size <= PendingCap,
-            s"media $mediaId frame reorder buffer ${pending.size} exceeds $PendingCap")
           var (next, prevQ, sceneId, start, n, sum, minQ, maxQ) =
             (st.nextFrame, st.prevQ, st.sceneId, st.startFrame, st.nFrames,
               st.sumBytes, st.minQ, st.maxQ)
@@ -153,14 +183,21 @@ object MediaStream {
             prevQ = q
             next += 1
           }
+          // cap the RESIDUAL buffer only — what the drain could not
+          // consume is the true out-of-order debt (ADVICE r15: checking
+          // before the drain killed healthy whole-media micro-batches)
+          require(pending.size <= PendingCap,
+            s"media $mediaId frame reorder buffer ${pending.size} exceeds $PendingCap — broken feed")
           if (manifest >= 0 && next >= manifest) {
             if (n > 0L) out += SceneSegmentOut(mediaId, sceneId, start, n, sum, minQ, maxQ)
             state.remove()
           } else {
             state.update(SceneState(next, prevQ, sceneId, start, n, sum,
               minQ, maxQ, pending))
+            if (stallTimeoutMs > 0) state.setTimeoutDuration(stallTimeoutMs)
           }
           out.iterator
+          }
       }
   }
 
@@ -174,14 +211,23 @@ object MediaStream {
     * (at-least-once sources) are dropped idempotently by the cursor and
     * the reorder buffer's keyed insert. */
   def audioBandWindowStream(spark: SparkSession, chunkDir: String,
-      win: Int = 256): Dataset[AudioBandWindow] = {
+      win: Int = 256,
+      stallTimeoutMs: Long = StallTimeoutMs): Dataset[AudioBandWindow] = {
     import spark.implicits._
     val chunks = spark.readStream.schema(chunkSchema).parquet(chunkDir)
       .as[AudioChunk]
+    val timeoutConf = if (stallTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     chunks.groupByKey(_.media_id)
       .flatMapGroupsWithState[AudioChunkState, AudioBandWindow](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         case (mediaId, it, state) =>
+          if (state.hasTimedOut) {
+            // stalled media: drop the open window and retire the key
+            // (documented policy — see [[StallTimeoutMs]])
+            state.remove()
+            Iterator.empty
+          } else {
           val st = state.getOption.getOrElse(
             AudioChunkState(Seq.empty, 0L, 0, Map.empty))
           var pending = st.pending
@@ -193,8 +239,6 @@ object MediaStream {
             if (c.chunk_idx >= st.nextChunk && !pending.contains(c.chunk_idx))
               pending = pending.updated(c.chunk_idx, c.payload)
           }
-          require(pending.size <= PendingCap,
-            s"media $mediaId reorder buffer ${pending.size} exceeds $PendingCap — broken feed")
           val buf = scala.collection.mutable.ArrayBuffer.empty[Short]
           buf ++= st.residual
           var next = st.nextChunk
@@ -227,6 +271,11 @@ object MediaStream {
               buf.remove(0, win)
             }
           }
+          // cap the RESIDUAL buffer only — what the drain could not
+          // consume is the true out-of-order debt (ADVICE r15: checking
+          // before the drain killed healthy whole-media micro-batches)
+          require(pending.size <= PendingCap,
+            s"media $mediaId reorder buffer ${pending.size} exceeds $PendingCap — broken feed")
           if (nChunks >= 0 && next >= nChunks) {
             // manifest complete: seal the final partial window and
             // retire the key's state entirely
@@ -234,8 +283,10 @@ object MediaStream {
             state.remove()
           } else {
             state.update(AudioChunkState(buf.toSeq, winIdx, next, pending))
+            if (stallTimeoutMs > 0) state.setTimeoutDuration(stallTimeoutMs)
           }
           out.iterator
+          }
       }
   }
 }

@@ -55,6 +55,30 @@ class ClusteredAnnSpec extends AnyFunSuite {
       s"clusters must dominate the top-5: $sameCluster/${gt.size}")
   }
 
+  test("DEFAULT keys detect the clustered regime and switch curves (r15 verdict item 4)") {
+    // the regime signal reads high on the mixture fixture and low on
+    // the driver's near-uniform fixture ...
+    val sClu = Similarity.regimeSignalAt(spark, dir)
+    val sUni = Similarity.regimeSignalAt(spark, TestSpark.Sf)
+    info(f"regimeSignal: clustered=$sClu%.3f uniform-fixture=$sUni%.3f (threshold 0.6)")
+    assert(sClu > 0.75, s"clustered signal $sClu")
+    assert(sUni < 0.45, s"uniform signal $sUni")
+    // ... so the DEFAULT ivf key on this corpus probes the clustered
+    // curve: recall floor holds at a fraction of the uniform regime's
+    // derived 0.68 probe fraction
+    val r = recall(pairs(Similarity.topKIvf(spark, dir)))
+    val frac = Similarity.ivfCandidateIds(spark, dir, 2).count() / MaxPairs
+    info(f"clustered IVF DEFAULT recall=$r%.3f scan_fraction=$frac%.4f")
+    assert(r >= 0.9, s"clustered ivf default recall $r")
+    assert(frac <= 0.2, s"clustered ivf default scan fraction $frac")
+    // and the default PQ shortlist drops from 0.3n (600) to the
+    // clustered 150-row floor while holding the recall floor
+    val rPq = recall(pairs(Similarity.topKPq(spark, dir)))
+    info(f"clustered PQ DEFAULT recall=$rPq%.3f (shortlist ${Similarity.pqShortlistRegime(N, clustered = true)})")
+    assert(Similarity.pqShortlistRegime(N, clustered = true) == 150)
+    assert(rPq >= 0.9, s"clustered pq default recall $rPq")
+  }
+
   test("LSH at 12 bits/table: recall floor holds at a small candidate fraction") {
     // 12-bit signatures (4096 cells/table vs the uniform default's 64):
     // only a clustered corpus concentrates enough per cell to keep

