@@ -139,4 +139,107 @@ object PqEncode {
   def codes(vec: Column, books: Seq[Seq[(Int, Array[Double])]]): Column =
     GraftBridge.column(PqEncode(GraftBridge.expression(vec),
       books.map(_.map(_._2).toArray).toArray))
+
+  /** Column form of [[PqEncodeRaw]]: codes of an array<double> taken
+    * AS-IS (residual vectors are already in the scoring frame — no
+    * internal normalization). */
+  def codesRaw(vec: Column, books: Seq[Seq[(Int, Array[Double])]]): Column =
+    GraftBridge.column(PqEncodeRaw(GraftBridge.expression(vec),
+      books.map(_.map(_._2).toArray).toArray))
+}
+
+/** [[PqEncode]] for RESIDUAL vectors (IVFADC, Jégou et al. 2011): input
+  * is `array<double>` already expressed in the scoring frame
+  * (x_unit − cell_centroid_unit), so no normalization happens — the
+  * residual's magnitude IS signal. Same fused argmin pass, same
+  * strict-`<` lowest-id tie-break, same reference-object codebooks. */
+case class PqEncodeRaw(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "books must be m x k x subDim")
+  private val subDim = books(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode_raw expects array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_encode_raw"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val ne = v.numElements()
+    val codes = new Array[Int](books.length)
+    var s = 0
+    while (s < books.length) {
+      val book = books(s)
+      var best = Double.MaxValue
+      var cid = -1
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val idx = s * subDim + j
+          val x = if (idx < ne) v.getDouble(idx) else 0.0
+          val diff = x - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; cid = c }
+        c += 1
+      }
+      codes(s) = cid
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bk = ctx.addReferenceObj("books", books, "double[][][]")
+      val ne = ctx.freshName("ne")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val book = ctx.freshName("book")
+      val best = ctx.freshName("best")
+      val cid = ctx.freshName("cid")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val x = ctx.freshName("x")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $ne = $v.numElements();
+         |int[] $codes = new int[${books.length}];
+         |for (int $s = 0; $s < ${books.length}; $s++) {
+         |  double[][] $book = $bk[$s];
+         |  double $best = Double.MAX_VALUE;
+         |  int $cid = -1;
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double[] $cent = $book[$c];
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      int $idx = $s * $subDim + $j;
+         |      double $x = $idx < $ne ? $v.getDouble($idx) : 0.0;
+         |      double $diff = $x - $cent[$j];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $best) { $best = $d; $cid = $c; }
+         |  }
+         |  $codes[$s] = $cid;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -717,6 +717,132 @@ object Similarity extends QueryPack {
     rankedTopK(pairs)
   }
 
+  /** Residual PQ codebooks — [[pqCodebooks]] over per-cell RESIDUALS
+    * (`r = x_unit − cell_centroid_unit`, array<double>, encoded by the
+    * no-normalization [[graft.functions.PqEncodeRaw]]): same
+    * deterministic stride seeds, long fixed-point sums, empty clusters
+    * keep their previous centroid. One pooled codebook across cells
+    * (the classic IVFADC layout), trained where the data actually
+    * lives — near the origin of each cell's frame. */
+  private[graft] def pqResidualCodebooks(spark: SparkSession, rdf: DataFrame,
+      iters: Int): Seq[Seq[(Int, Array[Double])]] = {
+    import spark.implicits._
+    var books: Seq[Seq[(Int, Array[Double])]] = {
+      val seeds = rdf.filter(col("vec_id") % PqSeedStride === 0 &&
+          col("vec_id") < PqSeedStride.toLong * PqK)
+        .select((col("vec_id") / PqSeedStride).cast("int").as("cid"), col("r"))
+        .as[(Int, Array[Double])].collect().sortBy(_._1).toSeq
+      (0 until PqM).map(s => seeds.map { case (cid, v) =>
+        (cid, v.slice(s * PqSubDim, (s + 1) * PqSubDim)) })
+    }
+    for (_ <- 1 to iters) {
+      val sub = rdf
+        .withColumn("codes", graft.functions.PqEncode.codesRaw(col("r"), books))
+        .select(posexplode(expr(
+          s"""transform(sequence(0, ${PqM - 1}), s -> struct(
+             |  element_at(codes, s + 1) as cid,
+             |  slice(r, s * $PqSubDim + 1, $PqSubDim) as sv))""".stripMargin)))
+        .select(col("pos").as("s"), col("col.cid").as("cid"), col("col.sv").as("subvec"))
+      val sums = (0 until PqSubDim).map(i =>
+        sum(expr(s"cast(round(subvec[$i] * 1e6) as bigint)")).as(s"s$i"))
+      val next = sub.groupBy(col("s"), col("cid"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("s"), col("cid"),
+          array((0 until PqSubDim).map(i => col(s"s$i") / 1e6 / col("cnt")): _*).as("ce"))
+        .as[(Int, Int, Array[Double])].collect()
+        .map { case (s, cid, ce) => (s, cid) -> ce }.toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.map { case (cid, prev) => (cid, next.getOrElse((s, cid), prev)) } }
+    }
+    books
+  }
+
+  /** RESIDUAL-coded IVF-PQ — the IVFADC of Jégou et al. ("Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011), closing
+    * the intra-cell resolution gap [[topKIvfPq]]'s scaladoc documents:
+    * plain direction codes resolve BETWEEN clusters, so inside a
+    * cluster ADC scores near-tie and the shortlist must cover the
+    * whole cluster (measured: shortlist 75 → recall 0.72 on the
+    * clustered fixture). Coding the RESIDUAL r = x_unit − ĉ(cell)
+    * instead re-centers every cell at its own origin, and the score
+    * decomposes exactly: q·x = q·ĉ + q·r, where q·ĉ is the probe
+    * stage's own cosine (exact, per probed cell) and q·r is the ADC
+    * approximation over residual codebooks — so the codes spend their
+    * 64 bits entirely on WITHIN-cell geometry. Storage per vector is
+    * unchanged (cell id + 8 codes); the query table is the same
+    * 128-entry inner-product table, built over residual codebooks
+    * (cell-independent — all cell dependence lives in the exact q·ĉ
+    * term). Rows-only; ClusteredAnnSpec pins the recall-at-equal-
+    * budget gain over plain codes.
+    *
+    * Scale posture: identical to [[topKIvfPq]] — training collects
+    * bounded codebooks, encoding is map-side codegen, floats never
+    * shuffle after encoding; the one addition is the k×64-double unit
+    * centroid broadcast joined to compute residuals. */
+  def topKIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    topKIvfPqResidualParams(spark, dir, 0, 0)
+
+  private[graft] def topKIvfPqResidualParams(spark: SparkSession, dir: String,
+      nProbes0: Int, shortlist0: Int): DataFrame = {
+    import spark.implicits._
+    val c = pqCorpus(spark, dir)
+    val n = c.count()
+    val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
+    val clustered = (nProbes0 <= 0 || shortlist0 <= 0) &&
+      isClustered(spark, c, n)
+    val nProbes = if (nProbes0 > 0) nProbes0
+      else ivfProbesRegime(cents.size, clustered)
+    val shortlist = if (shortlist0 > 0) shortlist0
+      else pqShortlistRegime(n, clustered)
+    // unit centroids: the scoring frame of both the residual and the
+    // exact q·ĉ term
+    val centsU: Seq[(Int, Array[Double])] = cents.map { case (cid, ce) =>
+      val nr = math.sqrt(ce.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      (cid, ce.map(x => if (nr > 0) x.toDouble / nr else 0.0))
+    }
+    val cuDf = centsU.toDF("cent_id", "cu")
+    val assigned = c
+      .withColumn("cent_id", assignedCentId(cents, "embedding", "nrm"))
+      .join(broadcast(cuDf), Seq("cent_id"))
+      .withColumn("r", zip_with(col("ne"), col("cu"), (a, b) => a - b))
+    val books = pqResidualCodebooks(spark,
+      assigned.select(col("vec_id"), col("r")), PqIters)
+    val lit3 = pqBooksLit(books)
+    val codes = assigned.select(col("vec_id"), col("cent_id"),
+      graft.functions.PqEncode.codesRaw(col("r"), books).as("codes"))
+    val centsDf = cents.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce"), VectorOps.norm("ce").as("cn"))
+    val qbase = c.filter(col("vec_id") < NQueries)
+    val qtab = qbase.select(col("vec_id").as("query_id"),
+      pqQueryTab(lit3).as("qtab"))
+    // probes carry the EXACT q·ĉ cosine forward as qc — the coarse
+    // half of the decomposed score
+    val probes = nearest(
+      qbase.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")),
+      centsDf, nProbes, "query_id", "qe", "qn")
+      .select(col("query_id"), col("cent_id"), col("cdist").as("qc"))
+    val q = probes.join(qtab, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val short = codes.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", col("qc") +
+        graft.functions.PqAdc.adc(col("codes"), col("qtab"), PqK))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val pairs = corpus(spark, dir)
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (VectorOps.dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cosine"))
+    rankedTopK(pairs)
+  }
+
   /** Per-label embedding centroids at (label, dimension) grain — the
     * class-mean table nearest-class-mean audits and cluster-quality
     * reports start from. Each mean is an exact DECIMAL(38,6) sum over
@@ -1083,6 +1209,7 @@ object Similarity extends QueryPack {
     "sim_topk_ivf"        -> topKIvf,
     "sim_topk_pq"         -> topKPq,
     "sim_topk_ivfpq"      -> topKIvfPq,
+    "sim_topk_ivfpq_res"  -> topKIvfPqResidual,
     "sim_label_centroids" -> labelCentroids)
 
   private val bruteForceOracle: String =

@@ -102,6 +102,18 @@ class ClusteredAnnSpec extends AnyFunSuite {
     assert(frac <= 0.3, s"clustered ivf scan fraction $frac")
   }
 
+  test("residual IVF-PQ beats plain codes at the budget plain codes cannot hold") {
+    // the scaladoc's measured limitation: plain direction codes at
+    // (3 probes, 75 shortlist) read recall ~0.72 — inside a ~100-member
+    // cluster ADC near-ties. Residual coding (IVFADC) re-centers the
+    // codes per cell and must hold the 0.9 floor at the SAME budget.
+    val rPlain = recall(pairs(Similarity.topKIvfPqParams(spark, dir, 3, 75)))
+    val rRes = recall(pairs(Similarity.topKIvfPqResidualParams(spark, dir, 3, 75)))
+    info(f"shortlist 75: plain=$rPlain%.3f residual=$rRes%.3f")
+    assert(rPlain < 0.9, s"plain codes unexpectedly fine at 75 ($rPlain) — tighten the budget")
+    assert(rRes >= 0.9, s"residual ivfpq recall $rRes at shortlist 75")
+  }
+
   test("IVF-PQ at 3 probes, 150 shortlist: recall holds; shortlist is the binding knob") {
     // The clustered win is the COARSE stage: 3 probed cells of the
     // derived ~sqrt(n)=46 scan ~0.06 of the codes (vs the derived
@@ -109,9 +121,10 @@ class ClusteredAnnSpec extends AnyFunSuite {
     // cannot shrink correspondingly: 8×4-bit direction codes resolve
     // BETWEEN clusters, not within one, so inside a ~100-member cluster
     // ADC scores near-tie and the shortlist must still cover the
-    // cluster (measured: shortlist 75 → recall 0.72). Production
-    // systems recover intra-cell resolution with residual/OPQ coding;
-    // here the default 150-row shortlist carries the floor.
+    // cluster (measured: shortlist 75 → recall 0.72). The residual
+    // tier (sim_topk_ivfpq_res, previous test) recovers intra-cell
+    // resolution; for PLAIN codes the 150-row shortlist carries the
+    // floor.
     val got = pairs(Similarity.topKIvfPqParams(spark, dir, 3, 150))
     val r = recall(got)
     info(f"clustered IVF-PQ(3 probes, 150 shortlist) recall=$r%.3f")

@@ -130,6 +130,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       exact.get((qid, nid)).foreach(e => assert(e == cos)) }
   }
 
+  test("residual IVF-PQ (IVFADC): recall@5 >= 0.9 after exact rerank, and deterministic") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSeq
+    val gt = Similarity.topKBruteForce(spark, TestSpark.Sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val a = rows(Similarity.topKIvfPqResidual(spark, TestSpark.Sf))
+    val got = a.map(r => (r._1, r._2)).toSet
+    val recall = (got & gt).size.toDouble / gt.size
+    assert(recall >= 0.9, s"ivfpq_res recall $recall")
+    // seed-fixed end to end: fresh Lloyd + fresh residual codebooks
+    // must reproduce the rows bit-exactly
+    assert(a == rows(Similarity.topKIvfPqResidual(spark, TestSpark.Sf)))
+  }
+
   test("cosine LSH dedup recovers the exact pair set with a bucketed plan") {
     val exact = Dedup.cosinePairs(spark, TestSpark.Sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

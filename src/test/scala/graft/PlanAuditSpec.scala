@@ -54,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_codegen"        -> (1, "deliberate: brute-force codegen tier"),
     "sim_topk_ivf"            -> (1, "bounded: queries x 25-centroid table"),
     "sim_topk_ivfpq"          -> (1, "bounded: queries x 25-centroid table"),
+    "sim_topk_ivfpq_res"      -> (1, "bounded: queries x derived-centroid table"),
     "sim_topk_pq"             -> (1, "bounded: queries x 25-centroid table"),
     "text_bigram_lift"        -> (2, "scalar attach: corpus token total (x2)"),
     "text_bm25_topk"          -> (1, "scalar attach: 1-row corpus stats (avg dl + L2(2N+2))"),
