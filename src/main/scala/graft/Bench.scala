@@ -89,9 +89,11 @@ object Bench {
     // bench's pinned-worktree controls do, without needing a worktree.
     // Timed AFTER the query sweep, in the same warmed session.
     import org.apache.spark.sql.functions.{col, pmod, row_number, sum => fsum, xxhash64}
+    // sizes calibrated to ~0.5 s each at local[32] — big enough that
+    // window drift dominates noise, small enough to add ~5 s total
     val controls: Seq[(String, () => Unit)] = Seq(
       "ctl_scan" -> (() => {
-        spark.range(200L * 1000 * 1000)
+        spark.range(1000L * 1000 * 1000)
           .select(fsum(xxhash64(col("id")))).count(); () }),
       "ctl_shuffle" -> (() => {
         spark.range(20L * 1000 * 1000)
@@ -101,7 +103,7 @@ object Bench {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pmod(xxhash64(col("id")), org.apache.spark.sql.functions.lit(64L)))
           .orderBy(xxhash64(col("id"), org.apache.spark.sql.functions.lit(7)))
-        spark.range(4L * 1000 * 1000)
+        spark.range(20L * 1000 * 1000)
           .select(row_number().over(w).as("r"))
           .agg(fsum(col("r"))).count(); () }))
     controls.foreach { case (_, run) => try run() catch { case _: Throwable => () } }

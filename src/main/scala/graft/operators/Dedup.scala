@@ -931,6 +931,23 @@ object Dedup extends QueryPack {
     spanLenOf(r.getLong(0), r.getLong(1))
   }
 
+  /** Per-session cache of the derived span length, keyed by (dir,
+    * planted?): L is a property of the CORPUS, shared by all five
+    * substring keys — re-deriving it per key was a measured ~0.4 s of
+    * repeated vocab-grain aggregation per invocation in-sweep. Same
+    * immutable-fixture contract as [[canonicalCache]]. */
+  private val spanLenDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Boolean), Int]
+
+  def clearSpanLenCache(): Unit = spanLenDirCache.clear()
+
+  private def spanLenFor(spark: SparkSession, dir: String,
+      planted: Boolean): Int =
+    spanLenDirCache.getOrElseUpdate((spark, dir, planted), {
+      val docs = Tables.documents(spark, dir).toDF()
+      deriveSpanLen(if (planted) plantedSubstringDocs(docs) else docs)
+    })
+
   /** The substring family's PLANTED gate corpus (r15 verdict item 1):
     * the fixture word-soup carries almost no organic ≥ 8-token overlap
     * — `dedup_substring_self` passed its r15 oracle gate with 0 rows vs
@@ -1001,12 +1018,12 @@ object Dedup extends QueryPack {
     * delta/maximality machinery provably fires in the driver's hash
     * gate. */
   def substringSpans(spark: SparkSession, dir: String): DataFrame =
-    substringSpansOf(plantedSubstringDocs(Tables.documents(spark, dir)),
-      hashed = false)
+    substringSpansOfL(plantedSubstringDocs(Tables.documents(spark, dir)),
+      hashed = false, spanLenFor(spark, dir, planted = true))
 
   def substringSpansHashed(spark: SparkSession, dir: String): DataFrame =
-    substringSpansOf(plantedSubstringDocs(Tables.documents(spark, dir)),
-      hashed = true)
+    substringSpansOfL(plantedSubstringDocs(Tables.documents(spark, dir)),
+      hashed = true, spanLenFor(spark, dir, planted = true))
 
   /** Position-keyed, df-cap-pruned `spanLen`-grams — the shared
     * currency of all substring keys. The hot side is by definition
@@ -1068,11 +1085,14 @@ object Dedup extends QueryPack {
     * periodic text merge into one maximal run per offset-delta, which
     * is exactly how a suffix array reports self-similarity. */
   def substringSelf(spark: SparkSession, dir: String): DataFrame =
-    substringSelfOf(plantedSubstringDocs(Tables.documents(spark, dir)),
-      hashed = false)
+    substringSelfOfL(plantedSubstringDocs(Tables.documents(spark, dir)),
+      hashed = false, spanLenFor(spark, dir, planted = true))
 
-  private[graft] def substringSelfOf(docs: DataFrame, hashed: Boolean): DataFrame = {
-    val spanLen = deriveSpanLen(docs)
+  private[graft] def substringSelfOf(docs: DataFrame, hashed: Boolean): DataFrame =
+    substringSelfOfL(docs, hashed, deriveSpanLen(docs))
+
+  private def substringSelfOfL(docs: DataFrame, hashed: Boolean,
+      spanLen: Int): DataFrame = {
     val pruned = spanGramsOf(docs, hashed, spanLen)
     val m = pruned.as("x").join(pruned.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") === col("y.doc_id") &&
@@ -1098,10 +1118,29 @@ object Dedup extends QueryPack {
     * the same batch. */
   def substringIncremental(spark: SparkSession, dir: String): DataFrame =
     substringIncrementalOf(Tables.documents(spark, dir)
-      .withColumn("is_new", expr("(doc_id * 2654435761) % 4294967296 % 100 >= 80")))
+      .withColumn("is_new", expr("(doc_id * 2654435761) % 4294967296 % 100 >= 80")),
+      spanLenFor(spark, dir, planted = false))
 
-  private[graft] def substringIncrementalOf(docs: DataFrame): DataFrame = {
-    val spanLen = deriveSpanLen(docs.select(col("doc_id"), col("text")))
+  /** Two-sided seam for the STREAMING ingest twin
+    * ([[graft.streaming.CorpusStream.substringIncrementalStream]]):
+    * span-match one landed batch of new documents against the standing
+    * corpus. Reuses [[substringIncrementalOf]] wholesale — the df cap
+    * and derived span length are computed over corpus ∪ THIS batch
+    * (the statistics a live ingest actually has; on any corpus where
+    * neither is near its boundary — every fixture tier — the output is
+    * bit-equal to the all-at-once batch key restricted to this batch's
+    * docs, which the StreamingSpec twin pins). */
+  private[graft] def substringIncrementalAgainst(corpus: DataFrame,
+      batch: DataFrame): DataFrame =
+    substringIncrementalOf(
+      corpus.select(col("doc_id"), col("text")).withColumn("is_new", lit(false))
+        .unionByName(
+          batch.select(col("doc_id"), col("text")).withColumn("is_new", lit(true))))
+
+  private[graft] def substringIncrementalOf(docs: DataFrame,
+      spanLen0: Int = 0): DataFrame = {
+    val spanLen = if (spanLen0 > 0) spanLen0
+      else deriveSpanLen(docs.select(col("doc_id"), col("text")))
     val g = spanGramsOf(docs.select(col("doc_id"), col("text")), hashed = false,
         spanLen)
       .join(docs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
@@ -1139,12 +1178,14 @@ object Dedup extends QueryPack {
     * hashed == raw is spec-pinned and re-verified by this very hash
     * gate at both sweep tiers. */
   def substringRemoved(spark: SparkSession, dir: String): DataFrame =
-    substringRemovedOf(Tables.documents(spark, dir), hashed = true)
+    substringRemovedOf(Tables.documents(spark, dir), hashed = true,
+      spanLenFor(spark, dir, planted = false))
 
   private[graft] def substringRemovedOf(docs: DataFrame,
-      hashed: Boolean = true): DataFrame = {
+      hashed: Boolean = true, spanLen0: Int = 0): DataFrame = {
     val toks = "split(text, ' ')"
-    val spans = substringSpansOf(docs, hashed = hashed)
+    val spans = if (spanLen0 > 0) substringSpansOfL(docs, hashed, spanLen0)
+      else substringSpansOf(docs, hashed = hashed)
     val covered = spans.select(col("doc_b").as("doc_id"),
         explode(expr("sequence(start_b, start_b + span_tokens - 1)")).as("p"))
       .distinct()

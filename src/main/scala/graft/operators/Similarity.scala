@@ -248,15 +248,26 @@ object Similarity extends QueryPack {
       .agg(avg(col("b"))).as[Double].head()
   }
 
-  private[graft] def isClustered(spark: SparkSession, c: DataFrame,
-      n: Long): Boolean = regimeSignal(spark, c, n) >= ClusteredSignal
+  /** Per-session cache of [[regimeSignal]] keyed by fixture dir: the
+    * regime is a property of the CORPUS, not of any one query — an
+    * index serves many queries, so every ANN key paying the signal's
+    * two jobs per invocation was measured waste (~0.3 s/key in-sweep).
+    * Same contract as the graph/canonical caches: immutable fixture
+    * dirs; a caller that rewrites files must [[clearRegimeCache]]. */
+  private val regimeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
 
-  /** [[regimeSignal]] straight off a fixture dir (spec/diagnostic
-    * convenience). */
-  private[graft] def regimeSignalAt(spark: SparkSession, dir: String): Double = {
-    val c = corpus(spark, dir)
-    regimeSignal(spark, c, c.count())
-  }
+  def clearRegimeCache(): Unit = regimeCache.clear()
+
+  /** [[regimeSignal]] off a fixture dir, cached per (session, dir). */
+  private[graft] def regimeSignalAt(spark: SparkSession, dir: String): Double =
+    regimeCache.getOrElseUpdate((spark, dir), {
+      val c = corpus(spark, dir)
+      regimeSignal(spark, c, c.count())
+    })
+
+  private[graft] def isClusteredAt(spark: SparkSession, dir: String): Boolean =
+    regimeSignalAt(spark, dir) >= ClusteredSignal
 
   /** Clustered-regime probe fraction with its floor: ≈ 1.6× the
     * 20-cluster fixture's per-cluster cell share (a cluster spans
@@ -431,7 +442,7 @@ object Similarity extends QueryPack {
     val n = c.count()
     val cents = lloydCentroids(spark, c, iters, ivfStride(n))
     val nProbes = if (probes > 0) probes
-      else ivfProbesRegime(cents.size, isClustered(spark, c, n))
+      else ivfProbesRegime(cents.size, isClusteredAt(spark, dir))
     val assigned = c.withColumn("cent_id",
       assignedCentId(cents, "embedding", "nrm"))
     val centsDf = cents.toDF("cent_id", "ce")
@@ -459,7 +470,7 @@ object Similarity extends QueryPack {
     val n = c.count()
     val cents = lloydCentroids(spark, c, iters, ivfStride(n))
     val nProbes = if (probes > 0) probes
-      else ivfProbesRegime(cents.size, isClustered(spark, c, n))
+      else ivfProbesRegime(cents.size, isClusteredAt(spark, dir))
     val assigned = c.select(col("vec_id"),
       assignedCentId(cents, "embedding", "nrm").as("cent_id"))
     val centsDf = cents.toDF("cent_id", "ce")
@@ -601,7 +612,7 @@ object Similarity extends QueryPack {
   def topKPq(spark: SparkSession, dir: String): DataFrame = {
     val c = pqCorpus(spark, dir)
     val n = c.count()
-    val shortlist = pqShortlistRegime(n, isClustered(spark, c, n))
+    val shortlist = pqShortlistRegime(n, isClusteredAt(spark, dir))
     val books = pqCodebooks(spark, c, PqIters)
     val lit3 = pqBooksLit(books)
     val codes = c.select(col("vec_id"),
@@ -674,7 +685,7 @@ object Similarity extends QueryPack {
     val n = c.count()
     val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
     val clustered = (nProbes0 <= 0 || shortlist0 <= 0) &&
-      isClustered(spark, c, n)
+      isClusteredAt(spark, dir)
     val nProbes = if (nProbes0 > 0) nProbes0
       else ivfProbesRegime(cents.size, clustered)
     val shortlist = if (shortlist0 > 0) shortlist0
@@ -789,7 +800,7 @@ object Similarity extends QueryPack {
     val n = c.count()
     val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
     val clustered = (nProbes0 <= 0 || shortlist0 <= 0) &&
-      isClustered(spark, c, n)
+      isClusteredAt(spark, dir)
     val nProbes = if (nProbes0 > 0) nProbes0
       else ivfProbesRegime(cents.size, clustered)
     val shortlist = if (shortlist0 > 0) shortlist0

@@ -1014,4 +1014,52 @@ class StreamingSpec extends AnyFunSuite {
       s"missed=${(batch -- segs.toSet).take(3)} extra=${(segs.toSet -- batch).take(3)}")
     assert(batch.nonEmpty)
   }
+
+  test("streaming corpus ingest: per-batch substring spans equal the batch incremental key") {
+    import graft.streaming.CorpusStream
+    // the text-ingest twin: the fixture's 20% "new" slice lands in TWO
+    // micro-batches against the standing 80% corpus; the concatenated
+    // per-batch span tables must equal the all-at-once batch key
+    // (cross-side-only spans make the split semantically invisible;
+    // df cap and derived L are boundary-free on the fixture)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .withColumn("is_new", expr("(doc_id * 2654435761) % 4294967296 % 100 >= 80"))
+    val corpus = docs.filter(!col("is_new")).select("doc_id", "text")
+    val newDocs = docs.filter(col("is_new")).select("doc_id", "text").cache()
+    assert(newDocs.count() > 50)
+    val d = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-out").toString
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ingesthalf").toString
+      newDocs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    stage(col("doc_id") % 2 === 0, "a.parquet")
+    val q = CorpusStream.substringIncrementalStream(spark, corpus, d.toString) {
+      (spans, batchId) =>
+        spans.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+    }
+    try {
+      q.processAllAvailable()
+      stage(col("doc_id") % 2 === 1, "b.parquet")
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val got = spark.read.parquet(out)
+    assert(got.select("batch_id").distinct().count() == 2,
+      "both landings must produce a batch")
+    val streamed = got.select("new_doc", "corpus_doc", "start_new",
+        "start_corpus", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(streamed.length == streamed.distinct.length,
+      "no span may be emitted twice")
+    val batch = graft.operators.Dedup.substringIncremental(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.toSet == batch,
+      s"missed=${(batch -- streamed.toSet).take(3)} extra=${(streamed.toSet -- batch).take(3)}")
+    assert(batch.nonEmpty, "fixture must contain cross-side spans")
+  }
 }
