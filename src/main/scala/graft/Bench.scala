@@ -89,23 +89,32 @@ object Bench {
     // bench's pinned-worktree controls do, without needing a worktree.
     // Timed AFTER the query sweep, in the same warmed session.
     import org.apache.spark.sql.functions.{col, pmod, row_number, sum => fsum, xxhash64}
-    // sizes calibrated to ~0.5 s each at local[32] — big enough that
-    // window drift dominates noise, small enough to add ~5 s total
+    // sizes calibrated to ~0.5-0.8 s each at local[32] (measured via a
+    // pyspark twin: 1e9-row scan 2.3 s, 20M shuffle 1.3 s, 10M window
+    // 3.7 s, scaled down) — big enough
+    // that window drift dominates noise, small enough to add a few
+    // seconds total. collect(), NOT count(): count() lets Catalyst
+    // prune the aggregate column and constant-fold the row count of a
+    // range/aggregate, and the "control" then measures nothing (the
+    // first shipped version read a constant 0.09 s at any size).
     val controls: Seq[(String, () => Unit)] = Seq(
+      // pmod keeps the ANSI-mode sum inside BIGINT (raw xxhash64 sums
+      // overflow after ~2^33 rows)
       "ctl_scan" -> (() => {
-        spark.range(1000L * 1000 * 1000)
-          .select(fsum(xxhash64(col("id")))).count(); () }),
+        spark.range(200L * 1000 * 1000)
+          .select(fsum(pmod(xxhash64(col("id")),
+            org.apache.spark.sql.functions.lit(1000000L)))).collect(); () }),
       "ctl_shuffle" -> (() => {
-        spark.range(20L * 1000 * 1000)
+        spark.range(10L * 1000 * 1000)
           .groupBy(pmod(xxhash64(col("id")), org.apache.spark.sql.functions.lit(4096L)))
-          .count().count(); () }),
+          .count().collect(); () }),
       "ctl_window" -> (() => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pmod(xxhash64(col("id")), org.apache.spark.sql.functions.lit(64L)))
           .orderBy(xxhash64(col("id"), org.apache.spark.sql.functions.lit(7)))
-        spark.range(20L * 1000 * 1000)
+        spark.range(2L * 1000 * 1000)
           .select(row_number().over(w).as("r"))
-          .agg(fsum(col("r"))).count(); () }))
+          .agg(fsum(col("r"))).collect(); () }))
     controls.foreach { case (_, run) => try run() catch { case _: Throwable => () } }
     val ctl = controls.map { case (name, run) => (name, med(run)._1) }
     // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
