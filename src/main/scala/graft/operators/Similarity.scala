@@ -144,12 +144,27 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("vec_id")).distinct()
   }
 
-  /** LSH ANN: 8 independent 6-bit random-hyperplane tables, multiprobe at
-    * Hamming ≤ 1 within each table (7 probes × 8 tables per query), exact
-    * rerank of union-of-buckets candidates. Rows-only; recall vs
-    * [[topKBruteForce]] is pinned by DedupSimilaritySpec. */
+  /** Clustered-regime signature width: 12 bits/table (4096 cells) —
+    * ClusteredAnnSpec's measured operating point, where same-cluster
+    * vectors concentrate per bucket and the candidate fraction drops
+    * ~an order of magnitude at the same recall floor. The uniform
+    * regime keeps [[BitsPerTable]] = 6: its scan FRACTION is
+    * bits-determined and n-invariant, and widening bits there would
+    * silently shrink it below the recall point (the ScaledAnnSpec
+    * invariance note). */
+  private val BitsClustered = 12
+
+  /** LSH ANN: 8 independent random-hyperplane tables — 6 bits/table
+    * uniform, [[BitsClustered]] when the regime signal reads clustered
+    * (the last fixed ANN knob made regime-adaptive; bits is the regime
+    * knob, tables the recall-variance knob) — multiprobe at Hamming ≤ 1
+    * within each table, exact rerank of union-of-buckets candidates.
+    * Rows-only; recall vs [[topKBruteForce]] pinned by
+    * DedupSimilaritySpec (uniform fixture) and ClusteredAnnSpec /
+    * ScaledAnnSpec (clustered, both scales). */
   def topKLsh(spark: SparkSession, dir: String): DataFrame =
-    topKLshParams(spark, dir, NTables, BitsPerTable)
+    topKLshParams(spark, dir, NTables,
+      if (isClusteredAt(spark, dir)) BitsClustered else BitsPerTable)
 
   private[graft] def topKLshParams(spark: SparkSession, dir: String,
       nTables: Int, bits: Int): DataFrame = {

@@ -77,6 +77,13 @@ class ClusteredAnnSpec extends AnyFunSuite {
     info(f"clustered PQ DEFAULT recall=$rPq%.3f (shortlist ${Similarity.pqShortlistRegime(N, clustered = true)})")
     assert(Similarity.pqShortlistRegime(N, clustered = true) == 150)
     assert(rPq >= 0.9, s"clustered pq default recall $rPq")
+    // and the default LSH key widens to 12-bit tables (the measured
+    // clustered operating point below) while holding the floor
+    val rLsh = recall(pairs(Similarity.topKLsh(spark, dir)))
+    val fracLsh = Similarity.lshCandidateIds(spark, dir, 8, 12).count() / MaxPairs
+    info(f"clustered LSH DEFAULT recall=$rLsh%.3f scan_fraction=$fracLsh%.4f")
+    assert(rLsh >= 0.9, s"clustered lsh default recall $rLsh")
+    assert(fracLsh <= 0.25, s"clustered lsh default scan fraction $fracLsh")
   }
 
   test("LSH at 12 bits/table: recall floor holds at a small candidate fraction") {

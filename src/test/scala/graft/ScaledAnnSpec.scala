@@ -17,12 +17,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * a 0.12 probe fraction (vs the measured 0.68 recall point), and a
   * fixed 150-row shortlist at n=20 000 is a 0.0075 fraction (vs 0.3).
   *
-  * LSH deliberately keeps its 8×6-bit default at any n: its scan
-  * FRACTION — the recall determinant — is bits-and-tables-determined
-  * and n-invariant (buckets grow ∝ n), so recall carries; deriving
-  * bits UP with n would shrink the fraction and break the uniform
-  * floor (bits is the REGIME knob, ClusteredAnnSpec's 12-bit point).
-  * The uniform test here is exactly that invariance, pinned at ×10.
+  * LSH deliberately keeps 8×6-bit tables at any n ON UNIFORM data:
+  * its scan FRACTION — the recall determinant — is bits-and-tables-
+  * determined and n-invariant (buckets grow ∝ n), so recall carries;
+  * deriving bits UP with n would shrink the fraction and break the
+  * uniform floor. Bits is the REGIME knob, and the default key now
+  * switches it by regime (6 uniform / 12 clustered — r16); the
+  * uniform test here pins the n-invariance of the 6-bit curve at ×10,
+  * and the clustered test now doubles as the 12-bit ×10 recall gate.
   */
 class ScaledAnnSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
