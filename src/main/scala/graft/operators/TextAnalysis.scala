@@ -218,6 +218,99 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Proximity boost numerator for [[bm25Proximity]]: the boost for a
+    * minimal cross-term gap g is `2²⁰ div g` — an exact integer, ~1/4
+    * of a typical idf-weighted term score at g = 1 and decaying
+    * harmonically, the shape (not the constants) of Büttcher et al.'s
+    * term-proximity accumulator (SIGIR 2006). */
+  private val ProxBoostNum = 1L << 20
+
+  /** Proximity-scored conjunctive retrieval (r16 backlog: "phrase BM25
+    * → proximity scoring") — the third member of the BM25 family. Each
+    * query is TWO terms (the 2 lexicographically-smallest distinct
+    * tokens of the 5 lowest-id query docs — sorted, not first-seen, so
+    * both engines derive the identical term pair without depending on
+    * list_distinct order); a document qualifies only if it contains
+    * BOTH terms (the conjunctive contract), and its score is the exact
+    * integer BM25 sum of the two terms plus `2²⁰ div min_gap`, where
+    * `min_gap` is the minimal token distance between occurrences of
+    * DIFFERENT query terms. The gap is found with the sorted-adjacency
+    * identity: the minimal cross-term distance is always realized by a
+    * pair ADJACENT in position order (any non-adjacent cross-term pair
+    * contains an adjacent cross-term pair within its span — whichever
+    * side of the intervening occurrence differs in term — of no larger
+    * distance), so one `lag` window over positions replaces the
+    * quadratic position×position join. Top-5 docs per query by
+    * (score desc, doc_id); oracle-paired end to end (integer-exact:
+    * FixedLog2 idf, integer division boost).
+    *
+    * Scale posture: a broadcast semi-join against the ≤ 10 query terms
+    * prunes the position stream BEFORE any window or aggregate (the
+    * posting-list principle — a retrieval query touches only its own
+    * terms' postings); tf/df still aggregate the TRUE corpus-wide
+    * values because the prune is term-complete (every row of a kept
+    * term survives). The lag window partitions by (query, doc) —
+    * thousands of small partitions, never one global sort. */
+  def bm25Proximity(spark: SparkSession, dir: String): DataFrame =
+    bm25ProximityOf(Tables.documents(spark, dir).toDF())
+
+  private[graft] def bm25ProximityOf(docs: DataFrame): DataFrame = {
+    import graft.functions.FixedLog2
+    val q = docs.filter(expr(s"size(array_distinct($toks)) >= 2"))
+      .orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        expr(s"slice(array_sort(array_distinct($toks)), 1, 2)").as("qt"))
+    val qterms = q.select(col("query_id"), explode(col("qt")).as("token"))
+    val qtok = qterms.select(col("token")).distinct()
+    val pos = docs
+      .select(col("doc_id"), expr(s"cast(size($toks) as bigint)").as("dl"),
+        posexplode(expr(toks)).as(Seq("pos", "token")))
+      .join(broadcast(qtok), Seq("token"), "left_semi")
+    val tf = pos.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfl = FixedLog2.withLog2(
+      dfq.withColumn("y", expr("2 * df + 1")), "y", "l2y")
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(expr(s"cast(size($toks) as bigint)")).as("t"))
+    val nl = bm25AvgGuard(FixedLog2.withLog2(
+      stats.select(expr("t div n").as("avg"), expr("2 * n + 2").as("x")),
+      "x", "l2x"))
+    val sc = tf.join(broadcast(dfl.select(col("token"), col("l2y"))),
+        Seq("token"))
+      .join(broadcast(nl))
+      .withColumn("tf1", least(col("tf"), lit(Bm25TfCap)))
+      .withColumn("score_fix", expr(
+        "(l2x - l2y) * 44 * tf1 * avg div (20 * tf1 * avg + 6 * avg + 18 * dl)"))
+      .select(col("token"), col("doc_id"), col("score_fix"))
+    val wp = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos"))
+    val gaps = pos.join(broadcast(qterms), Seq("token"))
+      .select(col("query_id"), col("doc_id"), col("pos"), col("token"))
+      .withColumn("ptok", lag(col("token"), 1).over(wp))
+      .withColumn("ppos", lag(col("pos"), 1).over(wp))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("token")).as("nterms"),
+        min(when(col("ptok").isNotNull && col("ptok") =!= col("token"),
+          col("pos") - col("ppos"))).as("g"))
+      .filter(col("nterms") === 2)
+      .select(col("query_id"), col("doc_id"),
+        col("g").cast("long").as("min_gap"))
+    val agg = qterms.join(sc, Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_fix")).as("bm25_fix"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fix").desc, col("doc_id"))
+    agg.join(gaps, Seq("query_id", "doc_id"))
+      .withColumn("score_fix",
+        col("bm25_fix") + expr(s"$ProxBoostNum div min_gap"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("min_gap"),
+        col("score_fix"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Feature selection for a labeled corpus: mutual information (bits)
     * between TOKEN PRESENCE and the document language — the standard
     * MI feature ranking (Manning/Schütze IR ch. 13) — hash-exact via
@@ -802,6 +895,7 @@ object TextAnalysis extends QueryPack {
     "text_tfidf_counts"  -> tfidfCounts,
     "text_bm25_topk"     -> bm25TopK,
     "text_bm25_phrase"   -> bm25Phrase,
+    "text_bm25_proximity" -> bm25Proximity,
     "text_token_mi"      -> tokenMi,
     "text_top_terms"     -> topTermsPerDoc,
     "text_char_trigrams" -> charTrigrams,
@@ -1083,6 +1177,58 @@ object TextAnalysis extends QueryPack {
          |      FROM agg)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_fix
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "text_bm25_proximity" -> {
+      import graft.functions.FixedLog2.duckLog2
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents),
+         |qd AS (SELECT doc_id AS query_id,
+         |              list_sort(list_distinct(tk))[1:2] AS qt
+         |       FROM t WHERE len(list_distinct(tk)) >= 2
+         |       ORDER BY doc_id LIMIT 5),
+         |qterms AS (SELECT query_id, unnest(qt) AS token FROM qd),
+         |qtok AS (SELECT DISTINCT token FROM qterms),
+         |pos AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |               u.i AS pos, tk[i] AS token
+         |        FROM t, unnest(generate_series(1, len(tk))) AS u(i)
+         |        WHERE tk[i] IN (SELECT token FROM qtok)),
+         |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM pos GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |dfl AS (${duckLog2("SELECT token, 2 * df + 1 AS y FROM dfq", "y", "l2y")}),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(len(tk)) AS BIGINT) AS t FROM t),
+         |nl AS (${duckLog2("SELECT t // n AS avg, 2 * n + 2 AS x FROM ns", "x", "l2x")}),
+         |sc AS (SELECT tf.doc_id, tf.token,
+         |              (nl.l2x - dfl.l2y) * 44 * LEAST(tf.tf, 1000) * nl.avg
+         |              // (20 * LEAST(tf.tf, 1000) * nl.avg + 6 * nl.avg
+         |                  + 18 * tf.dl) AS score_fix
+         |       FROM tf JOIN dfl USING (token) CROSS JOIN nl),
+         |lagd AS (SELECT q.query_id, p.doc_id, p.pos, p.token,
+         |                LAG(p.token) OVER (PARTITION BY q.query_id, p.doc_id
+         |                  ORDER BY p.pos) AS ptok,
+         |                LAG(p.pos) OVER (PARTITION BY q.query_id, p.doc_id
+         |                  ORDER BY p.pos) AS ppos
+         |         FROM pos p JOIN qterms q USING (token)),
+         |gaps AS (SELECT query_id, doc_id,
+         |                COUNT(DISTINCT token) AS nterms,
+         |                MIN(CASE WHEN ptok IS NOT NULL AND ptok <> token
+         |                         THEN pos - ppos END) AS g
+         |         FROM lagd GROUP BY 1, 2),
+         |agg AS (SELECT q.query_id, sc.doc_id,
+         |               CAST(SUM(sc.score_fix) AS BIGINT) AS bm25_fix
+         |        FROM qterms q JOIN sc USING (token) GROUP BY 1, 2),
+         |r AS (SELECT a.query_id, a.doc_id, CAST(g.g AS BIGINT) AS min_gap,
+         |             a.bm25_fix + 1048576 // CAST(g.g AS BIGINT) AS score_fix
+         |      FROM agg a JOIN gaps g
+         |        ON a.query_id = g.query_id AND a.doc_id = g.doc_id
+         |       AND g.nterms = 2),
+         |rk AS (SELECT query_id, doc_id, min_gap, score_fix,
+         |              ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY score_fix DESC, doc_id) AS rank
+         |       FROM r)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, min_gap,
+         |       score_fix
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "text_top_terms" ->
       s"""WITH tf AS (

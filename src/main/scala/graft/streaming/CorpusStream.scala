@@ -1,7 +1,8 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -42,6 +43,148 @@ object CorpusStream {
       .options(options)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(Dedup.substringIncrementalAgainst(corpus, batch.toDF()), batchId)
+      }
+      .start()
+  }
+
+  /** Incrementally-maintained canonical map — the streaming twin of
+    * [[Dedup.canonicalMap]] (r15 verdict "Next" list: "incremental
+    * component maintenance ... over arriving edges").
+    *
+    * Why NOT `mapGroupsWithState` union-find: connected components is
+    * the one aggregation whose merges CROSS grouping keys — an arriving
+    * edge can fuse two components held under different state keys, so
+    * no per-key state layout can apply it locally. The honest Spark
+    * shape is `foreachBatch` + an explicitly-maintained component map,
+    * which is also the production shape: at 100 TB the map is a lake
+    * table (written idempotently per batch id), not executor state.
+    *
+    * Per micro-batch of NEW docs against the standing corpus:
+    *  1. near-dup edges touching ≥ 1 new doc (the only edges that can
+    *     change anything: an S×S edge was already applied in the batch
+    *     where its later endpoint arrived);
+    *  2. endpoints PROJECT through the standing map (old doc → its
+    *     component root, new doc → itself) — so the component step
+    *     runs on batch-bounded input (new ids + touched roots), never
+    *     the corpus;
+    *  3. [[Curation.componentsOf]] over the projected graph yields the
+    *     merged roots; old components relabel through a broadcast
+    *     (old_root → new_root) table, new docs append with their root.
+    * Roots stay the MIN doc id of their component by induction (an old
+    * root is already the min of its members; componentsOf picks the min
+    * of the projected node set), so after any batch sequence the map is
+    * BIT-EQUAL to the batch operator over the docs seen so far — the
+    * spec pins it, including across a simulated crash (state rebuilt
+    * from the last persisted snapshot, the lake-table restart path).
+    *
+    * Scale posture: the pair stage reuses [[Dedup]]'s PPJoin machinery
+    * over corpus ∪ batch and filters to new-touching pairs — at
+    * production the standing side's shingle prefixes are a precomputed
+    * index probed only by the batch (the posture [[Dedup.incremental]]
+    * documents); the relabel table and projected graph are batch-
+    * bounded broadcasts; the full-map rewrite per batch is one narrow
+    * (long, long) column swap, the lake-table upsert's local twin. */
+  final class CanonicalIngest(spark: SparkSession,
+      corpus0: DataFrame, comp0: DataFrame) {
+    import org.apache.spark.sql.GraftBridge
+
+    def this(spark: SparkSession) = this(spark, {
+      import spark.implicits._
+      Seq.empty[(Long, String)].toDF("doc_id", "text")
+    }, {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "component")
+    })
+
+    @volatile private var corpus: DataFrame = corpus0.localCheckpoint()
+    @volatile private var comp: DataFrame = comp0.localCheckpoint()
+
+    /** The standing (doc_id, component) map — read for snapshots. */
+    def componentMap: DataFrame = comp
+
+    /** The standing corpus docs — read for snapshots. */
+    def corpusDocs: DataFrame = corpus
+
+    /** Apply one batch of new docs; returns the updated DECORATED map
+      * (doc_id, canon_id, n_members, is_canonical — the
+      * [[Dedup.canonicalMap]] output shape) over all docs seen. */
+    def ingestBatch(batch: DataFrame): DataFrame = synchronized {
+      val newIds = batch.select(col("doc_id"))
+      val all = corpus.unionByName(batch.select(col("doc_id"), col("text")))
+      val pairs = Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(all))
+        .select(col("doc_a"), col("doc_b"))
+      val flagA = newIds.withColumnRenamed("doc_id", "doc_a")
+        .withColumn("na", lit(true))
+      val flagB = newIds.withColumnRenamed("doc_id", "doc_b")
+        .withColumn("nb", lit(true))
+      val touching = pairs
+        .join(broadcast(flagA), Seq("doc_a"), "left")
+        .join(broadcast(flagB), Seq("doc_b"), "left")
+        .filter(col("na") || col("nb"))
+        .select(col("doc_a"), col("doc_b"))
+      val ca = comp.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("component", "comp_a")
+      val cb = comp.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("component", "comp_b")
+      val projected = touching
+        .join(ca, Seq("doc_a"), "left")
+        .join(cb, Seq("doc_b"), "left")
+        .select(coalesce(col("comp_a"), col("doc_a")).as("doc_a"),
+          coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val nodes = projected.select(col("doc_a").as("doc_id"))
+        .unionByName(projected.select(col("doc_b").as("doc_id")))
+        .unionByName(newIds)
+        .distinct()
+      val m = Curation.componentsOf(nodes, projected,
+        edgesSubsetOfNodes = true)
+      val relabel = m.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id").as("component"), col("component").as("newc"))
+      val newComp = m.join(broadcast(newIds), Seq("doc_id"), "left_semi")
+      val compNext = comp
+        .join(broadcast(relabel), Seq("component"), "left")
+        .select(col("doc_id"),
+          coalesce(col("newc"), col("component")).as("component"))
+        .unionByName(newComp)
+        .localCheckpoint()
+      val corpusNext = all.localCheckpoint()
+      GraftBridge.releaseLocalCheckpoint(comp)
+      GraftBridge.releaseLocalCheckpoint(corpus)
+      comp = compNext
+      corpus = corpusNext
+      decorated
+    }
+
+    /** The [[Dedup.canonicalMap]]-shaped view of the standing map. */
+    def decorated: DataFrame = comp
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component").as("canon_id"),
+        col("n_members"),
+        (col("doc_id") === col("component")).cast("long").as("is_canonical"))
+      .orderBy(col("doc_id"))
+
+    /** Release held checkpoints (end of stream / test teardown). */
+    def close(): Unit = synchronized {
+      GraftBridge.releaseLocalCheckpoint(comp)
+      GraftBridge.releaseLocalCheckpoint(corpus)
+    }
+  }
+
+  /** Start the canonical-map ingest over documents landing under
+    * `newDocsDir`, resuming from `ingest`'s standing state (a fresh
+    * `new CanonicalIngest(spark)` for an empty corpus; one constructed
+    * from persisted (corpus, map) snapshots for a restart). Each batch
+    * hands the updated decorated map and the batch id to `sink`. */
+  def canonicalIngestStream(spark: SparkSession, ingest: CanonicalIngest,
+      newDocsDir: String, options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val landing = spark.readStream.schema(docSchema).parquet(newDocsDir)
+    landing.writeStream
+      .options(options)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(ingest.ingestBatch(batch.toDF()), batchId)
       }
       .start()
   }

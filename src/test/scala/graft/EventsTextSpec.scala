@@ -591,4 +591,52 @@ class EventsTextSpec extends AnyFunSuite {
         s"query $qid ranks must be dense from 1")
     }
   }
+
+  test("bm25 proximity equals a brute-force recompute incl. min cross-term gap") {
+    import graft.functions.FixedLog2
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.length.toLong
+    val avg = toks.values.map(_.size.toLong).sum / n
+    val tf = toks.toSeq.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (tok, xs) => (id, tok, xs.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (tok, xs) => tok -> xs.size.toLong }
+    val byDocTok = tf.map(r => (r._1, r._2) -> r._3).toMap
+    val l2x = FixedLog2.l2Long(2 * n + 2)
+    def scoreFix(tok: String, tfv: Long, dl: Long): Long = {
+      val idf = l2x - FixedLog2.l2Long(2 * df(tok) + 1)
+      val tf1 = math.min(tfv, 1000L)
+      idf * 44 * tf1 * avg / (20 * tf1 * avg + 6 * avg + 18 * dl)
+    }
+    val queries = docs.map(_._1).sorted.iterator
+      .filter(q => toks(q).distinct.size >= 2).take(5).toSeq
+    val want = queries.flatMap { qid =>
+      val Seq(ta, tb) = toks(qid).distinct.sorted.take(2)
+      val scored = docs.map(_._1).flatMap { d =>
+        val tk = toks(d)
+        // brute-force min gap: quadratic over ALL cross-term position
+        // pairs — deliberately NOT the operator's sorted-adjacency trick
+        val pa = tk.zipWithIndex.collect { case (t, i) if t == ta => i }
+        val pb = tk.zipWithIndex.collect { case (t, i) if t == tb => i }
+        if (pa.isEmpty || pb.isEmpty) None
+        else {
+          val gap = (for (a <- pa; b <- pb) yield math.abs(a - b)).min.toLong
+          val bm = scoreFix(ta, byDocTok((d, ta)), tk.size.toLong) +
+            scoreFix(tb, byDocTok((d, tb)), tk.size.toLong)
+          Some((d, gap, bm + (1L << 20) / gap))
+        }
+      }
+      scored.sortBy { case (d, _, s) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, g, s), i) => (qid, i + 1L, d, g, s) }
+    }.toSet
+    val got = TextAnalysis.bm25Proximity(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty)
+    assert(got.exists(_._4 > 1), "fixture should exercise gaps > 1")
+  }
 }

@@ -55,10 +55,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_ivf"            -> (1, "bounded: queries x 25-centroid table"),
     "sim_topk_ivfpq"          -> (1, "bounded: queries x 25-centroid table"),
     "sim_topk_ivfpq_res"      -> (1, "bounded: queries x derived-centroid table"),
+    "sim_topk_opq"            -> (1, "bounded: queries x derived-centroid table"),
     "sim_topk_pq"             -> (1, "bounded: queries x 25-centroid table"),
     "text_bigram_lift"        -> (2, "scalar attach: corpus token total (x2)"),
     "text_bm25_topk"          -> (1, "scalar attach: 1-row corpus stats (avg dl + L2(2N+2))"),
     "text_bm25_phrase"        -> (1, "scalar attach: 1-row corpus stats (avg dl + L2(2N+2))"),
+    "text_bm25_proximity"     -> (1, "scalar attach: 1-row corpus stats (avg dl + L2(2N+2))"),
     "text_token_mi"           -> (2, "scalar attach: 1-row corpus total + bounded 5-row lang marginals"),
     "text_doc_keywords"       -> (1, "scalar attach: corpus doc count"),
     "x_zorder_layout"         -> (1, "scalar attach: corpus min/max extremes row"),

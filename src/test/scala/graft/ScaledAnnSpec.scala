@@ -88,4 +88,11 @@ class ScaledAnnSpec extends AnyFunSuite {
   test("IVF-PQ derived: recall floor holds at x10") {
     gateBoth("ivfpq", Similarity.topKIvfPq(spark, _))
   }
+
+  test("OPQ residual tier: recall floor holds at x10 with the SAMPLED rotation") {
+    // at n=20000 the rotation's covariance stride is 2 (half the corpus
+    // sampled) — this is the first tier where the bounded-sample
+    // training path actually engages, so the floor here gates it
+    gateBoth("opq", Similarity.topKOpq(spark, _))
+  }
 }

@@ -1062,4 +1062,63 @@ class StreamingSpec extends AnyFunSuite {
       s"missed=${(batch -- streamed.toSet).take(3)} extra=${(streamed.toSet -- batch).take(3)}")
     assert(batch.nonEmpty, "fixture must contain cross-side spans")
   }
+
+  test("streaming canonical ingest equals the batch map at every prefix, across a restart") {
+    import graft.streaming.CorpusStream
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").cache()
+    def third(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    val land1 = java.nio.file.Files.createTempDirectory("graft-canon1")
+    val land2 = java.nio.file.Files.createTempDirectory("graft-canon2")
+    def stage(dir: java.nio.file.Path, i: Int, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-canonhalf").toString
+      third(i).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    def mapOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "canon_id", "n_members", "is_canonical")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def batchMapOf(pred: org.apache.spark.sql.Column) =
+      mapOf(graft.operators.Dedup.canonicalMapOf(docs.filter(pred)))
+    var lastEmit: Set[(Long, Long, Long, Long)] = Set.empty
+    // phase 1: two landings into a fresh ingest
+    val ingest1 = new CorpusStream.CanonicalIngest(spark)
+    stage(land1, 0, "a.parquet")
+    val q1 = CorpusStream.canonicalIngestStream(spark, ingest1, land1.toString) {
+      (m, _) => lastEmit = mapOf(m)
+    }
+    val afterA = try {
+      q1.processAllAvailable()
+      val afterA = lastEmit
+      stage(land1, 1, "b.parquet")
+      q1.processAllAvailable()
+      afterA
+    } finally { q1.stop() }
+    assert(afterA == batchMapOf(col("doc_id") % 3 === 0),
+      "first-prefix stream map must equal the batch operator on that prefix")
+    // crash: persist the standing state the way a lake deployment would,
+    // tear the ingest down, and rebuild from the snapshots
+    val snapDocs = java.nio.file.Files.createTempDirectory("graft-canonsd").toString
+    val snapComp = java.nio.file.Files.createTempDirectory("graft-canonsc").toString
+    ingest1.corpusDocs.write.mode("overwrite").parquet(snapDocs)
+    ingest1.componentMap.write.mode("overwrite").parquet(snapComp)
+    ingest1.close()
+    val ingest2 = new CorpusStream.CanonicalIngest(spark,
+      spark.read.parquet(snapDocs), spark.read.parquet(snapComp))
+    stage(land2, 2, "c.parquet")
+    val q2 = CorpusStream.canonicalIngestStream(spark, ingest2, land2.toString) {
+      (m, _) => lastEmit = mapOf(m)
+    }
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val want = mapOf(graft.operators.Dedup.canonicalMap(spark, TestSpark.Sf))
+    assert(lastEmit == want,
+      s"missed=${(want -- lastEmit).take(3)} extra=${(lastEmit -- want).take(3)}")
+    // the stream must have actually merged something (non-singleton
+    // components exist on the fixture)
+    assert(want.exists(_._3 > 1), "fixture must contain near-dup clusters")
+    ingest2.close()
+    docs.unpersist()
+  }
 }
