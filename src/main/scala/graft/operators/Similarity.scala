@@ -388,6 +388,33 @@ object Similarity extends QueryPack {
     lloydRefine(spark, c, c.filter(col("vec_id") % stride === 0),
       iters, stride)
 
+  /** Per-session centroid cache keyed by (session, dir, iters, stride,
+    * corpus tier) — the regime-signal/canonical-cache precedent applied
+    * to Lloyd training: centroids are a per-corpus STATISTIC, and the
+    * PQ family (ivfpq / ivfpq_res / opq) plus the IVF keys re-derive
+    * the identical seed set and refinement (deterministic stride seeds,
+    * fixed-point sums) per key. The tier string separates the raw
+    * corpus from the nrm>0-filtered [[pqCorpus]] and the SemDeDup
+    * exemplar stride, whose training frames can differ on corpora with
+    * zero-norm vectors. Callers that rewrite fixture files must
+    * [[clearCentroidCache]]. */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Long, String), Seq[(Int, Array[Float])]]
+
+  def clearCentroidCache(): Unit = centroidCache.clear()
+
+  private def lloydCentroidsFor(spark: SparkSession, dir: String,
+      c: DataFrame, iters: Int, stride: Long,
+      tier: String): Seq[(Int, Array[Float])] =
+    centroidCache.getOrElseUpdate((spark, dir, iters, stride, tier),
+      lloydCentroids(spark, c, iters, stride))
+
+  /** Cached [[semCentroids]] for the dir-based SemDeDup keys. */
+  private def semCentroidsFor(spark: SparkSession, dir: String,
+      c: DataFrame, iters: Int): Seq[(Int, Array[Float])] =
+    centroidCache.getOrElseUpdate((spark, dir, iters, SeedStride, "sem"),
+      semCentroids(spark, c, iters))
+
   /** Exemplar seeds at the SemDeDup stride — every [[SeedStride]]-th
     * vector, so the centroid count derives from the corpus:
     * k = ⌈n/stride⌉ grows ∝ n (the paper's posture: constant target
@@ -455,7 +482,7 @@ object Similarity extends QueryPack {
     import spark.implicits._
     val c = corpus(spark, dir)
     val n = c.count()
-    val cents = lloydCentroids(spark, c, iters, ivfStride(n))
+    val cents = lloydCentroidsFor(spark, dir, c, iters, ivfStride(n), "raw")
     val nProbes = if (probes > 0) probes
       else ivfProbesRegime(cents.size, isClusteredAt(spark, dir))
     val assigned = c.withColumn("cent_id",
@@ -483,7 +510,7 @@ object Similarity extends QueryPack {
     import spark.implicits._
     val c = corpus(spark, dir)
     val n = c.count()
-    val cents = lloydCentroids(spark, c, iters, ivfStride(n))
+    val cents = lloydCentroidsFor(spark, dir, c, iters, ivfStride(n), "raw")
     val nProbes = if (probes > 0) probes
       else ivfProbesRegime(cents.size, isClusteredAt(spark, dir))
     val assigned = c.select(col("vec_id"),
@@ -703,7 +730,7 @@ object Similarity extends QueryPack {
     import spark.implicits._
     val c = pqCorpus(spark, dir)
     val n = c.count()
-    val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
+    val cents = lloydCentroidsFor(spark, dir, c, LloydIters, ivfStride(n), "pq")
     val clustered = (nProbes0 <= 0 || shortlist0 <= 0) &&
       isClusteredAt(spark, dir)
     val nProbes = if (nProbes0 > 0) nProbes0
@@ -818,7 +845,7 @@ object Similarity extends QueryPack {
     import spark.implicits._
     val c = pqCorpus(spark, dir)
     val n = c.count()
-    val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
+    val cents = lloydCentroidsFor(spark, dir, c, LloydIters, ivfStride(n), "pq")
     val clustered = (nProbes0 <= 0 || shortlist0 <= 0) &&
       isClusteredAt(spark, dir)
     val nProbes = if (nProbes0 > 0) nProbes0
@@ -1015,7 +1042,7 @@ object Similarity extends QueryPack {
     import spark.implicits._
     val c = pqCorpus(spark, dir)
     val n = c.count()
-    val cents = lloydCentroids(spark, c, LloydIters, ivfStride(n))
+    val cents = lloydCentroidsFor(spark, dir, c, LloydIters, ivfStride(n), "pq")
     val clustered = (nProbes0 <= 0 || shortlist0 <= 0) &&
       isClusteredAt(spark, dir)
     val nProbes = if (nProbes0 > 0) nProbes0
@@ -1184,7 +1211,7 @@ object Similarity extends QueryPack {
   private[graft] def semanticDedupIters(spark: SparkSession, dir: String,
       iters: Int): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = semCentroids(spark, c, iters)
+    val cents = semCentroidsFor(spark, dir, c, iters)
     val asn = c
       .withColumn("a", assignedCentBest(cents, "embedding", "nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -1259,8 +1286,8 @@ object Similarity extends QueryPack {
     * additionally replays the whole decision brute-force on the
     * fixture AND the clustered corpus. */
   def semanticDedupCoarse(spark: SparkSession, dir: String): DataFrame =
-    semPrune(coarseAssign(corpus(spark, dir), semCentroids(spark,
-      corpus(spark, dir), 0)))
+    semPrune(coarseAssign(corpus(spark, dir),
+      semCentroidsFor(spark, dir, corpus(spark, dir), 0)))
 
   /** The two-level (super → centroid) assignment itself, shared by the
     * coarse dedup key and its hot-cluster telemetry so the cap's triage
