@@ -13,10 +13,15 @@
 set -eu
 cd "$(dirname "$0")/.."
 MSG=${1:-"round artifacts snapshot"}
-# add only the known artifact families, never stray work files
-git add -A -- 'BENCH_r*.json' 'BENCH_CLEAN_r*.json' 'BENCH_X10_r*.json' \
+# add only the known artifact families, never stray work files.
+# One git-add PER family: a single multi-pathspec add aborts WHOLE if
+# any one pathspec matches nothing (e.g. no COPYCHECK.json this round),
+# and the || true then hid that nothing at all was staged.
+for spec in 'BENCH_r*.json' 'BENCH_CLEAN_r*.json' 'BENCH_X10_r*.json' \
   'BENCH_FULL.json' 'CORRECTNESS_r*.json' 'LEAKCHECK.json' 'COPYCHECK.json' \
-  'SCALE.md' 'NOTES.md' 'NOTES-NEXT-ROUND.md' 2>/dev/null || true
+  'SCALE.md' 'NOTES.md' 'NOTES-NEXT-ROUND.md'; do
+  git add -A -- "$spec" 2>/dev/null || true
+done
 if git diff --cached --quiet; then
   echo "[round_snapshot] nothing to snapshot; working tree clean for artifacts" >&2
 else
