@@ -371,6 +371,35 @@ object Similarity extends QueryPack {
       eCol: String, nCol: String): Column =
     assignedCentBest(cents, eCol, nCol).getField("cid")
 
+  /** The FROZEN serving-index statistics a vector-ingest path assigns
+    * against ([[graft.streaming.VectorStream]]): the standing corpus's
+    * derived-stride IVF centroids + PQ codebooks, trained ONCE (the
+    * production contract — arriving vectors are encoded under the
+    * index that is serving; retraining is an offline rebuild, never a
+    * per-batch side effect). Rides the per-corpus centroid cache. */
+  private[graft] def servingIndex(spark: SparkSession, dir: String)
+      : (Seq[(Int, Array[Float])], Seq[Seq[(Int, Array[Double])]]) = {
+    val c = pqCorpus(spark, dir)
+    val n = c.count()
+    (lloydCentroidsFor(spark, dir, c, LloydIters, ivfStride(n), "pq"),
+      pqCodebooks(spark, c, PqIters))
+  }
+
+  /** Index-entry encoding of arbitrary (vec_id, embedding) rows under
+    * frozen stats: (vec_id, cent_id, codes) — the posting a serving
+    * IVF-PQ index appends per vector. Pure map-side codegen against
+    * broadcast-sized statistics (the [[topKIvfPq]] encode stage as a
+    * reusable seam); zero-norm vectors degrade to cent_id −1 / all −1
+    * codes, the documented undefined-direction contract. */
+  private[graft] def encodeForIndex(df: DataFrame,
+      cents: Seq[(Int, Array[Float])],
+      books: Seq[Seq[(Int, Array[Double])]]): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+        VectorOps.norm("embedding").as("nrm"))
+      .select(col("vec_id"),
+        assignedCentId(cents, "embedding", "nrm").as("cent_id"),
+        graft.functions.PqEncode.codes(col("embedding"), books).as("codes"))
+
   /** Lloyd-refined IVF centroids: deterministic every-`stride`-th-vector
     * seeds (stride from [[ivfStride]] — k = ⌈n/stride⌉ ≈ √n derives
     * from the corpus, the SemDeDup treatment applied to IVF's cell

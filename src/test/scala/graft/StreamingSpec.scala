@@ -1121,4 +1121,48 @@ class StreamingSpec extends AnyFunSuite {
     ingest2.close()
     docs.unpersist()
   }
+
+  test("streaming vector ingest: postings equal the batch encode under frozen stats") {
+    import graft.streaming.VectorStream
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft-vecingest")
+    val out = java.nio.file.Files.createTempDirectory("graft-vecingest-out").toString
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vechalf").toString
+      vecs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    stage(col("vec_id") % 2 === 0, "a.parquet")
+    val q = VectorStream.ivfIngestStream(spark, TestSpark.Sf, d.toString) {
+      (postings, batchId) =>
+        postings.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+    }
+    try {
+      q.processAllAvailable()
+      stage(col("vec_id") % 2 === 1, "b.parquet")
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val got = spark.read.parquet(out)
+    assert(got.select("batch_id").distinct().count() == 2,
+      "both landings must produce a batch")
+    val streamed = got.select("vec_id", "cent_id", "codes")
+      .as[(Long, Int, Array[Int])].collect().map(r => (r._1, r._2, r._3.toSeq))
+    assert(streamed.length == streamed.map(_._1).distinct.length,
+      "no vector may be encoded twice")
+    // batch twin: the SAME frozen stats encode the whole corpus at once
+    val (cents, books) = graft.operators.Similarity.servingIndex(spark, TestSpark.Sf)
+    val batch = graft.operators.Similarity.encodeForIndex(vecs, cents, books)
+      .as[(Long, Int, Array[Int])].collect().map(r => (r._1, r._2, r._3.toSeq)).toSet
+    assert(streamed.toSet == batch,
+      s"missed=${(batch -- streamed.toSet).take(3)} extra=${(streamed.toSet -- batch).take(3)}")
+    assert(batch.nonEmpty)
+    // postings are genuinely spread over cells (an all-one-cell encode
+    // would mean the frozen centroids never engaged)
+    assert(streamed.map(_._2).distinct.length > 1)
+  }
 }
