@@ -333,21 +333,31 @@ object Similarity extends QueryPack {
         math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
     })
 
-  /** Nearest-centroid id for each row as a PURE MAP-SIDE argmax fold over
-    * the literal centroid array — no join, no window, no shuffle. Ties
-    * break to the lowest cent_id (strict `>` keeps the earlier entry),
-    * matching the (cosine desc, cent_id) window order used for probes.
+  /** Nearest-centroid (best cosine, cent_id) for each row as a PURE
+    * MAP-SIDE pass — no join, no window, no shuffle — via the codegen
+    * [[graft.functions.CellArgmax]] expression (centroids ride as
+    * reference objects, O(1) generated code in k·dim). Ties break to
+    * the lowest cent_id (strict `>` keeps the earlier entry), matching
+    * the (cosine desc, cent_id) window order used for probes.
     *
     * Zero-norm or NaN embeddings are deliberately EXCLUDED: their cosine
-    * is NaN, NaN > x is false for every x, so cent_id stays -1 and the
+    * is NULL/NaN, never `>` the accumulator, so cent_id stays -1 and the
     * vector joins no probe list — an undefined-direction vector has no
     * meaningful cosine neighbors. (The fixture corpus contains none; a
     * production ingest should drop or impute them upstream, mirroring
-    * the nullif guard in quantizeInt8.) */
-  /** The argmax fold itself, over ANY array<struct<_1 id, _2 vec,
-    * _3 norm>> column — shared by the flat assignment (literal centroid
-    * table) and the coarse two-level assignment (a runtime-selected
-    * per-super slice of a nested literal). */
+    * the nullif guard in quantizeInt8.)
+    *
+    * History: through r16 this was an interpreted `aggregate(...)` fold
+    * over a `typedlit` centroid array — k lambda dispatches per row,
+    * measured (SCALE.md, the capped 2M-vector decade) as the dominant
+    * cost of every IVF-family key at scale. The fold is retained below
+    * as [[argmaxFoldRef]], solely as CellArgmaxSpec's bit-equality
+    * oracle. */
+  /** The INTERPRETED reference fold, over ANY array<struct<_1 id,
+    * _2 vec, _3 norm>> column — retained as the spec oracle for the
+    * codegen expression (identical IEEE order by construction:
+    * graft_dot ascending accumulation, divide by rowNorm·centNorm,
+    * try_divide's NULL-on-zero-denominator semantics). */
   private def argmaxFold(arr: Column, eCol: String, nCol: String): Column =
     aggregate(arr,
       struct(lit(Double.MinValue).as("best"), lit(-1).as("cid")),
@@ -363,9 +373,25 @@ object Similarity extends QueryPack {
           struct(cos.as("best"), c.getField("_1").as("cid"))).otherwise(acc)
       })
 
-  private def assignedCentBest(cents: Seq[(Int, Array[Float])],
+  /** Spec-only: the r16 interpreted flat assignment, bit-equality
+    * oracle for [[graft.functions.CellArgmax]] (CellArgmaxSpec). */
+  private[graft] def argmaxFoldRef(cents: Seq[(Int, Array[Float])],
       eCol: String, nCol: String): Column =
     argmaxFold(centArray(cents), eCol, nCol)
+
+  /** Spec-only: the r16 interpreted NESTED assignment (fold over a
+    * runtime-selected slice of a nested literal), bit-equality oracle
+    * for [[graft.functions.CellArgmaxNested]]. */
+  private[graft] def argmaxFoldNestedRef(slices: Seq[Seq[(Int, Array[Float])]],
+      sid: Column, eCol: String, nCol: String): Column = {
+    val nested = typedlit(slices.map(_.map { case (cid, vec) =>
+      (cid, vec.toSeq, math.sqrt(fdot(vec, vec))) }))
+    argmaxFold(element_at(nested, sid + 1), eCol, nCol)
+  }
+
+  private def assignedCentBest(cents: Seq[(Int, Array[Float])],
+      eCol: String, nCol: String): Column =
+    graft.functions.CellArgmax.best(col(eCol), col(nCol), cents)
 
   private def assignedCentId(cents: Seq[(Int, Array[Float])],
       eCol: String, nCol: String): Column =
@@ -1354,16 +1380,16 @@ object Similarity extends QueryPack {
       supers.map { case (sid, _) =>
         assigned.filter(_._1 == sid).map(t => (t._2, t._3)) }
     }
-    val nested = typedlit(bySup.map(_.map { case (cid, vec) =>
-      (cid, vec.toSeq, math.sqrt(fdot(vec, vec))) }))
     // zero-norm/NaN guard: such a row's super argmax stays -1 (NaN > x
-    // is never true), and element_at(nested, 0) is a runtime error in
-    // Spark regardless of ANSI mode — degrade exactly as the flat fold
-    // does (cluster_id -1, ccos Double.MinValue) instead of crashing
+    // is never true), and an out-of-range slice index is a runtime
+    // error in the nested expression (as element_at was in the fold
+    // form) — degrade exactly as the flat assignment does (cluster_id
+    // -1, ccos Double.MinValue) instead of crashing
     c.withColumn("sid",
         assignedCentBest(supers, "embedding", "nrm").getField("cid"))
       .withColumn("a", when(col("sid") >= 0,
-          argmaxFold(element_at(nested, col("sid") + 1), "embedding", "nrm"))
+          graft.functions.CellArgmax.bestNested(
+            col("embedding"), col("nrm"), col("sid"), bySup))
         .otherwise(struct(lit(Double.MinValue).as("best"), lit(-1).as("cid"))))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("a.cid").cast("long").as("cluster_id"), col("a.best").as("ccos"))
