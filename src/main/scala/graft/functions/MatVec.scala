@@ -25,14 +25,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Inputs shorter than the matrix width read as zero-padded (the
   * [[PqEncode]] convention); rows of the output are emitted in matrix
   * row order. Deterministic: plain IEEE multiply-add in fixed (row,
-  * col) order, same on every executor. */
-case class MatVecMul(child: Expression, mat: Array[Array[Double]])
+  * col) order, same on every executor.
+  *
+  * The matrix is carried in the expression tree as immutable `Vector`s
+  * (the factory copies the caller's arrays), so `equals`/`hashCode`
+  * are structural — semantically identical instances compare equal and
+  * Catalyst canonicalization/CSE can merge the MatVec column embedded
+  * per-entry in the 128-slot OPQ query-table transform; the previous
+  * `Array[Array[Double]]` field compared by REFERENCE, silently
+  * defeating both (r16 ADVICE). The mutable `double[][]` handed to
+  * codegen is a private transient derivative, never aliased to caller
+  * state. */
+case class MatVecMul(child: Expression, mat: Vector[Vector[Double]])
     extends UnaryExpression {
 
   require(mat.nonEmpty && mat.forall(_.length == mat(0).length),
     "mat must be a non-empty rectangular matrix")
   private val nRows = mat.length
   private val nCols = mat(0).length
+  @transient private lazy val matArr: Array[Array[Double]] =
+    mat.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -49,7 +61,7 @@ case class MatVecMul(child: Expression, mat: Array[Array[Double]])
     val out = new Array[Double](nRows)
     var i = 0
     while (i < nRows) {
-      val row = mat(i)
+      val row = matArr(i)
       var s = 0.0
       var j = 0
       while (j < nCols) {
@@ -64,7 +76,7 @@ case class MatVecMul(child: Expression, mat: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val m = ctx.addReferenceObj("mat", mat, "double[][]")
+      val m = ctx.addReferenceObj("mat", matArr, "double[][]")
       val ne = ctx.freshName("ne")
       val out = ctx.freshName("out")
       val row = ctx.freshName("row")
@@ -94,5 +106,6 @@ case class MatVecMul(child: Expression, mat: Array[Array[Double]])
 object MatVec {
   /** Column form: `mat · vec` over an array<double> column. */
   def mul(vec: Column, mat: Array[Array[Double]]): Column =
-    GraftBridge.column(MatVecMul(GraftBridge.expression(vec), mat))
+    GraftBridge.column(MatVecMul(GraftBridge.expression(vec),
+      mat.iterator.map(_.toVector).toVector))
 }

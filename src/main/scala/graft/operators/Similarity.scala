@@ -263,23 +263,65 @@ object Similarity extends QueryPack {
       .agg(avg(col("b"))).as[Double].head()
   }
 
-  /** Per-session cache of [[regimeSignal]] keyed by fixture dir: the
-    * regime is a property of the CORPUS, not of any one query — an
-    * index serves many queries, so every ANN key paying the signal's
-    * two jobs per invocation was measured waste (~0.3 s/key in-sweep).
-    * Same contract as the graph/canonical caches: immutable fixture
-    * dirs; a caller that rewrites files must [[clearRegimeCache]]. */
-  private val regimeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
+  // ---- Per-corpus trained-statistic cache -------------------------------
+  // Centroids, regime signals, PQ/residual codebooks, and the OPQ
+  // rotation are all STATISTICS OF THE CORPUS, not of any one query —
+  // an index serves many queries, and re-training per key was measured
+  // waste (canonical-cache precedent; sim_topk_opq retrained R + books
+  // per invocation at 5.5 s/key in the r16 sweep). One cache holds them
+  // all, keyed by:
+  //  - the session UUID STRING (not the SparkSession object — a strong
+  //    session reference would pin every stopped session's state for
+  //    the process lifetime);
+  //  - a corpus FINGERPRINT (file listing + sizes + mtimes of the
+  //    embeddings parquet), so a same-path fixture REWRITE invalidates
+  //    naturally instead of serving stale statistics — previously the
+  //    contract was only enforced by test convention (clear + fresh
+  //    temp dirs);
+  //  - a tag naming the statistic and its parameters.
+  // Bounded: at [[StatCacheMax]] entries the whole cache clears (the
+  // values are re-derivable; correctness never depends on a hit).
+  private val statCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Any]
+  private val StatCacheMax = 512
 
-  def clearRegimeCache(): Unit = regimeCache.clear()
+  /** Cheap invalidation signal: the embeddings parquet's file listing
+    * with sizes and mtimes. Unlistable paths (remote schemes) fall back
+    * to the dir string — per-path caching without rewrite detection,
+    * the pre-r17 contract (callers must clear explicitly). */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isFile).sortBy(_.getName)
+      else if (root.isFile) Array(root)
+      else Array.empty[java.io.File]
+    if (files.isEmpty) s"unlistable:$dir"
+    else files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$dir|", ",", "")
+  }
 
-  /** [[regimeSignal]] off a fixture dir, cached per (session, dir). */
+  private def statCached[T](spark: SparkSession, dir: String, tag: String)(
+      train: => T): T = {
+    if (statCache.size > StatCacheMax) statCache.clear()
+    statCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark),
+        corpusFingerprint(dir), tag), train).asInstanceOf[T]
+  }
+
+  /** Test seam: drop every cached per-corpus statistic (regime signal,
+    * centroids, codebooks, rotation) so a rerun genuinely retrains. */
+  def clearStatCache(): Unit = statCache.clear()
+  def clearRegimeCache(): Unit = clearStatCache()
+  def clearCentroidCache(): Unit = clearStatCache()
+
+  /** [[regimeSignal]] off a fixture dir, cached per corpus. */
   private[graft] def regimeSignalAt(spark: SparkSession, dir: String): Double =
-    regimeCache.getOrElseUpdate((spark, dir), {
+    statCached(spark, dir, "regime") {
       val c = corpus(spark, dir)
       regimeSignal(spark, c, c.count())
-    })
+    }
 
   private[graft] def isClusteredAt(spark: SparkSession, dir: String): Boolean =
     regimeSignalAt(spark, dir) >= ClusteredSignal
@@ -408,7 +450,7 @@ object Similarity extends QueryPack {
     val c = pqCorpus(spark, dir)
     val n = c.count()
     (lloydCentroidsFor(spark, dir, c, LloydIters, ivfStride(n), "pq"),
-      pqCodebooks(spark, c, PqIters))
+      pqCodebooksFor(spark, dir, c))
   }
 
   /** Index-entry encoding of arbitrary (vec_id, embedding) rows under
@@ -443,32 +485,26 @@ object Similarity extends QueryPack {
     lloydRefine(spark, c, c.filter(col("vec_id") % stride === 0),
       iters, stride)
 
-  /** Per-session centroid cache keyed by (session, dir, iters, stride,
-    * corpus tier) — the regime-signal/canonical-cache precedent applied
-    * to Lloyd training: centroids are a per-corpus STATISTIC, and the
-    * PQ family (ivfpq / ivfpq_res / opq) plus the IVF keys re-derive
-    * the identical seed set and refinement (deterministic stride seeds,
+  /** Cached Lloyd centroids per corpus — see [[statCache]]: the PQ
+    * family (ivfpq / ivfpq_res / opq) plus the IVF keys re-derive the
+    * identical seed set and refinement (deterministic stride seeds,
     * fixed-point sums) per key. The tier string separates the raw
     * corpus from the nrm>0-filtered [[pqCorpus]] and the SemDeDup
     * exemplar stride, whose training frames can differ on corpora with
-    * zero-norm vectors. Callers that rewrite fixture files must
-    * [[clearCentroidCache]]. */
-  private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Long, String), Seq[(Int, Array[Float])]]
-
-  def clearCentroidCache(): Unit = centroidCache.clear()
-
+    * zero-norm vectors. */
   private def lloydCentroidsFor(spark: SparkSession, dir: String,
       c: DataFrame, iters: Int, stride: Long,
       tier: String): Seq[(Int, Array[Float])] =
-    centroidCache.getOrElseUpdate((spark, dir, iters, stride, tier),
-      lloydCentroids(spark, c, iters, stride))
+    statCached(spark, dir, s"cents:$tier:$iters:$stride") {
+      lloydCentroids(spark, c, iters, stride)
+    }
 
   /** Cached [[semCentroids]] for the dir-based SemDeDup keys. */
   private def semCentroidsFor(spark: SparkSession, dir: String,
       c: DataFrame, iters: Int): Seq[(Int, Array[Float])] =
-    centroidCache.getOrElseUpdate((spark, dir, iters, SeedStride, "sem"),
-      semCentroids(spark, c, iters))
+    statCached(spark, dir, s"cents:sem:$iters:$SeedStride") {
+      semCentroids(spark, c, iters)
+    }
 
   /** Exemplar seeds at the SemDeDup stride — every [[SeedStride]]-th
     * vector, so the centroid count derives from the corpus:
@@ -680,6 +716,14 @@ object Similarity extends QueryPack {
     books
   }
 
+  /** Cached [[pqCodebooks]] per corpus ([[statCache]]): the direction
+    * codebooks are a corpus statistic shared by the pq / ivfpq /
+    * serving-index paths, each of which re-derived the identical
+    * deterministic training per key. */
+  private def pqCodebooksFor(spark: SparkSession, dir: String,
+      c: DataFrame): Seq[Seq[(Int, Array[Double])]] =
+    statCached(spark, dir, s"pqbooks:$PqIters") { pqCodebooks(spark, c, PqIters) }
+
   /** Per-query 128-entry ADC table (subspace × centroid inner products
     * against the query's unit vector `ne`), flattened to one
     * `array<double>` so scoring is pure array lookups. */
@@ -715,7 +759,7 @@ object Similarity extends QueryPack {
     val c = pqCorpus(spark, dir)
     val n = c.count()
     val shortlist = pqShortlistRegime(n, isClusteredAt(spark, dir))
-    val books = pqCodebooks(spark, c, PqIters)
+    val books = pqCodebooksFor(spark, dir, c)
     val lit3 = pqBooksLit(books)
     val codes = c.select(col("vec_id"),
       graft.functions.PqEncode.codes(col("embedding"), books).as("codes"))
@@ -792,7 +836,7 @@ object Similarity extends QueryPack {
       else ivfProbesRegime(cents.size, clustered)
     val shortlist = if (shortlist0 > 0) shortlist0
       else pqShortlistRegime(n, clustered)
-    val books = pqCodebooks(spark, c, PqIters)
+    val books = pqCodebooksFor(spark, dir, c)
     val lit3 = pqBooksLit(books)
     val codes = c.select(col("vec_id"),
       assignedCentId(cents, "embedding", "nrm").as("cent_id"),
@@ -918,8 +962,12 @@ object Similarity extends QueryPack {
       .withColumn("cent_id", assignedCentId(cents, "embedding", "nrm"))
       .join(broadcast(cuDf), Seq("cent_id"))
       .withColumn("r", zip_with(col("ne"), col("cu"), (a, b) => a - b))
-    val books = pqResidualCodebooks(spark,
-      assigned.select(col("vec_id"), col("r")), PqIters)
+    // residual codebooks are a corpus statistic (deterministic stride
+    // seeds over a deterministic residual frame) — cached per corpus
+    // like the centroids they are trained against
+    val books = statCached(spark, dir, s"resbooks:$PqIters") {
+      pqResidualCodebooks(spark, assigned.select(col("vec_id"), col("r")), PqIters)
+    }
     val lit3 = pqBooksLit(books)
     val codes = assigned.select(col("vec_id"), col("cent_id"),
       graft.functions.PqEncode.codesRaw(col("r"), books).as("codes"))
@@ -1125,21 +1173,29 @@ object Similarity extends QueryPack {
     // the FAISS convention) — rotation and codebooks are statistics,
     // not per-row artifacts; only the single encode pass below touches
     // the full corpus.
-    val resid = assigned.select(col("vec_id"), col("r")).localCheckpoint()
-    // The rotation is a 64×64 STATISTIC, not a per-row artifact: learn
-    // it from a bounded deterministic sample (every covStride-th
-    // vec_id, targeting ~8k vectors — far beyond what a 4096-entry
-    // second-moment estimate needs). The covariance pass replicates
-    // each 64-d array 64× through its aggregate (posexplode carrying
-    // the full array per element), so running it corpus-wide is ~2 GB
-    // of aggregate input at sf0.1 and corpus-linear at 100 TB for no
-    // statistical gain — measured 15.4 → ~6 s warm at sf0.1.
-    val covStride = math.max(1L, n / OpqCovSampleTarget)
-    val rot = opqRotationOf(resid.filter(col("vec_id") % covStride === 0))
-    val books = pqResidualCodebooks(spark,
-      resid.select(col("vec_id"),
-        graft.functions.MatVec.mul(col("r"), rot).as("r")), PqIters)
-    org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(resid)
+    // R and the rotated-residual codebooks are corpus statistics like
+    // the centroids — cached per corpus ([[statCache]]); retraining
+    // them per invocation was the whole key's cost (measured 5.5 s/key
+    // in the r16 sweep, the slowest non-graph key)
+    val (rot, books) = statCached(spark, dir,
+        s"opq:$PqIters:$OpqCovSampleTarget") {
+      val resid = assigned.select(col("vec_id"), col("r")).localCheckpoint()
+      // The rotation is a 64×64 STATISTIC, not a per-row artifact: learn
+      // it from a bounded deterministic sample (every covStride-th
+      // vec_id, targeting ~8k vectors — far beyond what a 4096-entry
+      // second-moment estimate needs). The covariance pass replicates
+      // each 64-d array 64× through its aggregate (posexplode carrying
+      // the full array per element), so running it corpus-wide is ~2 GB
+      // of aggregate input at sf0.1 and corpus-linear at 100 TB for no
+      // statistical gain — measured 15.4 → ~6 s warm at sf0.1.
+      val covStride = math.max(1L, n / OpqCovSampleTarget)
+      val r = opqRotationOf(resid.filter(col("vec_id") % covStride === 0))
+      val b = pqResidualCodebooks(spark,
+        resid.select(col("vec_id"),
+          graft.functions.MatVec.mul(col("r"), r).as("r")), PqIters)
+      org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(resid)
+      (r, b)
+    }
     val lit3 = pqBooksLit(books)
     val codes = assigned.select(col("vec_id"), col("cent_id"),
       graft.functions.PqEncode.codesRaw(
