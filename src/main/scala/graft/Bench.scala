@@ -77,17 +77,21 @@ object Bench {
       val ts = times.result().sorted
       (if (ts.isEmpty) -1.0 else ts(ts.size / 2), err)
     }
-    val results = queries.map { case (name, fn) =>
-      val (m, err) = med(() => fn(spark, sfDir).count())
-      (name, m, err)
-    }
-    val (floor, _) = med(() => spark.range(1).count())
     // In-window BOX CONTROLS (r15 verdict item 7): three fixed
     // synthetic jobs — codegen scan, shuffle aggregate, partitioned
     // window — whose code never changes round to round, so cross-round
     // BENCH_r{N} totals self-arbitrate box drift the way the clean
     // bench's pinned-worktree controls do, without needing a worktree.
-    // Timed AFTER the query sweep, in the same warmed session.
+    // INTERLEAVED through the sweep (r16 verdict item 2): a single
+    // post-sweep control placement provably missed TRANSIENT
+    // interference — BENCH_FULL_r16 carried keys inflated 10× beside
+    // nominal controls because the window subsided before the controls
+    // ran. The triplet now runs once per [[CtlSegment]] keys (timed
+    // once each — medians come from the cross-segment samples), so
+    // every ~25-key segment of the sweep has its own drift reading;
+    // `controls` stays the per-control MEDIAN (schema-compatible with
+    // the r16 series) and BENCH_FULL.json carries the full per-segment
+    // matrix as `controls_segments`.
     import org.apache.spark.sql.functions.{col, pmod, row_number, sum => fsum, xxhash64}
     // sizes calibrated to ~0.5-0.8 s each at local[32] (measured via a
     // pyspark twin: 1e9-row scan 2.3 s, 20M shuffle 1.3 s, 10M window
@@ -115,8 +119,28 @@ object Bench {
         spark.range(2L * 1000 * 1000)
           .select(row_number().over(w).as("r"))
           .agg(fsum(col("r"))).collect(); () }))
+    val CtlSegment = 25
+    val ctlSamples = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    def runControlsOnce(): Unit =
+      ctlSamples += controls.map { case (_, run) =>
+        val t0 = System.nanoTime()
+        try run() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+    // warm the triplet once (codegen compile) so segment samples are
+    // steady-state readings, not first-run compilation
     controls.foreach { case (_, run) => try run() catch { case _: Throwable => () } }
-    val ctl = controls.map { case (name, run) => (name, med(run)._1) }
+    val results = queries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % CtlSegment == 0) runControlsOnce()
+      val (m, err) = med(() => fn(spark, sfDir).count())
+      (name, m, err)
+    }
+    runControlsOnce() // tail segment
+    val (floor, _) = med(() => spark.range(1).count())
+    val ctl = controls.map(_._1).zipWithIndex.map { case (name, ci) =>
+      val ts = ctlSamples.map(_(ci)).sorted
+      (name, ts(ts.size / 2))
+    }
     // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
     // locale would make every number line invalid JSON
     def sec(v: Double): String =
@@ -128,14 +152,20 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val ctlJson = ctl.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
-    def line(rs: Seq[(String, Double, Option[String])], omitted: Int): String =
+    // full-file only: the per-segment control matrix (segments × the 3
+    // controls, in sweep order) — the stdout line stays on budget
+    val ctlSegJson = ctlSamples
+      .map(s => s.map(sec).mkString("[", ",", "]")).mkString("[", ",", "]")
+    def line(rs: Seq[(String, Double, Option[String])], omitted: Int,
+        full: Boolean = false): String =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,""" +
         s""""warmed":$warmup,"floor":${sec(floor)},"controls":$ctlJson,""" +
+        (if (full) s""""controls_segments":$ctlSegJson,""" else "") +
         s""""n_queries":${results.size},""" +
         s""""queries_omitted":$omitted,"queries":${qmap(rs)},""" +
         s""""errors":$errs,"sf":${jstr(sfDir)}}"""
     Files.write(Paths.get("BENCH_FULL.json"),
-      line(results, 0).getBytes(StandardCharsets.UTF_8))
+      line(results, 0, full = true).getBytes(StandardCharsets.UTF_8))
     // shrink the stdout line to the tail-capture budget: drop the fastest
     // queries first (the slow ones are the ones worth reading inline)
     val bySlow = results.sortBy { case (_, v, _) => -v }

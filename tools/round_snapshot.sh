@@ -15,12 +15,17 @@ cd "$(dirname "$0")/.."
 MSG=${1:-"round artifacts snapshot"}
 # add only the known artifact families, never stray work files.
 # One git-add PER family: a single multi-pathspec add aborts WHOLE if
-# any one pathspec matches nothing (e.g. no COPYCHECK.json this round),
-# and the || true then hid that nothing at all was staged.
+# any one pathspec matches nothing (e.g. no COPYCHECK.json this round).
+# Tolerate ONLY the no-match case (compgen glob probe); a real git
+# failure (index.lock contention, disk full) propagates under set -e —
+# the prior `2>/dev/null || true` swallowed those too and the script
+# then reported 'nothing to snapshot' instead of failing (r16 ADVICE).
 for spec in 'BENCH_r*.json' 'BENCH_CLEAN_r*.json' 'BENCH_X10_r*.json' \
   'BENCH_FULL.json' 'CORRECTNESS_r*.json' 'LEAKCHECK.json' 'COPYCHECK.json' \
   'SCALE.md' 'NOTES.md' 'NOTES-NEXT-ROUND.md'; do
-  git add -A -- "$spec" 2>/dev/null || true
+  if compgen -G "$spec" >/dev/null; then
+    git add -A -- "$spec"
+  fi
 done
 if git diff --cached --quiet; then
   echo "[round_snapshot] nothing to snapshot; working tree clean for artifacts" >&2
