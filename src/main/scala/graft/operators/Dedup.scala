@@ -114,39 +114,56 @@ object Dedup extends QueryPack {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(hashedShingles(spark, dir))
 
-  private[graft] def ngramJaccardOf(sh0: DataFrame): DataFrame = {
-    val sh = sh0
-    // Global shingle order = HASH order. The prefix filter is lossless
-    // under ANY fixed total order on shingles; df-ascending order merely
-    // maximizes pruning. Hash order makes prefix extraction a pure
-    // MAP-SIDE computation — a doc's prefix is the smallest
-    // `n - ceil(t·n) + 1` values of its sorted shingle-hash array
-    // (array_sort + slice) — deleting the df aggregation shuffle, the
-    // df equi-join over the full exploded corpus, and the per-doc window
-    // sort that together dominated the round-3 plan. Measured at sf0.1:
-    // 3.5 s → ~1 s with the same verified pair set; candidate count
-    // rises (hot shingles can enter prefixes) but verification on the
-    // hashed arrays absorbs it.
-    val prefixes = sh
-      .withColumn("n", size(col("sh")))
-      .select(col("doc_id"), col("n"),
-        posexplode(expr(
-          s"slice(array_sort(sh), 1, n - (n * $TNum + ${TDen - 1}) div $TDen + 1)")))
-      // 1-based rank in the global (hash) order restricted to the doc,
-      // as the positional filter's bound expects
-      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val a = prefixes.select(col("doc_id").as("doc_a"), col("n").as("na"),
+  /** PPJoin prefix rows (doc_id, n, pos, h) of a hashed-shingle frame —
+    * the inverted-index currency of [[ngramJaccardOf]], factored out so
+    * an INCREMENTAL consumer ([[graft.streaming.CorpusStream]]) can
+    * maintain the standing side as a persisted index and prefix only
+    * each arriving batch.
+    *
+    * Global shingle order = HASH order. The prefix filter is lossless
+    * under ANY fixed total order on shingles; df-ascending order merely
+    * maximizes pruning. Hash order makes prefix extraction a pure
+    * MAP-SIDE computation — a doc's prefix is the smallest
+    * `n - ceil(t·n) + 1` values of its sorted shingle-hash array
+    * (array_sort + slice) — deleting the df aggregation shuffle, the
+    * df equi-join over the full exploded corpus, and the per-doc window
+    * sort that together dominated the round-3 plan. Measured at sf0.1:
+    * 3.5 s → ~1 s with the same verified pair set; candidate count
+    * rises (hot shingles can enter prefixes) but verification on the
+    * hashed arrays absorbs it. CRUCIALLY for the incremental consumer,
+    * hash order also makes a doc's prefix independent of every OTHER
+    * doc (no corpus-wide df), so per-segment prefix tables compose by
+    * plain union. */
+  private[graft] def prefixRowsOf(sh: DataFrame): DataFrame = sh
+    .withColumn("n", size(col("sh")))
+    .select(col("doc_id"), col("n"),
+      posexplode(expr(
+        s"slice(array_sort(sh), 1, n - (n * $TNum + ${TDen - 1}) div $TDen + 1)")))
+    // 1-based rank in the global (hash) order restricted to the doc,
+    // as the positional filter's bound expects
+    .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("h"))
+
+  /** The PPJoin candidate join + length/positional filters between two
+    * prefix-row frames (doc_a side × doc_b side), normalized to
+    * doc_a < doc_b. Shared verbatim by the all-pairs and touching-pairs
+    * forms — the filters ARE the pair semantics. */
+  private def ppjoinCandidates(a0: DataFrame, b0: DataFrame): DataFrame = {
+    val a = a0.select(col("doc_id").as("doc_a"), col("n").as("na"),
       col("h"), col("pos").as("pa"))
-    val b = prefixes.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+    val b = b0.select(col("doc_id").as("doc_b"), col("n").as("nb"),
       col("h"), col("pos").as("pb"))
-    val cand = a.join(b, Seq("h"))
+    a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(expr(s"nb * $TDen >= na * $TNum and na * $TDen >= nb * $TNum"))
       // α = ceil(t·(na+nb)/(1+t)) = (TNum·(na+nb) + TNum+TDen-1) div (TNum+TDen)
       .filter(expr(s"least(na - pa, nb - pb) + 1 >= " +
         s"((na + nb) * $TNum + ${TNum + TDen - 1}) div ${TNum + TDen}"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verification of the (few) candidates, on the hashed arrays
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact verification of candidate pairs over the hashed shingle
+    * arrays — keeps results identical to the naive join. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -155,6 +172,28 @@ object Dedup extends QueryPack {
         (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+  }
+
+  private[graft] def ngramJaccardOf(sh0: DataFrame): DataFrame = {
+    val prefixes = prefixRowsOf(sh0)
+    verifyJaccard(ppjoinCandidates(prefixes, prefixes).distinct(), sh0)
+  }
+
+  /** Verified J ≥ t pairs with AT LEAST ONE endpoint in the `prefNew`
+    * prefix frame — bit-equal to `ngramJaccardOf(shAll)` filtered to
+    * new-touching pairs (prefixes are per-doc under hash order, and the
+    * length/positional/verify predicates are per-pair, so restricting
+    * CANDIDATE GENERATION to new-touching pairs loses nothing), but the
+    * join probes are new-side-bounded: the standing prefix index is
+    * only ever the build/probe partner, never self-joined. Old×old
+    * pairs never form — the incremental-maintenance contract (they were
+    * applied in the batch where their later endpoint arrived). */
+  private[graft] def ngramJaccardTouching(prefNew: DataFrame,
+      prefAll: DataFrame, shAll: DataFrame): DataFrame = {
+    val cand = ppjoinCandidates(prefAll, prefNew)
+      .unionByName(ppjoinCandidates(prefNew, prefAll))
+      .distinct()
+    verifyJaccard(cand, shAll)
   }
 
   // Containment threshold 9/10 as an exact rational (same integer-

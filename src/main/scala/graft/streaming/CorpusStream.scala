@@ -77,13 +77,25 @@ object CorpusStream {
     * spec pins it, including across a simulated crash (state rebuilt
     * from the last persisted snapshot, the lake-table restart path).
     *
-    * Scale posture: the pair stage reuses [[Dedup]]'s PPJoin machinery
-    * over corpus ∪ batch and filters to new-touching pairs — at
-    * production the standing side's shingle prefixes are a precomputed
-    * index probed only by the batch (the posture [[Dedup.incremental]]
-    * documents); the relabel table and projected graph are batch-
-    * bounded broadcasts; the full-map rewrite per batch is one narrow
-    * (long, long) column swap, the lake-table upsert's local twin. */
+    * Scale posture: the standing side's shingle PREFIXES are a
+    * maintained index ([[Dedup.prefixRowsOf]] segments, one per applied
+    * batch — at production a persisted lake table), so per-batch pair
+    * work is [[Dedup.ngramJaccardTouching]]: shingle the BATCH only,
+    * probe the standing index — never re-shingle the corpus (the r16
+    * form re-ran the full corpus∪batch PPJoin per micro-batch,
+    * O(corpus × batches) over a stream's life; the spec now times two
+    * standing-corpus sizes to pin sub-linearity). The relabel table and
+    * projected graph are batch-bounded broadcasts; the full-map rewrite
+    * per batch is one narrow (long, long) column swap, the lake-table
+    * upsert's local twin.
+    *
+    * Replay idempotency (r16 ADVICE): foreachBatch delivers
+    * at-least-once, so a post-failure replay re-offers an
+    * already-applied batch id. `ingestBatch` consults the id and
+    * no-ops (returning the standing map) when it has already applied
+    * it — without the guard the replay re-unioned the same docs,
+    * duplicating doc_id rows and inflating n_members. Direct callers
+    * that pass no id (-1) always apply. */
   final class CanonicalIngest(spark: SparkSession,
       corpus0: DataFrame, comp0: DataFrame) {
     import org.apache.spark.sql.GraftBridge
@@ -96,31 +108,44 @@ object CorpusStream {
       Seq.empty[(Long, Long)].toDF("doc_id", "component")
     })
 
-    @volatile private var corpus: DataFrame = corpus0.localCheckpoint()
+    // Standing state as CHECKPOINTED SEGMENTS (one per applied batch):
+    // appending a batch checkpoints ONLY that batch's docs/shingles/
+    // prefix rows — batch-bounded, where a monolithic frame would
+    // re-materialize the whole corpus per batch. Readers see the union
+    // (production: partition appends to lake tables; a long-lived local
+    // stream would compact periodically). The seed segment is built
+    // once per (re)start — the snapshot-rebuild path re-shingles the
+    // restored corpus a single time, never per batch.
+    @volatile private var corpusSegs: Vector[DataFrame] =
+      Vector(corpus0.localCheckpoint())
+    @volatile private var shSegs: Vector[DataFrame] =
+      Vector(Dedup.hashedShinglesOf(corpusSegs.head).localCheckpoint())
+    @volatile private var prefSegs: Vector[DataFrame] =
+      Vector(Dedup.prefixRowsOf(shSegs.head).localCheckpoint())
     @volatile private var comp: DataFrame = comp0.localCheckpoint()
+    @volatile private var lastApplied: Long = -1L
 
     /** The standing (doc_id, component) map — read for snapshots. */
     def componentMap: DataFrame = comp
 
     /** The standing corpus docs — read for snapshots. */
-    def corpusDocs: DataFrame = corpus
+    def corpusDocs: DataFrame = corpusSegs.reduce(_ unionByName _)
 
     /** Apply one batch of new docs; returns the updated DECORATED map
       * (doc_id, canon_id, n_members, is_canonical — the
-      * [[Dedup.canonicalMap]] output shape) over all docs seen. */
-    def ingestBatch(batch: DataFrame): DataFrame = synchronized {
+      * [[Dedup.canonicalMap]] output shape) over all docs seen.
+      * `batchId` ≥ 0 is consulted for replay idempotency (class doc);
+      * an already-applied id returns the standing map unchanged. */
+    def ingestBatch(batch: DataFrame, batchId: Long = -1L): DataFrame =
+        synchronized {
+      if (batchId >= 0 && batchId <= lastApplied) return decorated
       val newIds = batch.select(col("doc_id"))
-      val all = corpus.unionByName(batch.select(col("doc_id"), col("text")))
-      val pairs = Dedup.ngramJaccardOf(Dedup.hashedShinglesOf(all))
-        .select(col("doc_a"), col("doc_b"))
-      val flagA = newIds.withColumnRenamed("doc_id", "doc_a")
-        .withColumn("na", lit(true))
-      val flagB = newIds.withColumnRenamed("doc_id", "doc_b")
-        .withColumn("nb", lit(true))
-      val touching = pairs
-        .join(broadcast(flagA), Seq("doc_a"), "left")
-        .join(broadcast(flagB), Seq("doc_b"), "left")
-        .filter(col("na") || col("nb"))
+      val shB = Dedup.hashedShinglesOf(batch.select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val prefB = Dedup.prefixRowsOf(shB).localCheckpoint()
+      val prefAll = (prefSegs :+ prefB).reduce(_ unionByName _)
+      val shAll = (shSegs :+ shB).reduce(_ unionByName _)
+      val touching = Dedup.ngramJaccardTouching(prefB, prefAll, shAll)
         .select(col("doc_a"), col("doc_b"))
       val ca = comp.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("component", "comp_a")
@@ -148,27 +173,35 @@ object CorpusStream {
           coalesce(col("newc"), col("component")).as("component"))
         .unionByName(newComp)
         .localCheckpoint()
-      val corpusNext = all.localCheckpoint()
       GraftBridge.releaseLocalCheckpoint(comp)
-      GraftBridge.releaseLocalCheckpoint(corpus)
       comp = compNext
-      corpus = corpusNext
+      corpusSegs :+= batch.select(col("doc_id"), col("text")).localCheckpoint()
+      shSegs :+= shB
+      prefSegs :+= prefB
+      if (batchId >= 0) lastApplied = batchId
       decorated
     }
 
-    /** The [[Dedup.canonicalMap]]-shaped view of the standing map. */
-    def decorated: DataFrame = comp
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
-      .select(col("doc_id"), col("component").as("canon_id"),
-        col("n_members"),
-        (col("doc_id") === col("component")).cast("long").as("is_canonical"))
-      .orderBy(col("doc_id"))
+    /** The [[Dedup.canonicalMap]]-shaped view of the standing map.
+      * n_members attaches via groupBy-join (the [[Dedup.canonicalMap]]
+      * shape) rather than a count-over-window, and the map is NOT
+      * sorted — the r16 form paid a global orderBy per snapshot read
+      * for presentation no consumer needed. */
+    def decorated: DataFrame = {
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component").as("canon_id"),
+          col("n_members"),
+          (col("doc_id") === col("component")).cast("long").as("is_canonical"))
+    }
 
     /** Release held checkpoints (end of stream / test teardown). */
     def close(): Unit = synchronized {
       GraftBridge.releaseLocalCheckpoint(comp)
-      GraftBridge.releaseLocalCheckpoint(corpus)
+      corpusSegs.foreach(GraftBridge.releaseLocalCheckpoint)
+      shSegs.foreach(GraftBridge.releaseLocalCheckpoint)
+      prefSegs.foreach(GraftBridge.releaseLocalCheckpoint)
     }
   }
 
@@ -184,7 +217,7 @@ object CorpusStream {
     landing.writeStream
       .options(options)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(ingest.ingestBatch(batch.toDF()), batchId)
+        sink(ingest.ingestBatch(batch.toDF(), batchId), batchId)
       }
       .start()
   }

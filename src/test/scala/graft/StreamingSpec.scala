@@ -1122,6 +1122,73 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("canonical ingest: replays of an applied batch id are no-ops") {
+    import graft.streaming.CorpusStream
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    def mapOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "canon_id", "n_members", "is_canonical")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val ingest = new CorpusStream.CanonicalIngest(spark)
+    try {
+      ingest.ingestBatch(b0, 0L)
+      val after1 = mapOf(ingest.ingestBatch(b1, 1L))
+      // at-least-once replay: a post-failure foreachBatch re-offers
+      // already-applied ids — both must leave the standing map untouched
+      assert(mapOf(ingest.ingestBatch(b0, 0L)) == after1,
+        "replaying batch 0 must be a no-op")
+      assert(mapOf(ingest.ingestBatch(b1, 1L)) == after1,
+        "replaying batch 1 must be a no-op")
+      val m = ingest.componentMap
+      assert(m.count() == m.select("doc_id").distinct().count(),
+        "replay must not duplicate doc_id rows")
+      // a genuinely NEW id still applies after the replays
+      val b2 = docs.filter(col("doc_id") % 3 === 2)
+      val after2 = mapOf(ingest.ingestBatch(b2, 2L))
+      assert(after2 != after1 && after2.size > after1.size)
+    } finally ingest.close()
+  }
+
+  test("canonical ingest per-batch cost is standing-corpus sub-linear") {
+    import graft.streaming.CorpusStream
+    // The r16 form re-ran the corpus ∪ batch PPJoin (including the full
+    // corpus re-shingle) per micro-batch — per-batch cost ~linear in
+    // the standing corpus. With the maintained prefix index, per-batch
+    // work is batch-bounded map work plus narrow standing-index probes:
+    // ingesting ONE fixed batch against a ~19× standing corpus must
+    // cost well under the linear ratio. Bound 4× (generous for probe
+    // scans + scheduling noise; the linear form reads ≳ 8× here).
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.01").select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 100 >= 95).cache()
+    assert(batch.count() > 10)
+    def standing(pct: Int) = docs.filter(col("doc_id") % 100 < pct)
+    def compOf(c: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.canonicalMapOf(c)
+        .select(col("doc_id"), col("canon_id").as("component"))
+    def ingestSecs(pct: Int): Double = {
+      val c = standing(pct)
+      val ingest = new CorpusStream.CanonicalIngest(spark, c, compOf(c))
+      try {
+        val t0 = System.nanoTime()
+        ingest.ingestBatch(batch, 0L).count()
+        (System.nanoTime() - t0) / 1e9
+      } finally ingest.close()
+    }
+    // min-of-3 per size, alternating, so a transient stall on either
+    // side cannot manufacture or mask a regression
+    val small = (1 to 3).map(_ => ingestSecs(5)).min
+    val big = (1 to 3).map(_ => ingestSecs(95)).min
+    val ratio = big / small
+    info(f"per-batch ingest: standing 5%% $small%.2f s, 95%% $big%.2f s, ratio $ratio%.2f")
+    assert(ratio < 4.0,
+      f"per-batch ingest cost must be standing-corpus sub-linear " +
+        f"(small=$small%.3f s big=$big%.3f s ratio=$ratio%.2f)")
+    batch.unpersist()
+  }
+
   test("streaming vector ingest: postings equal the batch encode under frozen stats") {
     import graft.streaming.VectorStream
     val vecs = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
