@@ -1122,6 +1122,64 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("vector ingest crash-recovery: restart encodes only the unseen landing") {
+    // The fourth ingest path gets the same kill-and-restart proof as
+    // events/media/text: the query dies between landings and a NEW
+    // query object restarts from the same checkpoint. VectorStream has
+    // no state store (frozen stats ARE the state), so the claim under
+    // test is SOURCE-LOG recovery — already-committed landing files
+    // must not be re-encoded (a replay would double-insert postings
+    // into the serving index) — plus frozen-stats stability across the
+    // restart (the rebuilt index must not re-key the first half).
+    import graft.streaming.VectorStream
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft-vecrec")
+    val cp = java.nio.file.Files.createTempDirectory("graft-vecrec-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-vecrec-out").toString
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vecrechalf").toString
+      vecs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(d.toString, name))
+    }
+    def run(): Unit = {
+      val q = VectorStream.ivfIngestStream(spark, TestSpark.Sf, d.toString,
+        Map("checkpointLocation" -> cp)) { (postings, batchId) =>
+        postings.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    stage(col("vec_id") % 2 === 0, "a.parquet")
+    run() // consumes half a, then the query is gone — only cp survives
+    stage(col("vec_id") % 2 === 1, "b.parquet")
+    run() // NEW query object, same checkpoint
+    val got = spark.read.parquet(out)
+      .select("vec_id", "cent_id", "codes", "batch_id")
+      .as[(Long, Int, Array[Int], Long)].collect()
+      .map(r => (r._1, r._2, r._3.toSeq, r._4))
+    val maxBatch = got.map(_._4).max
+    assert(maxBatch >= 1, "restart must run as a later batch id, not batch 0")
+    assert(got.map(_._1).distinct.length == got.length,
+      "no vector may be encoded twice across the restart")
+    val run2Ids = got.filter(_._4 == maxBatch).map(_._1).toSet
+    val halfBIds = vecs.filter(col("vec_id") % 2 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(run2Ids == halfBIds,
+      "restarted batch must encode exactly the half-b vectors (no replay of half a)")
+    // the concatenated postings equal the batch encode under the same
+    // frozen stats — the restart introduced no re-keying
+    val (cents, books) = graft.operators.Similarity.servingIndex(spark, TestSpark.Sf)
+    val batchTwin = graft.operators.Similarity.encodeForIndex(vecs, cents, books)
+      .as[(Long, Int, Array[Int])].collect()
+      .map(r => (r._1, r._2, r._3.toSeq)).toSet
+    assert(got.map(r => (r._1, r._2, r._3)).toSet == batchTwin,
+      "streamed postings across the crash must equal the batch encode")
+  }
+
   test("canonical ingest: replays of an applied batch id are no-ops") {
     import graft.streaming.CorpusStream
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
