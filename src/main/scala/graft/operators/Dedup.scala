@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   *  - embedding-cosine: semantic near-dup; brute pairing at fixture SF,
   *    LSH-bucketed in [[Similarity]] for the scale path.
   *
-  * MinHash/SimHash queries use Spark's xxhash64 (no DuckDB counterpart),
-  * so they are rows-only checked, with ScalaTest invariants tying their
-  * candidates back to the exact Jaccard query.
+  * MinHash queries use Spark's xxhash64 inside ARRAY folds the oracle
+  * can't replay, so they are rows-only checked, with ScalaTest
+  * invariants tying their candidates back to the exact Jaccard query.
+  * The SimHash keys ARE oracle-paired (r17): [[DuckXx]] re-derives
+  * xxhash64 itself in DuckDB SQL, so signature and pair keys sit in the
+  * driver's hash gate.
   */
 object Dedup extends QueryPack {
 
@@ -425,7 +428,10 @@ object Dedup extends QueryPack {
       .orderBy(col("band"), col("band_sig"))
   }
 
-  /** 64-bit tf-weighted SimHash signature per document. Rows-only. */
+  /** 64-bit tf-weighted SimHash signature per document. ORACLE-PAIRED
+    * (r17): the DuckDB oracle re-derives xxhash64 itself ([[DuckXx]] —
+    * HUGEINT modular arithmetic in a recursive CTE), so the signatures
+    * are two-engine hash-exact, not just invariant-pinned. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir))
 
@@ -450,7 +456,8 @@ object Dedup extends QueryPack {
     * the 64-bit signature splits into 4 bands of 16 bits, and any pair
     * within distance 3 must share at least one whole band (pigeonhole) —
     * so the band-bucket join loses nothing and replaces the O(n²)
-    * cross pairing. Rows-only. */
+    * cross pairing. ORACLE-PAIRED (r17): rides the [[DuckXx]]-based
+    * simhash oracle, banding and Hamming replayed in SQL. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = simhash(spark, dir)
     val banded = simhashBandsOf(s)
@@ -1363,7 +1370,49 @@ object Dedup extends QueryPack {
     """m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
       |      FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** Shared simhash-oracle CTE chain: tokens → tf → the [[DuckXx]]
+    * recursive xxhash64 replica over the DISTINCT vocabulary → 64
+    * signed bit-weight sums → unsigned 64-bit signature `s` per doc.
+    * The oracle re-derives every hash independently (HUGEINT modular
+    * arithmetic), so the whole tf-weighted SimHash — hash, votes,
+    * assembly — is two-engine-verified. */
+  private val dSimhashCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |dt AS (SELECT DISTINCT token FROM tf),
+       |${DuckXx.xxCte},
+       |bits AS (
+       |  SELECT f.doc_id, b.b,
+       |         SUM(f.tf * (((x.h >> b.b::INTEGER) & 1)::BIGINT * 2 - 1)) AS w
+       |  FROM tf f JOIN xx x USING (token)
+       |  CROSS JOIN (SELECT unnest(range(64)) AS b) b
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN w > 0 THEN (1::UBIGINT << b::INTEGER)::HUGEINT
+       |                       ELSE 0::HUGEINT END) AS HUGEINT) AS s
+       |  FROM bits GROUP BY 1)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    "dedup_simhash" ->
+      s"""WITH RECURSIVE $dSimhashCtes
+         |SELECT doc_id, ${DuckXx.signed64("s")} AS simhash FROM sim""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH RECURSIVE $dSimhashCtes,
+         |banded AS (
+         |  SELECT doc_id, s::UBIGINT AS hu, b.band,
+         |         ((s::UBIGINT >> (b.band * 16)::INTEGER) & 65535) AS bsig
+         |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |         a.hu AS ha, b2.hu AS hb
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_substring_spans" ->
       s"""WITH $dPlantedDocs,
          |${dSpanCtes("pd")},

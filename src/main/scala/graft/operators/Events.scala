@@ -649,10 +649,12 @@ object Events extends QueryPack {
     * break-on-condition scan is inherently sequential, so like
     * [[sequenceCountGreedy]] it rides the per-user sorted-array
     * `aggregate` fold — bounded by per-user event count, the same
-    * bound ClickHouse's own buffered list assumes — and is rows-only
-    * (no windowed-SQL oracle form); EventsTextSpec pins a direct
-    * Scala simulation, hand-built break cases, and level-wise
-    * dominance by the default mode. */
+    * bound ClickHouse's own buffered list assumes. ORACLE-PAIRED
+    * (r17): the fold replays verbatim in DuckDB's `list_reduce` over
+    * the identically-ordered list, so the level table is two-engine
+    * hash-exact; EventsTextSpec additionally pins a direct Scala
+    * simulation, hand-built break cases, and level-wise dominance by
+    * the default mode. */
   def funnelDedup(spark: SparkSession, dir: String): DataFrame =
     funnelDedupOf(Tables.events(spark, dir))
 
@@ -1295,11 +1297,15 @@ object Events extends QueryPack {
     * revenue series per event type downsampled to 24 visually-faithful
     * points by the LTTB aggregate ([[graft.functions.LttbAgg]] — whole
     * series buffered per group, like ClickHouse's own implementation;
-    * boundedness argument in its scaladoc). Iterative greedy selection
-    * ⇒ no SQL oracle; LttbSpec pins the aggregate against an
-    * independent collect-and-run sequential reference plus the
-    * structural invariants (endpoints kept, one point per bucket,
-    * output ⊆ input). */
+    * boundedness argument in its scaladoc). ORACLE-PAIRED (r17): the
+    * greedy selection is exact, so a recursive CTE carrying the
+    * previously-selected point replays it in DuckDB — bucket split,
+    * ascending centroid sums, IEEE area order, and strict-> ties all
+    * mirrored (oracle comment has the derivations); LttbSpec
+    * additionally pins the aggregate against an independent
+    * collect-and-run sequential reference plus the structural
+    * invariants (endpoints kept, one point per bucket, output ⊆
+    * input). */
   def lttbDownsample(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
@@ -1590,6 +1596,115 @@ object Events extends QueryPack {
     oraclesBase + ("ev_session_manual" -> oraclesBase("ev_session"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // LTTB is an exact greedy algorithm, so it IS SQL-expressible — as a
+    // recursive CTE whose state is the previously selected point (r17;
+    // the prior "no SQL oracle" claim conflated sequential with
+    // inexpressible). Faithfulness notes: bucket(pos) = ⌈B·pos/K⌉−1 is
+    // the exact integer dual of the engine's lo(b) = 1+⌊K·b/B⌋ split;
+    // centroids reduce ORDERED lists ascending (list_reduce seed = first
+    // element ≡ the engine's 0.0-seeded ascending loop bit-for-bit); the
+    // area expression mirrors the engine's IEEE operation order; ORDER BY
+    // area DESC, pos ASC LIMIT 1 is exactly strict-> keep-earliest; rev
+    // scales through BIGINT micros so the decimal→double conversion is a
+    // single IEEE rounding on both engines.
+    "ev_lttb" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+        |         CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(30,6))
+        |              * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS y
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT event_type, t, y,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t, y) - 1 AS pos,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |small AS (
+        |  SELECT event_type, pos AS idx, t, y FROM pts WHERE n <= 24),
+        |ints AS (
+        |  SELECT event_type, t, y, pos, n,
+        |         ((22 * pos + (n - 2) - 1) // (n - 2)) - 1 AS bucket
+        |  FROM pts WHERE n > 24 AND pos >= 1 AND pos <= n - 2),
+        |cent AS (
+        |  SELECT event_type, bucket,
+        |         list_reduce(list(t::DOUBLE ORDER BY pos), (a, b2) -> a + b2)
+        |           / COUNT(*) AS cx,
+        |         list_reduce(list(y ORDER BY pos), (a, b2) -> a + b2)
+        |           / COUNT(*) AS cy
+        |  FROM ints GROUP BY 1, 2),
+        |lastp AS (SELECT event_type, t, y, n FROM pts WHERE n > 24 AND pos = n - 1),
+        |firstp AS (SELECT event_type, t, y FROM pts WHERE n > 24 AND pos = 0),
+        |sel AS (
+        |  SELECT event_type, -1 AS b, t AS sel_t, y AS sel_y FROM firstp
+        |  UNION ALL
+        |  SELECT s.event_type, s.b + 1 AS b, q.t AS sel_t, q.y AS sel_y
+        |  FROM sel s
+        |  JOIN LATERAL (
+        |    SELECT p.t, p.y
+        |    FROM ints p
+        |    LEFT JOIN cent c ON c.event_type = p.event_type
+        |                    AND c.bucket = p.bucket + 1 AND p.bucket + 1 < 22
+        |    LEFT JOIN lastp l ON l.event_type = p.event_type
+        |    WHERE p.event_type = s.event_type AND p.bucket = s.b + 1
+        |    ORDER BY abs((s.sel_t::DOUBLE - coalesce(c.cx, l.t::DOUBLE))
+        |                   * (p.y - s.sel_y)
+        |               - (s.sel_t::DOUBLE - p.t::DOUBLE)
+        |                   * (coalesce(c.cy, l.y) - s.sel_y)) DESC,
+        |             p.pos ASC
+        |    LIMIT 1) q ON true
+        |  WHERE s.b + 1 < 22),
+        |big AS (
+        |  SELECT event_type, b + 1 AS idx, sel_t AS t, sel_y AS y FROM sel
+        |  UNION ALL
+        |  SELECT event_type, 23 AS idx, t, y FROM lastp)
+        |SELECT event_type, idx::BIGINT AS idx, t AS day, y AS rev
+        |FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+        |ORDER BY event_type, idx""".stripMargin,
+    // The strict_dedup funnel fold replayed verbatim via list_reduce
+    // (r17): the accumulator and the elements share one struct shape
+    // (unused fields NULL) because DuckDB's list_reduce seeds from the
+    // first element — the init accumulator is list_prepend'ed. Same
+    // (us, eid, sym) order, same break/advance/ignore rules, same 7-day
+    // anchor window.
+    "ev_funnel_dedup" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |         list(struct_pack(lv := NULL::INTEGER, a := NULL::BIGINT,
+        |                          t := NULL::BIGINT, done := NULL::BOOLEAN,
+        |                          us := epoch_us(CAST(ts AS TIMESTAMP)),
+        |                          sym := CASE event_type WHEN 'view' THEN 0
+        |                                 WHEN 'click' THEN 1 ELSE 2 END)
+        |              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id,
+        |                       CASE event_type WHEN 'view' THEN 0
+        |                            WHEN 'click' THEN 1 ELSE 2 END) AS l
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id),
+        |folded AS (
+        |  SELECT user_id,
+        |    list_reduce(
+        |      list_prepend(struct_pack(lv := 0::INTEGER, a := 0::BIGINT,
+        |                               t := 0::BIGINT, done := false,
+        |                               us := NULL::BIGINT, sym := NULL::INTEGER), l),
+        |      (a, x) -> CASE
+        |        WHEN a.done OR a.lv = 3 THEN a
+        |        WHEN a.lv = 0 THEN
+        |          CASE WHEN x.sym = 0
+        |               THEN struct_pack(lv := 1::INTEGER, a := x.us, t := x.us,
+        |                                done := false, us := NULL::BIGINT,
+        |                                sym := NULL::INTEGER)
+        |               ELSE a END
+        |        WHEN x.sym = a.lv AND x.us > a.t AND x.us <= a.a + 604800000000
+        |          THEN struct_pack(lv := a.lv + 1, a := a.a, t := x.us,
+        |                           done := false, us := NULL::BIGINT,
+        |                           sym := NULL::INTEGER)
+        |        WHEN x.sym < a.lv
+        |          THEN struct_pack(lv := a.lv, a := a.a, t := a.t, done := true,
+        |                           us := NULL::BIGINT, sym := NULL::INTEGER)
+        |        ELSE a END).lv::BIGINT AS level
+        |  FROM seq),
+        |allu AS (SELECT DISTINCT user_id FROM events)
+        |SELECT coalesce(f.level, 0)::BIGINT AS level, count(*)::BIGINT AS n_users
+        |FROM allu u LEFT JOIN folded f USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_quantile_timing" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -579,6 +579,27 @@ object Multimodal extends QueryPack {
           max(col("mean_pixel")).as("brightest_tile"))))
 
   override val oracles: Map[String, String] = Map(
+    // frameSample's arithmetic (frame length, stride-5 sampling, tail
+    // truncation) replayed in closed-form integer SQL over the same
+    // synthesized media table (r17 — was rows-only): every quantity is
+    // a pure function of (byte length, n_frames), so the flatMap needs
+    // no fold to replay, just the lateral stride range.
+    "mm_frame_stats" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(strlen(text) AS BIGINT) AS len,
+        |         CAST(1 + doc_id % 30 AS BIGINT) AS nf
+        |  FROM documents),
+        |fl AS (SELECT media_id, len, nf,
+        |              GREATEST(len // GREATEST(nf, 1), 1) AS flen
+        |       FROM media),
+        |frames AS (
+        |  SELECT media_id, flen, len, i
+        |  FROM fl, LATERAL (SELECT unnest(range(0, nf, 5)) AS i) r
+        |  WHERE i * flen < len)
+        |SELECT media_id, count(*)::BIGINT AS n_sampled,
+        |       CAST(SUM(LEAST(flen, len - i * flen)) AS BIGINT) AS sampled_bytes
+        |FROM frames GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_scene_segments" ->
       s"""WITH v AS (SELECT doc_id AS media_id, text,
          |                  CAST(strlen(text) AS BIGINT) AS len,
