@@ -1395,7 +1395,91 @@ object Dedup extends QueryPack {
        |                       ELSE 0::HUGEINT END) AS HUGEINT) AS s
        |  FROM bits GROUP BY 1)""".stripMargin
 
+  /** MinHash-LSH replayed end to end in DuckDB (r17): token hashes via
+    * the [[DuckXx]] recursive CTE, shingle hashes as staged 3-long
+    * xxhash64 chains, the 32-seed signature as staged 4-byte blocks
+    * over exploded (row × seed) pairs, 8×4 banding with chained band
+    * hashes, the 1024 hot-bucket cap, and exact Jaccard verification
+    * over distinct shingle-hash sets. Every stage that the engine
+    * computes with codegen expressions the oracle re-derives with
+    * HUGEINT arithmetic — the strongest possible check on the whole
+    * sketch path. Staging rationale in [[DuckXx]] (a single nested
+    * expression was measured at interpreted-minutes). */
+  private val dMinhashOracle: String = {
+    import DuckXx._
+    val sh0 = staged(
+      """SELECT a.doc_id, a.th AS tha, b.th AS thb, c.th AS thc
+        |     FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |               JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2"""
+        .stripMargin,
+      "doc_id, shh AS s", xxChainSteps(Seq("tha", "thb", "thc"), "shh"), "sh0")
+    val shH = staged("SELECT DISTINCT s FROM sh0", "s, hv AS hh",
+      xxLongSteps("s", "42::HUGEINT", "hv_"), "shH")
+    val sigx = staged(
+      """SELECT d.doc_id, q.pfx, u.sd
+        |     FROM (SELECT DISTINCT doc_id, s FROM sh0) d
+        |     JOIN shH_p q USING (s)
+        |     CROSS JOIN (SELECT unnest(range(0, 32)) AS sd) u""".stripMargin,
+      s"doc_id, sd, ${signed64("qq")} AS v",
+      xxIntSteps("sd", "pfx", "qq_"), "sigx")
+    val bands = staged(
+      """SELECT doc_id, (sd // 4)::INTEGER AS band,
+        |            max(CASE WHEN sd % 4 = 0 THEN m END) AS s1,
+        |            max(CASE WHEN sd % 4 = 1 THEN m END) AS s2,
+        |            max(CASE WHEN sd % 4 = 2 THEN m END) AS s3,
+        |            max(CASE WHEN sd % 4 = 3 THEN m END) AS s4
+        |     FROM sig GROUP BY 1, 2""".stripMargin,
+      s"doc_id, band, ${signed64("bh")} AS band_sig",
+      xxChainSteps(Seq(unsigned64("s1"), unsigned64("s2"),
+        unsigned64("s3"), unsigned64("s4")), "bh"), "bands")
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |dt AS (SELECT DISTINCT unnest(tk) AS token FROM t),
+       |$xxCte,
+       |tp AS (SELECT doc_id, i, tk[i] AS token
+       |       FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+       |th AS MATERIALIZED (
+       |  SELECT tp.doc_id, tp.i, xx.h::HUGEINT AS th
+       |  FROM tp JOIN xx USING (token)),
+       |$sh0,
+       |$shH,
+       |shH_p AS MATERIALIZED (
+       |  SELECT s, ${intBlockPrefix("hh")} AS pfx FROM shH),
+       |$sigx,
+       |sig AS (SELECT doc_id, sd, min(v) AS m FROM sigx GROUP BY 1, 2),
+       |$bands,
+       |bk AS MATERIALIZED (
+       |  SELECT band, band_sig, count(*) AS cnt FROM bands GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2 ON a.band = b2.band
+       |                           AND a.band_sig = b2.band_sig
+       |                           AND a.doc_id < b2.doc_id
+       |  JOIN bk ON bk.band = a.band AND bk.band_sig = a.band_sig
+       |  WHERE bk.cnt > 1 AND bk.cnt <= $HotBucketCap),
+       |shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh0),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS com
+       |  FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+       |              JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |       coalesce(cm.com, 0)::DOUBLE
+       |         / (na.n + nb.n - coalesce(cm.com, 0)) AS jaccard
+       |FROM cand c
+       |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+       |JOIN sizes na ON na.doc_id = c.doc_a
+       |JOIN sizes nb ON nb.doc_id = c.doc_b
+       |WHERE coalesce(cm.com, 0)::DOUBLE
+       |        / (na.n + nb.n - coalesce(cm.com, 0)) >= 0.8
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> dMinhashOracle,
     "dedup_simhash" ->
       s"""WITH RECURSIVE $dSimhashCtes
          |SELECT doc_id, ${DuckXx.signed64("s")} AS simhash FROM sim""".stripMargin,

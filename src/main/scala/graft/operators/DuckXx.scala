@@ -105,4 +105,78 @@ private[graft] object DuckXx {
   def signed64(x: String): String =
     s"CASE WHEN ($x) >= 9223372036854775808::HUGEINT " +
       s"THEN (($x) - $M64::HUGEINT)::BIGINT ELSE ($x)::BIGINT END"
+
+  /** Unsigned-HUGEINT view of a signed BIGINT column. */
+  def unsigned64(col: String): String =
+    s"(CASE WHEN $col < 0 THEN ($col)::HUGEINT + $M64::HUGEINT " +
+      s"ELSE ($col)::HUGEINT END)"
+
+  // ---- Closed-form chain hashing (longs/ints, no recursion) ------------
+  // Spark's xxhash64 over multiple/array children seed-CHAINS one fixed
+  // XXH64 block per element: result = 42; for each long child, result =
+  // hashLong(child, result); an int literal takes the 4-byte block.
+  // Both blocks are closed-form (~10 mod-2⁶⁴ steps), so shingle/gram
+  // hashes (xxhash64 over a slice of per-token hashes) and MinHash
+  // seeds (xxhash64(h, seedLit)) replay WITHOUT recursion — but NOT as
+  // one nested expression: textual substitution multiplies the operand
+  // ~32× through the avalanche, and DuckDB then walks a ~100 KB
+  // interpreted tree per row (measured minutes at sf0.01). The steps
+  // are therefore STAGED: each emits one small column expression over
+  // the previous step's COLUMN, composed via [[staged]] into nested
+  // projections DuckDB vectorizes normally (measured seconds).
+
+  /** The XXH64 8-byte block + avalanche as staged (column, expr) steps:
+    * final column `prefix` minus its trailing '_' holds
+    * hashLong(vCol, seedCol). */
+  def xxLongSteps(v: String, seed: String, p: String): Seq[(String, String)] = Seq(
+    s"${p}m1" -> mul64(v, P2),
+    s"${p}r1" -> rot(s"${p}m1", 31),
+    s"${p}m2" -> mul64(s"${p}r1", P1),
+    s"${p}a0" -> m64(s"($seed) + $P5 + 8::HUGEINT"),
+    s"${p}x1" -> xor(s"${p}a0", s"${p}m2"),
+    s"${p}r2" -> rot(s"${p}x1", 27),
+    s"${p}m3" -> m64(mul64(s"${p}r2", P1) + s" + $P4"),
+    s"${p}v1" -> mul64(xor(s"${p}m3", s"(${p}m3 // 8589934592::HUGEINT)"), P2),
+    s"${p}v2" -> mul64(xor(s"${p}v1", s"(${p}v1 // 536870912::HUGEINT)"), P3),
+    p.dropRight(1) -> xor(s"${p}v2", s"(${p}v2 // 4294967296::HUGEINT)"))
+
+  /** The XXH64 4-byte block + avalanche, staged — `hashInt(sdCol,
+    * pfxCol)` where pfxCol already holds (seed + P5 + 4) mod 2⁶⁴
+    * (shared across seeds) and sdCol is the int value. Final column =
+    * `prefix` minus '_'. */
+  def xxIntSteps(sd: String, pfx: String, p: String): Seq[(String, String)] = Seq(
+    s"${p}x1" -> xor(pfx, mul64(s"($sd)::HUGEINT", P1)),
+    s"${p}r1" -> rot(s"${p}x1", 23),
+    s"${p}m1" -> m64(mul64(s"${p}r1", P2) + s" + $P3"),
+    s"${p}v1" -> mul64(xor(s"${p}m1", s"(${p}m1 // 8589934592::HUGEINT)"), P2),
+    s"${p}v2" -> mul64(xor(s"${p}v1", s"(${p}v1 // 536870912::HUGEINT)"), P3),
+    p.dropRight(1) -> xor(s"${p}v2", s"(${p}v2 // 4294967296::HUGEINT)"))
+
+  /** The shared 4-byte-block seed prefix: (h + P5 + 4) mod 2⁶⁴. */
+  def intBlockPrefix(h: String): String = m64(s"($h) + $P5 + 4::HUGEINT")
+
+  /** Compose staged steps into one CTE: nested one-column projections
+    * over `baseSql`, keeping `keep` at the end. MATERIALIZED — every
+    * consumer CTE downstream references these more than once, and
+    * DuckDB inlines plain CTEs (re-running the whole chain per
+    * reference; measured minutes → seconds). */
+  def staged(baseSql: String, keep: String, steps: Seq[(String, String)],
+      alias: String): String = {
+    val q = steps.foldLeft(baseSql) { case (acc, (name, ex)) =>
+      s"SELECT *, $ex AS $name FROM ($acc)"
+    }
+    s"$alias AS MATERIALIZED (SELECT $keep FROM ($q))"
+  }
+
+  /** Staged chain of [[xxLongSteps]] over columns `cols` starting from
+    * seed 42 — xxhash64 of a fixed-length long array whose elements sit
+    * in those columns. Final column: `out`. */
+  def xxChainSteps(cols: Seq[String], out: String): Seq[(String, String)] = {
+    val steps = cols.zipWithIndex.flatMap { case (c, i) =>
+      xxLongSteps(c, if (i == 0) "42::HUGEINT" else s"${out}c$i",
+        s"${out}c${i + 1}_")
+    }
+    // rename the last chain column to `out`
+    steps.dropRight(1) :+ (out -> steps.last._2)
+  }
 }

@@ -612,9 +612,11 @@ object Events extends QueryPack {
     * per user and folded with the `aggregate` higher-order function —
     * array size is bounded by per-user event count, the same bound
     * ClickHouse itself assumes, and the fold is codegen'd per row.
-    * Rows-only (a DFA fold has no windowed-SQL oracle form);
-    * EventsTextSpec pins it against a direct Scala simulation and
-    * dominance by [[sequenceCount]]'s maximum. */
+    * ORACLE-PAIRED (r17): the DFA replays as a DuckDB recursive CTE
+    * advancing one event per iteration (see the oracle comment for why
+    * not list_reduce); EventsTextSpec additionally pins it against a
+    * direct Scala simulation and dominance by [[sequenceCount]]'s
+    * maximum. */
   def sequenceCountGreedy(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "click"))
@@ -650,11 +652,12 @@ object Events extends QueryPack {
     * [[sequenceCountGreedy]] it rides the per-user sorted-array
     * `aggregate` fold — bounded by per-user event count, the same
     * bound ClickHouse's own buffered list assumes. ORACLE-PAIRED
-    * (r17): the fold replays verbatim in DuckDB's `list_reduce` over
-    * the identically-ordered list, so the level table is two-engine
-    * hash-exact; EventsTextSpec additionally pins a direct Scala
-    * simulation, hand-built break cases, and level-wise dominance by
-    * the default mode. */
+    * (r17): the fold replays as a DuckDB recursive CTE advancing one
+    * event per iteration (NOT list_reduce — nondeterministic over many
+    * rows on this DuckDB build; see the oracle comment), so the level
+    * table is two-engine hash-exact; EventsTextSpec additionally pins
+    * a direct Scala simulation, hand-built break cases, and level-wise
+    * dominance by the default mode. */
   def funnelDedup(spark: SparkSession, dir: String): DataFrame =
     funnelDedupOf(Tables.events(spark, dir))
 
@@ -1659,51 +1662,82 @@ object Events extends QueryPack {
         |SELECT event_type, idx::BIGINT AS idx, t AS day, y AS rev
         |FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
         |ORDER BY event_type, idx""".stripMargin,
-    // The strict_dedup funnel fold replayed verbatim via list_reduce
-    // (r17): the accumulator and the elements share one struct shape
-    // (unused fields NULL) because DuckDB's list_reduce seeds from the
-    // first element — the init accumulator is list_prepend'ed. Same
-    // (us, eid, sym) order, same break/advance/ignore rules, same 7-day
-    // anchor window.
+    // The greedy/funnel folds replay as RECURSIVE CTEs advancing one
+    // event per iteration (state threaded through the recursion), NOT
+    // via DuckDB list_reduce: list_reduce over MANY rows in one query
+    // returned nondeterministic garbage on this DuckDB build (values
+    // 10/12/13 across runs where the true fold is 11; single-row and
+    // list_transform calls are fine) -- an oracle device that flakes
+    // the gate is worse than none. The recursive form is deterministic
+    // (4-run hash-stable) and x10 hash-exact.
+    "ev_sequence_count_greedy" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id,
+        |                      CASE event_type WHEN 'view' THEN 0 ELSE 1 END) AS rn,
+        |         CASE event_type WHEN 'view' THEN 0 ELSE 1 END AS sym
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |nn AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY 1),
+        |rec AS (
+        |  SELECT user_id, 0::BIGINT AS rn, 0 AS st, 0::BIGINT AS cnt FROM nn
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn + 1,
+        |         CASE WHEN r.st = 0 AND e.sym = 0 THEN 1
+        |              WHEN r.st = 1 AND e.sym = 1 THEN 0
+        |              ELSE r.st END,
+        |         CASE WHEN r.st = 1 AND e.sym = 1 THEN r.cnt + 1 ELSE r.cnt END
+        |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT r.user_id, r.cnt AS n_matches
+        |FROM rec r JOIN nn ON nn.user_id = r.user_id AND nn.n = r.rn
+        |WHERE r.cnt > 0 ORDER BY r.user_id""".stripMargin,
+    // The strict_dedup funnel fold as the same recursive replay: the
+    // nested if-chain decomposes into one CASE per state column (lv, a,
+    // t, done), each iteration consuming the user's next (us, eid, sym)
+    // event; the 7-day anchor window and break-on-repeat rules carry
+    // over verbatim.
     "ev_funnel_dedup" ->
-      """WITH seq AS (
+      """WITH RECURSIVE fev AS (
         |  SELECT user_id,
-        |         list(struct_pack(lv := NULL::INTEGER, a := NULL::BIGINT,
-        |                          t := NULL::BIGINT, done := NULL::BOOLEAN,
-        |                          us := epoch_us(CAST(ts AS TIMESTAMP)),
-        |                          sym := CASE event_type WHEN 'view' THEN 0
-        |                                 WHEN 'click' THEN 1 ELSE 2 END)
-        |              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id,
-        |                       CASE event_type WHEN 'view' THEN 0
-        |                            WHEN 'click' THEN 1 ELSE 2 END) AS l
-        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
-        |  GROUP BY user_id),
-        |folded AS (
-        |  SELECT user_id,
-        |    list_reduce(
-        |      list_prepend(struct_pack(lv := 0::INTEGER, a := 0::BIGINT,
-        |                               t := 0::BIGINT, done := false,
-        |                               us := NULL::BIGINT, sym := NULL::INTEGER), l),
-        |      (a, x) -> CASE
-        |        WHEN a.done OR a.lv = 3 THEN a
-        |        WHEN a.lv = 0 THEN
-        |          CASE WHEN x.sym = 0
-        |               THEN struct_pack(lv := 1::INTEGER, a := x.us, t := x.us,
-        |                                done := false, us := NULL::BIGINT,
-        |                                sym := NULL::INTEGER)
-        |               ELSE a END
-        |        WHEN x.sym = a.lv AND x.us > a.t AND x.us <= a.a + 604800000000
-        |          THEN struct_pack(lv := a.lv + 1, a := a.a, t := x.us,
-        |                           done := false, us := NULL::BIGINT,
-        |                           sym := NULL::INTEGER)
-        |        WHEN x.sym < a.lv
-        |          THEN struct_pack(lv := a.lv, a := a.a, t := a.t, done := true,
-        |                           us := NULL::BIGINT, sym := NULL::INTEGER)
-        |        ELSE a END).lv::BIGINT AS level
-        |  FROM seq),
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id,
+        |                      CASE event_type WHEN 'view' THEN 0
+        |                           WHEN 'click' THEN 1 ELSE 2 END) AS rn,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CASE event_type WHEN 'view' THEN 0
+        |              WHEN 'click' THEN 1 ELSE 2 END AS sym
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |fn AS (SELECT user_id, max(rn) AS n FROM fev GROUP BY 1),
+        |frec AS (
+        |  SELECT user_id, 0::BIGINT AS rn, 0 AS lv, 0::BIGINT AS a,
+        |         0::BIGINT AS t, false AS done
+        |  FROM fn
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn + 1,
+        |    CASE WHEN r.done OR r.lv = 3 THEN r.lv
+        |         WHEN r.lv = 0 THEN (CASE WHEN e.sym = 0 THEN 1 ELSE 0 END)
+        |         WHEN e.sym = r.lv AND e.us > r.t
+        |              AND e.us <= r.a + 604800000000 THEN r.lv + 1
+        |         ELSE r.lv END,
+        |    CASE WHEN r.done OR r.lv = 3 THEN r.a
+        |         WHEN r.lv = 0 AND e.sym = 0 THEN e.us
+        |         ELSE r.a END,
+        |    CASE WHEN r.done OR r.lv = 3 THEN r.t
+        |         WHEN r.lv = 0 AND e.sym = 0 THEN e.us
+        |         WHEN r.lv > 0 AND e.sym = r.lv AND e.us > r.t
+        |              AND e.us <= r.a + 604800000000 THEN e.us
+        |         ELSE r.t END,
+        |    CASE WHEN r.done OR r.lv = 3 THEN r.done
+        |         WHEN r.lv > 0 AND NOT (e.sym = r.lv AND e.us > r.t
+        |              AND e.us <= r.a + 604800000000)
+        |              AND e.sym < r.lv THEN true
+        |         ELSE r.done END
+        |  FROM frec r JOIN fev e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        |lvl AS (SELECT r.user_id, r.lv::BIGINT AS level
+        |        FROM frec r JOIN fn ON fn.user_id = r.user_id AND fn.n = r.rn),
         |allu AS (SELECT DISTINCT user_id FROM events)
-        |SELECT coalesce(f.level, 0)::BIGINT AS level, count(*)::BIGINT AS n_users
-        |FROM allu u LEFT JOIN folded f USING (user_id)
+        |SELECT coalesce(l.level, 0)::BIGINT AS level, count(*)::BIGINT AS n_users
+        |FROM allu u LEFT JOIN lvl l USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_quantile_timing" ->
       """WITH g AS (

@@ -578,7 +578,121 @@ object Multimodal extends QueryPack {
           min(col("mean_pixel")).as("darkest_tile"),
           max(col("mean_pixel")).as("brightest_tile"))))
 
+  /** Tile CTE shared by the image oracles: integer tile sums over the
+    * zero-padded pixel plane (FakeCodec truncate/zero-pad replayed as a
+    * bounds CASE), means as ONE double division — the same single
+    * IEEE rounding the engine applies, so double compares downstream
+    * are bit-faithful. Parameterized on the grid so the 4×4 tile key
+    * and the 8×9 dHash share it. */
+  private def dTileMeans(rows: Int, cols: Int): String =
+    s"""img AS (SELECT doc_id AS media_id, text,
+       |               CAST(strlen(text) AS BIGINT) AS len,
+       |               CAST(16 + doc_id % 16 AS BIGINT) AS w,
+       |               CAST(16 + doc_id % 8 AS BIGINT) AS h
+       |        FROM documents WHERE doc_id % 3 = 0),
+       |tiles AS (
+       |  SELECT media_id, text, len, w, tr.i AS r2, tc.i AS c2,
+       |         h * tr.i // $rows AS y0, h * (tr.i + 1) // $rows AS y1,
+       |         w * tc.i // $cols AS x0, w * (tc.i + 1) // $cols AS x1
+       |  FROM img, range($rows) tr(i), range($cols) tc(i))""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    // audioWindows' key aggregate is all-integer (window count, max
+    // |sample|, total samples), and the PCM decode is the byte-pair
+    // device the log-bands oracle already uses (r17 — was rows-only).
+    "mm_audio_windows" ->
+      """WITH a AS (SELECT doc_id AS media_id, text, strlen(text) // 2 AS ns
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id, (i - 1) // 256 AS widx,
+        |             ord(text[(2*i-1)::BIGINT]) + 256 * ord(text[(2*i)::BIGINT]) AS v
+        |      FROM a, LATERAL (SELECT unnest(range(1, ns + 1)) AS i) t),
+        |w AS (SELECT media_id, widx, count(*)::BIGINT AS nsamp,
+        |             max(abs(v))::BIGINT AS peak
+        |      FROM s GROUP BY 1, 2)
+        |SELECT media_id, count(*)::BIGINT AS n_windows,
+        |       CAST(max(peak) AS BIGINT) AS max_peak,
+        |       CAST(SUM(nsamp) AS BIGINT) AS n_samples
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // imageTiles' means are one integer-sum division each, so min/max
+    // tile brightness replays exactly (r17 — was rows-only).
+    "mm_image_tiles" ->
+      s"""WITH ${dTileMeans(4, 4)},
+         |px AS (
+         |  SELECT media_id, r2, c2, (y1 - y0) * (x1 - x0) AS area,
+         |         CAST(SUM(CASE WHEN y.i * w + x.i + 1 <= len
+         |                       THEN ord(text[(y.i * w + x.i + 1)::BIGINT])
+         |                       ELSE 0 END) AS BIGINT) AS s
+         |  FROM tiles, LATERAL (SELECT unnest(range(y0, y1)) AS i) y,
+         |       LATERAL (SELECT unnest(range(x0, x1)) AS i) x
+         |  WHERE y1 > y0 AND x1 > x0
+         |  GROUP BY media_id, r2, c2, area)
+         |SELECT media_id, count(*)::BIGINT AS n_tiles,
+         |       min(s::DOUBLE / area) AS darkest_tile,
+         |       max(s::DOUBLE / area) AS brightest_tile
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sceneCuts shares the scene-segments frame machinery but compares
+    // DOUBLE frame means at the 16.0 threshold — single-division means
+    // make the compare bit-faithful (r17 — was rows-only).
+    "mm_scene_cuts" ->
+      """WITH v AS (SELECT doc_id AS media_id, text,
+        |                  CAST(strlen(text) AS BIGINT) AS len,
+        |                  CAST(1 + doc_id % 30 AS BIGINT) AS nf
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, text, len, GREATEST(len // nf, 1) AS fl, i AS fi
+        |      FROM v, unnest(generate_series(0, nf - 1)) AS u(i)
+        |      WHERE i * GREATEST(len // nf, 1) < len),
+        |b AS (SELECT media_id, fi, CAST(SUM(ord(text[j])) AS BIGINT) AS fsum,
+        |             CAST(COUNT(*) AS BIGINT) AS flen
+        |      FROM f, unnest(generate_series(fl * fi + 1,
+        |                                     LEAST(fl * (fi + 1), len))) AS w(j)
+        |      GROUP BY media_id, fi),
+        |m AS (SELECT media_id, fi, fsum::DOUBLE / flen AS mb,
+        |             LAG(fsum::DOUBLE / flen) OVER
+        |               (PARTITION BY media_id ORDER BY fi) AS prev
+        |      FROM b)
+        |SELECT media_id, count(*)::BIGINT AS n_frames_scanned,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(mb - prev) > 16.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       CAST(MIN(CASE WHEN prev IS NOT NULL AND abs(mb - prev) > 16.0
+        |                     THEN fi END) AS BIGINT) AS first_cut_idx
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dHash: 8×9 tile means (same single-division fidelity), one bit
+    // per horizontal gradient, banding + Hamming in plain SQL — the
+    // dedup_simhash_pairs device without the hash CTE (r17).
+    "mm_phash_pairs" ->
+      s"""WITH ${dTileMeans(8, 9)},
+         |px AS (
+         |  SELECT t.media_id, t.r2, t.c2,
+         |         CASE WHEN (y1 - y0) * (x1 - x0) > 0
+         |              THEN (SELECT CAST(SUM(CASE WHEN y.i * w + x.i + 1 <= len
+         |                          THEN ord(text[(y.i * w + x.i + 1)::BIGINT])
+         |                          ELSE 0 END) AS BIGINT)
+         |                    FROM (SELECT unnest(range(t.y0, t.y1)) AS i) y,
+         |                         (SELECT unnest(range(t.x0, t.x1)) AS i) x)::DOUBLE
+         |                   / ((y1 - y0) * (x1 - x0))
+         |              ELSE 0.0 END AS mean
+         |  FROM tiles t),
+         |ph AS (
+         |  SELECT cur.media_id,
+         |         CAST(SUM(CASE WHEN nxt.mean > cur.mean
+         |                       THEN (1::UBIGINT << (cur.r2 * 8 + cur.c2)::INTEGER)::HUGEINT
+         |                       ELSE 0::HUGEINT END) AS HUGEINT) AS s
+         |  FROM px cur JOIN px nxt ON nxt.media_id = cur.media_id
+         |                         AND nxt.r2 = cur.r2 AND nxt.c2 = cur.c2 + 1
+         |  WHERE cur.c2 <= 7
+         |  GROUP BY 1),
+         |banded AS (
+         |  SELECT media_id, s::UBIGINT AS hu, b.band,
+         |         ((s::UBIGINT >> (b.band * 16)::INTEGER) & 65535) AS bsig
+         |  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
+         |         a.hu AS ha, b2.hu AS hb
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.bsig = b2.bsig AND a.media_id < b2.media_id)
+         |SELECT media_a, media_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY media_a, media_b""".stripMargin,
     // frameSample's arithmetic (frame length, stride-5 sampling, tail
     // truncation) replayed in closed-form integer SQL over the same
     // synthesized media table (r17 — was rows-only): every quantity is

@@ -483,6 +483,49 @@ object Pipeline extends QueryPack {
          |g AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM t)
          |SELECT gram, COUNT(*) AS df FROM g
          |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY df DESC, gram""".stripMargin,
+    // The hashed decontamination path replayed hash-for-hash (r17):
+    // token hashes from the DuckXx recursive CTE, gram keys as staged
+    // 5-long xxhash64 chains, the same df cap and join. Previously the
+    // hashed key was only pinned equal to the raw form by spec.
+    "text_decontam_hashed" -> {
+      import graft.operators.DuckXx._
+      val gr = staged(
+        """SELECT a.doc_id, a.is_eval, a.th AS t1, b.th AS t2, c.th AS t3,
+          |            d.th AS t4, e.th AS t5
+          |     FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          |               JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+          |               JOIN th d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+          |               JOIN th e ON e.doc_id = a.doc_id AND e.i = a.i + 4"""
+          .stripMargin,
+        "doc_id, is_eval, gch AS gh",
+        xxChainSteps(Seq("t1", "t2", "t3", "t4", "t5"), "gch"), "gr")
+      s"""WITH RECURSIVE
+         |t AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
+         |         string_split(text, ' ') AS tk
+         |  FROM documents WHERE len(string_split(text, ' ')) >= $NGram),
+         |dt AS (SELECT DISTINCT unnest(tk) AS token FROM t),
+         |$xxCte,
+         |tp AS (SELECT doc_id, is_eval, i, tk[i] AS token
+         |       FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+         |th AS MATERIALIZED (
+         |  SELECT tp.doc_id, tp.is_eval, tp.i, xx.h::HUGEINT AS th
+         |  FROM tp JOIN xx USING (token)),
+         |$gr,
+         |gd AS MATERIALIZED (SELECT DISTINCT doc_id, is_eval, gh FROM gr),
+         |hot AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM gd GROUP BY 1)
+         |        WHERE df > $DfCap),
+         |pruned AS MATERIALIZED (
+         |  SELECT gd.* FROM gd LEFT JOIN hot ON hot.gh = gd.gh
+         |  WHERE hot.gh IS NULL)
+         |SELECT tr.doc_id AS doc_id,
+         |       COUNT(DISTINCT tr.gh) AS n_shared_grams,
+         |       COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+         |FROM pruned tr JOIN pruned ev ON ev.gh = tr.gh
+         |WHERE NOT tr.is_eval AND ev.is_eval
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "text_decontaminate" ->
       s"""WITH t AS (SELECT doc_id,
          |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
