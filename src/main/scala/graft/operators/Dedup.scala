@@ -826,12 +826,12 @@ object Dedup extends QueryPack {
     * the same width-gated exact-digest collapse, the same
     * pointer-jumping components, the same doc → keeper output shape.
     *
-    * Rows-only (the banding is xxhash64-based, no DuckDB counterpart);
-    * DedupSimilaritySpec pins bit-equality of the WHOLE mapping vs the
-    * oracle-paired [[canonicalMap]] on the fixture, where LSH pair-set
-    * == exact pair-set is already pinned — so the only unverified gap
-    * is LSH recall itself, which is the probabilistic trade this
-    * variant exists to make. */
+    * ORACLE-PAIRED (r17): the oracle replays the WHOLE LSH pipeline —
+    * digest collapse, [[DuckXx]]-re-derived signatures/banding, bucket
+    * cap, exact verify, recursive components — so the mapping is
+    * two-engine hash-exact including the LSH edge discovery itself;
+    * DedupSimilaritySpec additionally pins bit-equality vs the exact
+    * [[canonicalMap]] on the fixture. */
   def canonicalMapLsh(spark: SparkSession, dir: String): DataFrame =
     minIdKeeperOf(componentMapFor(spark, dir, "lsh"))
 
@@ -1067,6 +1067,9 @@ object Dedup extends QueryPack {
     substringSpansOfL(plantedSubstringDocs(Tables.documents(spark, dir)),
       hashed = false, spanLenFor(spark, dir, planted = true))
 
+  /** ORACLE-PAIRED (r17): the DuckDB oracle re-derives the hashed gram
+    * chains itself (recursive xxhash64 fold at the derived L), so the
+    * hashed tier no longer leans solely on the ==raw spec pin. */
   def substringSpansHashed(spark: SparkSession, dir: String): DataFrame =
     substringSpansOfL(plantedSubstringDocs(Tables.documents(spark, dir)),
       hashed = true, spanLenFor(spark, dir, planted = true))
@@ -1370,6 +1373,52 @@ object Dedup extends QueryPack {
     """m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p - x.p AS delta
       |      FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** The HASHED substring-span gram stage (r17): grams as xxhash64
+    * chains over L token hashes, where L is the CORPUS-DERIVED span
+    * length — so the chain length is dynamic and the fold runs as a
+    * recursive CTE advancing one token per iteration, the staged
+    * [[DuckXx.xxLongSteps]] block inside each recursion arm. Gram
+    * values stay unsigned HUGEINT (equality-only currency). Produces
+    * `prm` (derived L) and `gg` (doc_id, p, gram) — [[dCrossM]] +
+    * [[dSpanTail]] compose on top exactly as in the raw-gram form. */
+  private val dSpanCtesHashedPlanted: String = {
+    import DuckXx._
+    val foldArm = stagedSelect(
+      """SELECT s.doc_id, s.p0, s.j, s.acc, t2.th AS v
+        |     FROM gstate s, th t2, prm
+        |     WHERE t2.doc_id = s.doc_id AND t2.i = s.p0 + s.j
+        |       AND s.j < prm.L""".stripMargin,
+      "doc_id, p0, j + 1 AS j, xg AS acc",
+      xxLongSteps("v", "acc", "xg_"))
+    s"""t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM pd),
+       |prm AS (SELECT GREATEST($SpanLenFloor, LEAST($SpanLenCap,
+       |          CAST(FLOOR(2.0 * ln(tt + 1) / ln(vv + 1)) AS INT) + 1)) AS L
+       |        FROM (SELECT SUM(len(tk)) AS tt FROM t),
+       |             (SELECT COUNT(DISTINCT tok) AS vv
+       |              FROM (SELECT unnest(tk) AS tok FROM t))),
+       |dt AS (SELECT DISTINCT unnest(tk) AS token FROM t),
+       |$xxCte,
+       |tp AS (SELECT doc_id, i, tk[i] AS token
+       |       FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+       |th AS MATERIALIZED (
+       |  SELECT tp.doc_id, tp.i, xx.h::HUGEINT AS th
+       |  FROM tp JOIN xx USING (token)),
+       |tlen AS (SELECT doc_id, len(tk) AS n FROM t),
+       |gstate AS (
+       |  SELECT th.doc_id, th.i AS p0, 0::BIGINT AS j, 42::HUGEINT AS acc
+       |  FROM th, prm, tlen
+       |  WHERE tlen.doc_id = th.doc_id AND tlen.n >= prm.L
+       |    AND th.i <= tlen.n - prm.L + 1
+       |  UNION ALL
+       |  $foldArm),
+       |g AS (SELECT doc_id, p0 - 1 AS p, acc AS gram
+       |      FROM gstate, prm WHERE j = prm.L),
+       |keep AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+       |                           FROM g GROUP BY gram) WHERE df <= $SpanGramDfCap),
+       |gg AS MATERIALIZED (SELECT g.* FROM g JOIN keep USING (gram))""".stripMargin
+  }
+
   /** Shared simhash-oracle CTE chain: tokens → tf → the [[DuckXx]]
     * recursive xxhash64 replica over the DISTINCT vocabulary → 64
     * signed bit-weight sums → unsigned 64-bit signature `s` per doc.
@@ -1405,7 +1454,13 @@ object Dedup extends QueryPack {
     * HUGEINT arithmetic — the strongest possible check on the whole
     * sketch path. Staging rationale in [[DuckXx]] (a single nested
     * expression was measured at interpreted-minutes). */
-  private val dMinhashOracle: String = {
+  private val dMinhashOracle: String = dMinhashOracleOver("documents")
+
+  /** [[dMinhashOracle]] with the doc source as a parameter, and the
+    * verified pair set exposed as CTE `vpairs` — reused by the
+    * canonical-map-LSH oracle, whose edge stage IS this pipeline run
+    * over the digest-collapse reps. */
+  private def dMinhashPairCtes(src: String): String = {
     import DuckXx._
     val sh0 = staged(
       """SELECT a.doc_id, a.th AS tha, b.th AS thb, c.th AS thc
@@ -1432,9 +1487,8 @@ object Dedup extends QueryPack {
       s"doc_id, band, ${signed64("bh")} AS band_sig",
       xxChainSteps(Seq(unsigned64("s1"), unsigned64("s2"),
         unsigned64("s3"), unsigned64("s4")), "bh"), "bands")
-    s"""WITH RECURSIVE
-       |t AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    s"""t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM $src
        |  WHERE len(string_split(text, ' ')) >= 3),
        |dt AS (SELECT DISTINCT unnest(tk) AS token FROM t),
        |$xxCte,
@@ -1465,21 +1519,75 @@ object Dedup extends QueryPack {
        |  SELECT c.doc_a, c.doc_b, count(*) AS com
        |  FROM cand c JOIN shd x ON x.doc_id = c.doc_a
        |              JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
-       |  GROUP BY 1, 2)
-       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |       coalesce(cm.com, 0)::DOUBLE
-       |         / (na.n + nb.n - coalesce(cm.com, 0)) AS jaccard
-       |FROM cand c
-       |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
-       |JOIN sizes na ON na.doc_id = c.doc_a
-       |JOIN sizes nb ON nb.doc_id = c.doc_b
-       |WHERE coalesce(cm.com, 0)::DOUBLE
-       |        / (na.n + nb.n - coalesce(cm.com, 0)) >= 0.8
-       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |vpairs AS MATERIALIZED (
+       |  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |         coalesce(cm.com, 0)::DOUBLE
+       |           / (na.n + nb.n - coalesce(cm.com, 0)) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+       |  JOIN sizes na ON na.doc_id = c.doc_a
+       |  JOIN sizes nb ON nb.doc_id = c.doc_b
+       |  WHERE coalesce(cm.com, 0)::DOUBLE
+       |          / (na.n + nb.n - coalesce(cm.com, 0)) >= 0.8)""".stripMargin
   }
+
+  private def dMinhashOracleOver(src: String): String =
+    s"""WITH RECURSIVE
+       |${dMinhashPairCtes(src)}
+       |SELECT doc_a, doc_b, jaccard FROM vpairs ORDER BY doc_a, doc_b"""
+      .stripMargin
+
+  /** [[canonicalMapLsh]] replayed end to end (r17): the width-gated
+    * md5 digest collapse to reps, the FULL MinHash-LSH pair pipeline
+    * ([[dMinhashPairCtes]]) over the rep docs, recursive reachability,
+    * min-id components, and the member expansion back through the
+    * digest groups — every hash re-derived by the oracle. */
+  private val dCanonicalLshOracle: String =
+    s"""WITH RECURSIVE
+       |repm AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY fp) AS rep
+       |  FROM (SELECT doc_id,
+       |               CASE WHEN coalesce(len(string_split(text, ' ')) >= 3, false)
+       |                    THEN md5(text)
+       |                    ELSE concat('doc:', CAST(doc_id AS VARCHAR)) END AS fp
+       |        FROM documents)),
+       |repd AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN repm ON repm.doc_id = d.doc_id AND repm.rep = d.doc_id),
+       |${dMinhashPairCtes("repd")},
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM vpairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+       |rcanon AS (SELECT u AS rep, LEAST(u, MIN(v)) AS component
+       |           FROM reach GROUP BY u),
+       |lab AS (SELECT m.doc_id, COALESCE(c.component, m.rep) AS component
+       |        FROM repm m LEFT JOIN rcanon c ON c.rep = m.rep),
+       |sz AS (SELECT component, COUNT(*) AS n_members FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.component AS canon_id,
+       |       sz.n_members,
+       |       CAST(l.doc_id = l.component AS BIGINT) AS is_canonical
+       |FROM lab l JOIN sz USING (component)
+       |ORDER BY l.doc_id""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dMinhashOracle,
+    "dedup_canonical_map_lsh" -> dCanonicalLshOracle,
+    // The hashed-gram span key replayed hash-for-hash (r17): same
+    // planted corpus, derived L, df cap, and island/span emission as
+    // the raw-gram oracle, but over xxhash64 gram chains the oracle
+    // re-derives itself (recursive fold, length = the derived L).
+    "dedup_substring_hashed" ->
+      s"""WITH RECURSIVE $dPlantedDocs,
+         |$dSpanCtesHashedPlanted,
+         |$dCrossM,
+         |$dSpanTail
+         |SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH RECURSIVE $dSimhashCtes
          |SELECT doc_id, ${DuckXx.signed64("s")} AS simhash FROM sim""".stripMargin,

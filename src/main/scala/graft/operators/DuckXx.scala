@@ -161,11 +161,17 @@ private[graft] object DuckXx {
     * DuckDB inlines plain CTEs (re-running the whole chain per
     * reference; measured minutes → seconds). */
   def staged(baseSql: String, keep: String, steps: Seq[(String, String)],
-      alias: String): String = {
+      alias: String): String =
+    s"$alias AS MATERIALIZED (${stagedSelect(baseSql, keep, steps)})"
+
+  /** The bare staged SELECT (no CTE wrapper) — for recursion arms,
+    * where the staged chain must sit inside the recursive term. */
+  def stagedSelect(baseSql: String, keep: String,
+      steps: Seq[(String, String)]): String = {
     val q = steps.foldLeft(baseSql) { case (acc, (name, ex)) =>
       s"SELECT *, $ex AS $name FROM ($acc)"
     }
-    s"$alias AS MATERIALIZED (SELECT $keep FROM ($q))"
+    s"SELECT $keep FROM ($q)"
   }
 
   /** Staged chain of [[xxLongSteps]] over columns `cols` starting from
