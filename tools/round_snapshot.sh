@@ -24,7 +24,13 @@ for spec in 'BENCH_r*.json' 'BENCH_CLEAN_r*.json' 'BENCH_X10_r*.json' \
   'BENCH_FULL.json' 'CORRECTNESS_r*.json' 'LEAKCHECK.json' 'COPYCHECK.json' \
   'SCALE.md' 'NOTES.md' 'NOTES-NEXT-ROUND.md'; do
   if compgen -G "$spec" >/dev/null; then
-    git add -A -- "$spec"
+    # per-file: a .gitignore'd artifact (COPYCHECK.json on some rounds)
+    # makes git add fail loudly under the no-swallow policy -- skipping
+    # IGNORED files is correct (the driver owns them), while any other
+    # git failure still propagates under set -e
+    for f in $spec; do
+      git check-ignore -q "$f" || git add -A -- "$f"
+    done
   fi
 done
 if git diff --cached --quiet; then
