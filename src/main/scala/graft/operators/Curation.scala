@@ -207,12 +207,15 @@ object Curation extends QueryPack {
             .as("component"))
       // pointer jumping: label := label(label) — halves chain lengths,
       // so convergence is O(log diameter) rounds, not O(diameter)
-      val next = propagated
+      // eager checkpoint + fixpoint diff count in ONE job
+      // (localCheckpointCountIf) — the separate count was a second
+      // scheduling round trip per round
+      val (next, nChanged) = GraftBridge.localCheckpointCountIf(propagated
         .join(propagated.select(col("doc_id").as("component"),
           col("component").as("cc")), Seq("component"))
         .select(col("doc_id"), col("old"), col("cc").as("component"))
-        .localCheckpoint() // eager: materializes this round's labels
-      changed = next.filter(col("component") =!= col("old")).count()
+        .withColumn("chg", col("component") =!= col("old")), "chg")
+      changed = nChanged
       // next is materialized and the diff count is done: the superseded
       // round's labels can be dropped NOW, not at ContextCleaner/GC
       // whim — R rounds would otherwise pin R label copies
@@ -357,48 +360,62 @@ object Curation extends QueryPack {
     val edgesOwned = edges0.storageLevel == StorageLevel.NONE
     val edges = if (edgesOwned) edges0.localCheckpoint() else edges0
     val degree = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
-    val nNodes = nodes.count()
-    // ranks/contribs are one (id, long) row per NODE. Below the gate
-    // they broadcast; above it they ride a SHUFFLE-HASH join against
-    // the asserted layouts — only the |V|-row state side exchanges per
-    // round. Either way the planner never falls into the per-round
-    // sort-merge a stat-less checkpoint would otherwise get
-    // (measured: 15 s SMJ vs 4 s hinted, warm at sf0.1).
+    // checkpoint + gate count ride one job (localCheckpointCounted)
+    val (nodes0, nNodes) = GraftBridge.localCheckpointCounted(
+      edges.select(col("src").as("id")).distinct())
+    var nodes = nodes0
+    // ranks/contribs are one (id, long) row per NODE; every state join
+    // rides a SHUFFLE-HASH hint against asserted layouts — only the
+    // |V|-row state side exchanges per round, and the planner never
+    // falls into the per-round sort-merge a stat-less checkpoint would
+    // otherwise get (measured: 15 s SMJ vs 4 s hinted, warm at sf0.1).
     val giant = nNodes > stateBroadcastMaxRows
-    // GIANT path: pre-partition BOTH loop inputs on their join keys
-    // ONCE, with the layout RE-ASSERTED on the checkpointed LogicalRDD
+    // ONE loop shape at every tier (r17 optimization round): both loop
+    // inputs pre-partitioned on their join keys ONCE, with the layout
+    // RE-ASSERTED on the checkpointed LogicalRDD
     // (GraftBridge.localCheckpointHashPartitioned) — a plain
     // localCheckpoint comes back UnknownPartitioning, so every round's
-    // state join replanned an ENSURE_REQUIREMENTS exchange of the full
-    // O(|E|) edge frame (the dominant per-round cost at that tier).
-    // With the layout visible, withDeg (clustered src) ⋈ ranks
+    // state join would replan an ENSURE_REQUIREMENTS exchange of the
+    // full O(|E|) edge frame (the dominant per-round cost at the giant
+    // tier). With the layout visible, withDeg (clustered src) ⋈ ranks
     // (clustered id) is co-partitioned and plans exchange-free on the
     // edge side; the contribution aggregate is the ONLY per-round
-    // O(|E|)-input exchange left. Below the gate keep the AQE-sized
-    // re-spread instead (its own lesson: one advisory partition
-    // otherwise, 9.7 → 4.3 s warm at sf0.1) — an explicit partition
-    // count defeats AQE's small-scale coalescing, measured 4.9 → 8.3 s
-    // warm at sf0.1 when the asserted form ran below the gate, where
-    // the state broadcasts and the layout buys nothing.
-    val withDeg =
-      if (giant) GraftBridge.localCheckpointHashPartitioned(
-        edges.join(degree, "src"), nPart, "src")
-      else edges.join(degree, "src")
-        .repartition(col("src")).localCheckpoint()
-    if (giant) {
-      val spreadNodes =
-        GraftBridge.localCheckpointHashPartitioned(nodes, nPart, "id")
-      GraftBridge.releaseLocalCheckpoint(nodes)
-      nodes = spreadNodes
-    }
+    // O(|E|)-input exchange left. What differs by tier is the WIDTH
+    // and AQE:
+    //  - giant (or big-but-sub-gate edges): production width (nPart),
+    //    AQE on (skew splits, runtime re-plans);
+    //  - small regime (sub-gate state AND sub-SmallGraphEdgeBytes
+    //    edges — the r12 ×100 lesson that state rows say nothing about
+    //    edge volume): a state-sized width with AQE OFF for the rounds
+    //    (withAqeOff). The r16 form broadcast the state below the gate
+    //    instead; that pays 2 broadcast-build jobs + an AQE job per
+    //    query stage every round — 31 jobs × 1-2 tasks for 3.0 s of
+    //    summed task time under a 4.1 s wall at sf0.1, nearly pure
+    //    scheduling floor (~0.13 s/job on this box). The co-partitioned
+    //    loop at narrow width with AQE off runs ONE job per round: A/B
+    //    on the same box window (ExpPr, warm) — broadcast/AQE/32:
+    //    4.8-5.3 s, 24 jobs; asserted/aqeOff/8-16: 3.3-3.6 s, 10 jobs.
+    //    (The earlier 4.9 → 8.3 s rejection of the asserted form below
+    //    the gate measured it at nPart width WITH AQE on — the width
+    //    pin and the job-per-stage cut are what flip the trade.)
+    val edgesBytes = GraftBridge.checkpointStorageBytes(edges)
+    val loopSmall = !giant && edgesBytes <= SmallGraphEdgeBytes
+    val loopW =
+      if (loopSmall) math.max(8, math.min(nPart, (nNodes / 16384L).toInt + 1))
+      else nPart
+    val withDeg = GraftBridge.localCheckpointHashPartitioned(
+      edges.join(degree, "src"), loopW, "src")
+    val spreadNodes =
+      GraftBridge.localCheckpointHashPartitioned(nodes, loopW, "id")
+    GraftBridge.releaseLocalCheckpoint(nodes)
+    nodes = spreadNodes
     // withDeg and nodes are materialized: an owned edge checkpoint has
     // served its purpose — free it before the rounds run, not after
     if (edgesOwned) GraftBridge.releaseLocalCheckpoint(edges)
-    def gatedState(s: DataFrame): DataFrame =
-      if (!giant) broadcast(s) else s.hint("shuffle_hash")
+    def gatedState(s: DataFrame): DataFrame = s.hint("shuffle_hash")
     var ranks = nodes.select(col("id"), lit(Fp).as("rank"))
     var ranksOwned = false
+    withAqeOff(spark, loopSmall, loopW) {
     for (_ <- 1 to PrIters) {
       val contribs = withDeg
         .join(gatedState(ranks), col("src") === col("id"))
@@ -410,14 +427,12 @@ object Curation extends QueryPack {
         .select(col("id"),
           (lit(15L * Fp / 100) +
             expr(s"85 * coalesce(s, 0L) div 100")).as("rank"))
-      // giant path: carry the id-clustering into the next round's state
-      // join; below the gate the state broadcasts and layout is moot
-      val next =
-        if (giant) GraftBridge.localCheckpointHashPartitioned(stepped, nPart, "id")
-        else stepped.localCheckpoint()
+      // carry the id-clustering into the next round's state join
+      val next = GraftBridge.localCheckpointHashPartitioned(stepped, loopW, "id")
       if (ranksOwned) GraftBridge.releaseLocalCheckpoint(ranks)
       ranks = next
       ranksOwned = true
+    }
     }
     // the result depends only on the final ranks checkpoint — the loop
     // inputs are dead weight from here; free them deterministically
@@ -461,15 +476,16 @@ object Curation extends QueryPack {
     val withDeg = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
-    val oriented = withDeg.select(
-      when(col("du") < col("dv") ||
-           (col("du") === col("dv") && col("u") < col("v")), col("u"))
-        .otherwise(col("v")).as("src"),
-      when(col("du") < col("dv") ||
-           (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst"),
-      greatest(col("du"), col("dv")).as("ddeg"))
-      .localCheckpoint()
+    // checkpoint + |E| gate count ride one job (localCheckpointCounted)
+    val (oriented, edgeCount) = GraftBridge.localCheckpointCounted(
+      withDeg.select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        greatest(col("du"), col("dv")).as("ddeg")))
     // wedges at the low vertex: pairs of out-neighbors, ordered by
     // (deg, id) so the closing edge is oriented v -> w by construction.
     // EXPLICIT partition count on the self-join inputs: the edge table
@@ -479,7 +495,6 @@ object Curation extends QueryPack {
     // (the pageRank re-spread lesson; AQE sizes by input, not output)
     val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
     // |E|-gate the two edge broadcasts below (scaladoc on the constant)
-    val edgeCount = oriented.count()
     def gatedEdges(s: DataFrame): DataFrame =
       if (edgeCount <= EdgeBroadcastMaxRows) broadcast(s)
       else s.hint("shuffle_hash")
@@ -575,7 +590,8 @@ object Curation extends QueryPack {
     // hands in the serialized shared cache; each peel round then
     // checkpoints a SHRINKING copy and drops its predecessor — without
     // the unpersist, R rounds pin R copies of O(|E|) (the ×100 OOM).
-    var core = e0.localCheckpoint()
+    val (core0, nEdges0) = GraftBridge.localCheckpointCounted(e0)
+    var core = core0
     var coreOwned = true
     // Lower-median initial degree from the count-of-counts histogram.
     // The cumulative walk runs as a WINDOW over the histogram rows and
@@ -602,22 +618,43 @@ object Curation extends QueryPack {
     def gatedKeep(s: DataFrame): DataFrame =
       if (total <= stateBroadcastMaxRows) broadcast(s)
       else s.hint("shuffle_hash")
-    var nEdges = core.count()
+    var nEdges = nEdges0
     var rounds = 0
     var converged = false
+    // Round cost at the sub-gate tier is SCHEDULING, not compute (r17
+    // job profile: 35 jobs × 1-2 tasks, 2.1 s summed task time under a
+    // 3.6 s wall) — three floor cuts, results bit-identical:
+    //  - the survivor set broadcasts ONCE per round: both semi joins
+    //    reference the SAME `keep` frame through an explicit join
+    //    condition (no rename Projects in front of the exchange), so
+    //    the two builds canonicalize identically and ReuseExchange
+    //    collapses them — the communitiesOf device;
+    //  - the shrunken edge list's checkpoint and the fixpoint count
+    //    ride ONE job (GraftBridge.localCheckpointCounted);
+    //  - AQE is off for the rounds below the gate (withAqeOff): every
+    //    join is hint-decided and the degree aggregate's width is
+    //    nPart either way, so AQE only added one job per query stage.
+    // Measured at sf0.1 (BenchOne warm, same box window): see
+    // OPTIMIZATION_r17.md (kcore section).
+    val sess = core.sparkSession
+    val nPartK = sess.sessionState.conf.numShufflePartitions
+    val loopSmall = total <= stateBroadcastMaxRows &&
+      GraftBridge.checkpointStorageBytes(core) <= SmallGraphEdgeBytes
+    withAqeOff(sess, loopSmall,
+      math.max(4, math.min(nPartK, (total / 16384L).toInt + 1))) {
     while (!converged && rounds < KCoreMaxRounds) {
-      val keep = degrees(core).filter(col("deg") >= k).select(col("id"))
-      val next = core
-        .join(gatedKeep(keep.select(col("id").as("u"))), Seq("u"), "left_semi")
-        .join(gatedKeep(keep.select(col("id").as("v"))), Seq("v"), "left_semi")
-        .localCheckpoint()
-      val n = next.count()
+      val keep = gatedKeep(
+        degrees(core).filter(col("deg") >= k).select(col("id")))
+      val (next, n) = GraftBridge.localCheckpointCounted(core
+        .join(keep.as("ku"), col("u") === col("ku.id"), "left_semi")
+        .join(keep.as("kv"), col("v") === col("kv.id"), "left_semi"))
       converged = n == nEdges
       nEdges = n
       if (coreOwned) GraftBridge.releaseLocalCheckpoint(core)
       core = next
       coreOwned = true
       rounds += 1
+    }
     }
     degrees(core)
       .select(col("id"), col("deg").as("core_deg"), lit(k).as("k"))
@@ -1044,9 +1081,11 @@ object Curation extends QueryPack {
     var und = e0.select(col("u").as("src"), col("v").as("dst"))
       .union(e0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    val nNodes = labels.count()
+    // checkpoint + gate count ride one job (localCheckpointCounted)
+    val (labels0, nNodes) = GraftBridge.localCheckpointCounted(
+      und.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
+    var labels = labels0
     // giant-graph path only: re-spread the directed copy on dst before
     // the rounds, with the layout RE-ASSERTED on the checkpoint
     // (GraftBridge.localCheckpointHashPartitioned) so the planner SEES
@@ -1191,17 +1230,17 @@ object Curation extends QueryPack {
         val withA = vH.as("vb")
           .join(broadcast(lPrev.as("la")), col("vb.id") === col("la.id"))
           .select(col("vb.id"), col("vb.nlbl"), col("la.lbl").as("lbla"))
-        val next = withA.localCheckpoint()
-        val cnt = next.agg(
-          sum(when(col("nlbl") =!= col("lbla"), 1L).otherwise(0L)).as("cb"))
-          .collect()(0)
-        val nB = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+        // diff count fused into the materializing job itself
+        // (localCheckpointCountIf) — the agg-collect was one more
+        // full scheduling round trip per batch
+        val (next, nB) = GraftBridge.localCheckpointCountIf(
+          withA.withColumn("chg", col("nlbl") =!= col("lbla")), "chg")
         releaseSuperseded(owned)
         owned = Seq(next)
         labels = next.select(col("id"), col("nlbl").as("lbl"))
         if (nB == 0) done = true
         else frontier =
-          Some((next.filter(col("nlbl") =!= col("lbla")).select(col("id")), nB))
+          Some((next.filter(col("chg")).select(col("id")), nB))
         r += hops
       } else {
       val scoreEdges =
@@ -1265,16 +1304,14 @@ object Curation extends QueryPack {
         // round at sf0.1). ONE materialization per round carries
         // (id, nlbl, olbl); labels and the changed frontier are narrow
         // projections over that checkpoint
-        val next =
+        val (next, nChanged) = GraftBridge.localCheckpointCountIf(
           (if (r == 0) voted.withColumn("olbl", col("id"))
            else voted.as("v").hint("shuffle_hash")
              .join(gated(labels.as("ldiff"), nNodes),
                col("v.id") === col("ldiff.id"))
              .select(col("v.id"), col("nlbl"), col("ldiff.lbl").as("olbl")))
-          .localCheckpoint()
-        val changedIds = next.filter(col("nlbl") =!= col("olbl"))
-          .select(col("id"))
-        val nChanged = changedIds.count()
+          .withColumn("chg", col("nlbl") =!= col("olbl")), "chg")
+        val changedIds = next.filter(col("chg")).select(col("id"))
         releaseSuperseded(owned)
         owned = Seq(next)
         labels = next.select(col("id"), col("nlbl").as("lbl"))
@@ -1294,15 +1331,13 @@ object Curation extends QueryPack {
         // voted's true size is unknown pre-count (≤ the affected set,
         // which can approach |V| on a big sub-gate graph), so only the
         // small regime broadcasts it; otherwise hash-build it shuffled
-        val next = labels
+        val (next, nChanged) = GraftBridge.localCheckpointCountIf(labels
           .join(if (small) broadcast(voted) else voted.hint("shuffle_hash"),
             Seq("id"), "left")
           .select(col("id"), col("lbl").as("olbl"),
             coalesce(col("nlbl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val changedIds = next.filter(col("lbl") =!= col("olbl"))
-          .select(col("id"))
-        val nChanged = changedIds.count()
+          .withColumn("chg", col("lbl") =!= col("olbl")), "chg")
+        val changedIds = next.filter(col("chg")).select(col("id"))
         releaseSuperseded(owned)
         owned = Seq(next)
         labels = next.select(col("id"), col("lbl"))
@@ -1328,11 +1363,51 @@ object Curation extends QueryPack {
     }
   }
 
-  /** Sessions currently holding [[communitiesOf]]'s AQE toggle — the
-    * re-entrancy guard is per SparkSession (the unit the config toggle
-    * actually mutates), not JVM-global. */
+  /** Sessions currently holding an AQE round-loop toggle
+    * ([[communitiesOf]] inline, [[withAqeOff]] for the other iterative
+    * loops) — the re-entrancy guard is per SparkSession (the unit the
+    * config toggle actually mutates), not JVM-global. */
   private val aqeToggleSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Run `body` with AQE disabled on `sess` when `arm` is true — the
+    * [[communitiesOf]] small-regime lever shared by the other iterative
+    * round loops (k-core peel, sub-gate pageRank): when the per-round
+    * state is broadcast-gated and every exchange width is already
+    * decided explicitly, AQE buys nothing but splits each round's
+    * materialization into one job per query stage — pure scheduling
+    * floor at the small tier (r17 job profile: the floor is ~0.13 s/job
+    * on this box and the sub-gate rounds are 1-2 task jobs). Same
+    * sequential-execution invariant and re-entrancy guard as
+    * [[communitiesOf]]'s inline toggle; restored in a finally. */
+  private def withAqeOff[T](sess: SparkSession, arm: Boolean,
+      shufflePartitions: Int = 0)(body: => T): T =
+    if (!arm) body
+    else {
+      val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevPart = sess.conf.get("spark.sql.shuffle.partitions")
+      require(aqeToggleSessions.add(GraftBridge.sessionUUID(sess)),
+        "withAqeOff: concurrent AQE-toggling round loops on one session " +
+          "— the sub-gate paths require sequential execution")
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        // With AQE off nothing coalesces the round's reduce sides, so
+        // width defaults to the session's nPart — 32 near-empty tasks
+        // per exchange at the sub-gate tier, whose launch overhead ate
+        // the jobs saved (measured: pagerank 31 → 24 jobs but tasks
+        // 31 → 184 and wall +0.6 s). Pin the loop's reduce width to a
+        // state-sized count instead (the communitiesOf votePart
+        // formula); partition width never changes any result here —
+        // the loops are partitioning-independent by design.
+        if (shufflePartitions > 0)
+          sess.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+        body
+      } finally {
+        sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        sess.conf.set("spark.sql.shuffle.partitions", prevPart)
+        aqeToggleSessions.remove(GraftBridge.sessionUUID(sess))
+      }
+    }
 
   /** Corpus concentration report: the Gini coefficient of per-doc
     * token counts plus the share held by the largest 1% of documents —

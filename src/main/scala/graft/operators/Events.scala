@@ -1090,11 +1090,21 @@ object Events extends QueryPack {
       .select(col("day"), col("carry"))
     val run = within.join(broadcast(carries), "day")
       .withColumn("running", col("carry") + col("run_in_day"))
-    val mx = run.agg(max(col("running")).as("max_concurrent"))
-    run.join(broadcast(mx), col("running") === col("max_concurrent"))
-      .groupBy(col("max_concurrent"))
-      .agg(min(col("t_us")).as("at_us"))
-      .select(col("max_concurrent"), col("at_us"))
+    // ONE aggregate pass (r17 optimization round): the r16 form computed
+    // max(running) as a broadcast scalar and joined it BACK against the
+    // running-sum frame — the entire sessionize + sweep + window
+    // pipeline executed twice (once inside the broadcast build, once on
+    // the probe side; the before plan carries both subtrees). The pair
+    // (peak, earliest instant at peak) is one lexicographic argmax:
+    // max(struct(running, −t_us)) — max running first, then max(−t_us)
+    // = min t_us among its ties. Integer-exact, same result, half the
+    // compute, no join, no broadcast build.
+    run.agg(max(struct(col("running"), (-col("t_us")).as("nt"))).as("s"))
+      // empty input: the global max is NULL — drop it so the empty
+      // corpus yields an empty frame, exactly like the join-back form
+      .where(col("s").isNotNull)
+      .select(col("s.running").as("max_concurrent"),
+        (-col("s.nt")).as("at_us"))
   }
 
   /** ClickHouse `intervalLengthSum` analogue: per user, the union

@@ -111,4 +111,24 @@ object Tables {
     * the reference's `src_*` physical identifiers, `README.md:269-292`). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => read(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Cheap per-table invalidation signal for the per-corpus trained-
+    * statistic caches: the parquet file listing with sizes and mtimes —
+    * the [[graft.operators.Similarity]] corpusFingerprint device,
+    * generalized to any fixture table (the text-side caches key on
+    * `documents`, not `embeddings`). Unlistable paths fall back to the
+    * dir string — per-path caching without rewrite detection, in which
+    * case callers must clear explicitly. */
+  private[graft] def tableFingerprint(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isFile).sortBy(_.getName)
+      else if (root.isFile) Array(root)
+      else Array.empty[java.io.File]
+    if (files.isEmpty) s"unlistable:$dir/$table"
+    else files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$dir/$table|", ",", "")
+  }
 }

@@ -77,6 +77,75 @@ object GraftBridge {
     ofRows(ck.sparkSession, fixed)
   }
 
+  /** Eager `localCheckpoint()` that returns the ROW COUNT of the
+    * materialized frame from the SAME job that materializes it.
+    *
+    * `Dataset.localCheckpoint(eager = true)` internally persists the
+    * RDD and runs a `count()` to materialize — but discards the count,
+    * so every iterative fixpoint loop that needs one (k-core's edge
+    * count, connected components' changed-row diff) pays a SECOND
+    * whole job against the just-cached frame. On a scheduling-bound
+    * round (the sf0.1 graph-family regime: 1-2 task jobs × a ~0.13 s
+    * per-job floor) that doubles the round's fixed cost; at cluster
+    * scale it is still one fewer driver round trip and cache scan per
+    * round. This helper does what the eager checkpoint does — execute,
+    * copy rows, persist — and simply keeps the count the materializing
+    * action already computes.
+    *
+    * Same storage (MEMORY_AND_DISK, deserialized) and same release
+    * contract ([[releaseLocalCheckpoint]]) as a plain
+    * `localCheckpoint()`. */
+  def localCheckpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val (out, n) = checkpointWith(df, (_, it) => { var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }; c })
+    (out, n.sum)
+  }
+
+  /** Eager `localCheckpoint()` that additionally counts the rows whose
+    * BOOLEAN column `boolCol` is true (nulls count as false), again in
+    * the single materializing job — the changed-row convergence probe
+    * of the iterative graph loops (LPA / connected components) fused
+    * into the checkpoint instead of running as its own job per round.
+    *
+    * Exactness: the per-partition tallies come back as the job RESULT
+    * (one value per successful final task attempt), not as an
+    * accumulator, so retried/speculative tasks cannot double-count. */
+  def localCheckpointCountIf(df: DataFrame,
+      boolCol: String): (DataFrame, Long) = {
+    val idx = df.queryExecution.analyzed.output.indexWhere(_.name == boolCol)
+    require(idx >= 0, s"localCheckpointCountIf: no column $boolCol in " +
+      df.queryExecution.analyzed.output.map(_.name).mkString(","))
+    val (out, n) = checkpointWith(df, (_, it) => { var c = 0L
+      while (it.hasNext) { val r = it.next()
+        if (!r.isNullAt(idx) && r.getBoolean(idx)) c += 1 }
+      c })
+    (out, n.sum)
+  }
+
+  /** Shared body: execute `df`, persist the copied-row RDD at the
+    * localCheckpoint default storage, run ONE job whose per-partition
+    * function both materializes the cache (iterating a persisted RDD
+    * populates its blocks — exactly how `count()` materializes an
+    * eager checkpoint) and folds `f` over the rows, and wrap the
+    * pinned RDD in a [[execution.LogicalRDD]] like
+    * `Dataset.localCheckpoint` does. */
+  private def checkpointWith[T: scala.reflect.ClassTag](df: DataFrame,
+      f: (org.apache.spark.TaskContext,
+          Iterator[org.apache.spark.sql.catalyst.InternalRow]) => T)
+      : (DataFrame, Array[T]) = {
+    val spark = df.sparkSession
+    val qe = df.queryExecution
+    // map(_.copy()): unsafe-row buffers are reused per partition; a
+    // persisted RDD must own its rows (the same copy Dataset.checkpoint
+    // makes before persisting)
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = spark.sparkContext.runJob(rdd, f)
+    val lr = execution.LogicalRDD(qe.analyzed.output, rdd)(
+      spark.asInstanceOf[classic.SparkSession], None, None)
+    (ofRows(spark, lr), res)
+  }
+
   /** Cached bytes (memory + disk) behind a `localCheckpoint`ed frame,
     * read from driver-side BlockManager metadata — a FREE size probe:
     * deciding a size-gated code path with `df.count()` costs a full
