@@ -561,11 +561,34 @@ object Dedup extends QueryPack {
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
   }
 
+  /** The (vec_id, tbl, sig) bucket rows materialized once per (session,
+    * embeddings corpus) — r17 optimization round: the self-join form
+    * below evaluates the fused 128-plane signature pass once PER SIDE
+    * per invocation (the deliberate codegen trade vs the
+    * ObjectHashAggregate bucket-group); with the frame checkpointed the
+    * pass runs once per corpus and both sides scan ~|V|·32 rows of
+    * three longs. Shared with [[bucketStats]]' cosine telemetry band. */
+  private val cosineBandCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  def clearCosineBandCache(): Unit = {
+    cosineBandCache.values.foreach(
+      org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint)
+    cosineBandCache.clear()
+  }
+
+  private def cosineBands(spark: SparkSession, dir: String): DataFrame =
+    cosineBandCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark),
+        Tables.tableFingerprint(dir, "embeddings")),
+      cosineBandsOf(Tables.embeddings(spark, dir)).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
   def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm("embedding").as("nrm"))
-    val banded = cosineBandsOf(e)
+    val banded = cosineBands(spark, dir)
     // NOTE kept as a self-join ON PURPOSE (the opposite call to
     // minhashLsh's bucket-group): a collect_list bucket grouping is an
     // ObjectHashAggregate, which disables whole-stage codegen for its
@@ -635,7 +658,7 @@ object Dedup extends QueryPack {
     val sim = simhashBandsOf(simhash(spark, dir))
       .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
       .select(col("band"), col("n"))
-    val cos = cosineBandsOf(Tables.embeddings(spark, dir))
+    val cos = cosineBands(spark, dir)
       .groupBy(col("tbl"), col("sig")).agg(count(lit(1)).as("n"))
       .select(col("tbl").as("band"), col("n"))
     bucketStatsOf(mh, "minhash")
